@@ -1,10 +1,13 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark-native engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship query smoke check at sf0.001.
+``queries`` — one entry per implemented operator family from
+              SURVEY.md §2 plus the north-star extensions.
+``oracle_sql`` — DuckDB-runnable ANSI twins. Omitted only for ops
+              whose results depend on Spark-internal hash functions
+              (minhash/simhash/LSH signatures) or on the stubbed
+              multimodal codec — those get rows-only checks here and
+              agreement tests against exact operators in tests/.
 """
 
 from __future__ import annotations
@@ -13,26 +16,373 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_de_final_project_spark.plans import extensions as X
+from aws_de_final_project_spark.plans import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (the arrest-pct shape: two aggregations of one
+    base relation joined on the group key + rounded pct + top-15,
+    mirroring athena_queries/arrest_pct_by_community_VIOLENT.txt)."""
+    return Q.return_pct_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # — relational parity (SURVEY.md §2) —
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "return_pct_by_nation": Q.return_pct_by_nation,
+        "filter_disjunctive": Q.filter_disjunctive,
+        "count_by_concat_key": Q.count_by_concat_key,
+        "weekday_features": Q.weekday_features,
+        "etl_derive_dates": Q.etl_derive_dates,
+        "filtered_agg_returns": Q.filtered_agg_returns,
+        "dim_join_rollup": Q.dim_join_rollup,
+        "topk_customers": Q.topk_customers,
+        "window_rank_orders": Q.window_rank_orders,
+        "set_union_distinct": Q.set_union_distinct,
+        "view_layering": Q.view_layering,
+        "json_extract_events": Q.json_extract_events,
+        "hourly_event_stats": Q.hourly_event_stats,
+        "latest_event_per_user": Q.latest_event_per_user,
+        # — north-star extensions —
+        "dedup_exact_groups": X.dedup_exact_groups,
+        "dedup_jaccard_pairs": X.dedup_jaccard_pairs,
+        "dedup_minhash_lsh": X.dedup_minhash_lsh,
+        "dedup_simhash_pairs": X.dedup_simhash_pairs,
+        "ann_cosine_topk": X.ann_cosine_topk,
+        "ann_lsh_topk": X.ann_lsh_topk,
+        "text_stats_by_lang": X.text_stats_by_lang,
+        "doc_fingerprints": X.doc_fingerprints,
+        "lang_id_heuristic": X.lang_id_heuristic,
+        "multimodal_byte_stats": X.multimodal_byte_stats,
+        "multimodal_decode_features": X.multimodal_decode_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# SQL fragment shared by fingerprint-based oracles: must match
+# aws_de_final_project_spark.functions.text.normalized_text exactly
+# (DuckDB regexp_replace needs the 'g' flag; Spark's is global).
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_WORDS = f"list_distinct(string_split({_NORM}, ' '))"
+_TOKENS_LOWER = "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "que", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "den", "ist"],
+}
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    vocab = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_intersect({_TOKENS_LOWER}, [{vocab}]))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM.format(c="text")
+    hits = {lang: _stopword_hits_sql(lang) for lang in _STOPWORDS}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+                   (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+                   (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
+                   (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0) AS sum_charge,
+                   (floor((avg(l_quantity)) * 100.0 + 0.5) / 100.0) AS avg_qty,
+                   (floor((avg(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS avg_price,
+                   (floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "return_pct_by_nation": """
+            WITH base AS (
+                SELECT l.*, n.n_name
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ),
+            tot AS (
+                SELECT n_name, count(*) AS tot_lineitems FROM base GROUP BY n_name
+            ),
+            ret AS (
+                SELECT n_name, count(*) AS tot_returns
+                FROM base WHERE l_returnflag = 'R' GROUP BY n_name
+            )
+            SELECT tot.n_name, tot_returns, tot_lineitems,
+                   (floor((CAST(tot_returns AS double) / CAST(tot_lineitems AS double) * 100) * 100.0 + 0.5) / 100.0)
+                       AS return_pct
+            FROM tot INNER JOIN ret ON tot.n_name = ret.n_name
+            ORDER BY tot_lineitems DESC, tot.n_name ASC
+            LIMIT 15
+        """,
+        "filter_disjunctive": """
+            SELECT * FROM part
+            WHERE (p_type = 'PROMO' AND p_brand LIKE '%#1%')
+               OR p_type = 'ECONOMY'
+               OR p_type = 'LARGE'
+               OR p_type = 'SMALL'
+        """,
+        "count_by_concat_key": """
+            SELECT p_brand || ' - ' || p_type AS part_type,
+                   count(*) AS cnt
+            FROM part
+            GROUP BY p_brand || ' - ' || p_type
+            ORDER BY part_type
+        """,
+        "weekday_features": """
+            SELECT dayname(date_timestamp) AS day_of_week,
+                   CAST(isodow(date_timestamp) AS int) AS day_of_week_num,
+                   event_id, date_str
+            FROM (
+                SELECT event_id, date_str,
+                       strptime(date_str, '%m/%d/%Y %I:%M:%S %p') AS date_timestamp
+                FROM (
+                    SELECT event_id,
+                           strftime(ts, '%m/%d/%Y %I:%M:%S %p') AS date_str
+                    FROM events
+                )
+            )
+        """,
+        "etl_derive_dates": """
+            SELECT l_orderkey, l_linenumber, "date",
+                   new_date,
+                   CAST(month(new_date) AS int) AS month,
+                   CAST(day(new_date) AS int) AS day
+            FROM (
+                SELECT l_orderkey, l_linenumber, "date",
+                       CAST(strptime("date", '%m/%d/%Y %I:%M:%S %p') AS DATE) AS new_date
+                FROM (
+                    SELECT l_orderkey, l_linenumber,
+                           strftime(l_shipdate, '%m/%d/%Y %I:%M:%S %p') AS "date"
+                    FROM lineitem
+                )
+            )
+        """,
+        "filtered_agg_returns": """
+            SELECT l_suppkey, count(*) AS tot_returns
+            FROM (SELECT *, l_returnflag = 'R' AS returned FROM lineitem)
+            WHERE returned
+            GROUP BY l_suppkey
+            ORDER BY l_suppkey
+        """,
+        "dim_join_rollup": """
+            SELECT r_name, n_name,
+                   count(*) AS num_customers,
+                   (floor((avg(c_acctbal)) * 100.0 + 0.5) / 100.0) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "topk_customers": """
+            SELECT o_custkey, (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total_spend
+            FROM orders
+            GROUP BY o_custkey
+            ORDER BY total_spend DESC, o_custkey ASC
+            LIMIT 15
+        """,
+        "window_rank_orders": """
+            SELECT c_mktsegment, o_orderkey,
+                   (floor((o_totalprice) * 100.0 + 0.5) / 100.0) AS o_totalprice,
+                   CAST(rk AS int) AS rk
+            FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rk
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            )
+            WHERE rk <= 3
+            ORDER BY c_mktsegment, rk
+        """,
+        "set_union_distinct": """
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+            ORDER BY c_custkey
+        """,
+        "view_layering": """
+            WITH dependency1_urgent_orders AS (
+                SELECT * FROM orders
+                WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+            ),
+            urgent_by_status AS (
+                SELECT o_orderstatus,
+                       count(*) AS num_orders,
+                       (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total_price
+                FROM dependency1_urgent_orders
+                GROUP BY o_orderstatus
+            )
+            SELECT * FROM urgent_by_status ORDER BY o_orderstatus
+        """,
+        "json_extract_events": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n_events,
+                   (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+            ORDER BY hour_start, event_type
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+            )
+            WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "dedup_exact_groups": f"""
+            SELECT md5({norm_text}) AS fingerprint,
+                   count(*) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM documents
+            GROUP BY md5({norm_text})
+            ORDER BY fingerprint
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH w AS (
+                SELECT doc_id, lang, {_WORDS.format(c='text')} AS words
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       (floor((CAST(len(list_intersect(a.words, b.words)) AS double) /
+                           CAST(len(a.words) + len(b.words)
+                                - len(list_intersect(a.words, b.words)) AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+                FROM w a JOIN w b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM pairs
+            WHERE jaccard >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+            ),
+            scored AS (
+                SELECT query_id, cid,
+                       list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                           AS cos_raw
+                FROM q CROSS JOIN c
+                WHERE cid <> query_id
+            ),
+            ranked AS (
+                SELECT query_id, cid AS neighbor_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos_raw DESC, cid ASC
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id,
+                   (floor((cos_raw) * 10000.0 + 0.5) / 10000.0) AS cos,
+                   CAST(rnk AS int) AS rank
+            FROM ranked
+            WHERE rnk <= 10
+            ORDER BY query_id, rank
+        """,
+        "text_stats_by_lang": """
+            WITH per_doc AS (
+                SELECT lang,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       length(text) AS n_chars_m,
+                       (floor((greatest(0.0,
+                           least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                                  END AS double) / 100.0, 1.0)
+                           * (1 - CASE WHEN length(text) > 0
+                                  THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS double)
+                                       / CAST(length(text) AS double)
+                                  ELSE 0.0 END)
+                       )) * 10000.0 + 0.5) / 10000.0) AS quality
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   (floor((avg(n_tokens)) * 100.0 + 0.5) / 100.0) AS avg_tokens,
+                   (floor((avg(n_chars_m)) * 100.0 + 0.5) / 100.0) AS avg_chars,
+                   (floor((avg(quality)) * 10000.0 + 0.5) / 10000.0) AS avg_quality
+            FROM per_doc
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id, md5({norm_text}) AS fingerprint
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "lang_id_heuristic": f"""
+            SELECT doc_id, lang,
+                   CASE
+                       WHEN best > 0 AND h_en = best THEN 'en'
+                       WHEN best > 0 AND h_es = best THEN 'es'
+                       WHEN best > 0 AND h_fr = best THEN 'fr'
+                       WHEN best > 0 AND h_de = best THEN 'de'
+                       ELSE 'und'
+                   END AS predicted_lang
+            FROM (
+                SELECT doc_id, lang, h_en, h_es, h_fr, h_de,
+                       greatest(h_en, h_es, h_fr, h_de) AS best
+                FROM (
+                    SELECT doc_id, lang,
+                           {hits['en']} AS h_en,
+                           {hits['es']} AS h_es,
+                           {hits['fr']} AS h_fr,
+                           {hits['de']} AS h_de
+                    FROM documents
+                )
+            )
+            ORDER BY doc_id
+        """,
+        "multimodal_byte_stats": """
+            SELECT kind,
+                   count(*) AS n_media,
+                   CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+                   CAST(min(octet_length(payload)) AS BIGINT) AS min_bytes,
+                   CAST(max(octet_length(payload)) AS BIGINT) AS max_bytes
+            FROM (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                       encode(text) AS payload
+                FROM documents
+            )
+            GROUP BY kind
+            ORDER BY kind
+        """,
+        # rows-only (hash-function/stub dependent, by design):
+        #   dedup_minhash_lsh, dedup_simhash_pairs, ann_lsh_topk,
+        #   multimodal_decode_features
+    }

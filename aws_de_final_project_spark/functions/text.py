@@ -1,0 +1,114 @@
+"""Text-analysis column builders (north-star extension, SURVEY.md §7.6).
+
+All pure built-in ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each builder returns
+a Column so it composes into any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Deliberately short + fixed: the point is a deterministic, cheap,
+# JVM-side classifier shape, not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "que", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "den", "ist"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text -> array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col: Column | str) -> Column:
+    """Number of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """How many *distinct* stopwords of ``lang`` occur in the text."""
+    toks = F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, vocab))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    ``'und'`` (undetermined) when nothing matches. Ties broken by the
+    fixed language order en > es > fr > de (greatest() + reverse-check
+    keeps it deterministic)."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # Reverse order so earlier languages win ties (last when() wins in
+    # a chain built back-to-front).
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column | str) -> Column:
+    """Cheap document-quality score in [0, 1]: rewards moderate
+    length, penalizes punctuation soup — the shape of a C4-style
+    heuristic filter, all JVM-side. Rounded to 4dp so the value is
+    hash-stable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    n_chr = char_count(c).cast("double")
+    punct_ratio = F.when(n_chr > 0, punct_count(c).cast("double") / n_chr).otherwise(
+        F.lit(0.0)
+    )
+    length_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return rnd(
+        F.greatest(F.lit(0.0), length_component * (1 - punct_ratio)), 4
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip
+    non-alphanumerics to spaces, collapse runs of whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), "\\s+", " "
+        )
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 of the
+    normalized text. md5 is bit-identical across Spark and any ANSI
+    oracle, unlike engine-specific hash64s."""
+    return F.md5(normalized_text(col))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the normalized text ->
+    array<string>. Built with sequence+transform+substring: stays in
+    codegen, no UDF."""
+    norm = normalized_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))

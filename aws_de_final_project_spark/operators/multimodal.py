@@ -1,0 +1,146 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns plus a typed
+metadata struct; the Spark-side machinery (schemas, Arrow-batched
+``mapInPandas``, partition-sized batches) is real and tested. The
+actual codec step is STUBBED deterministically — the container has no
+image/audio libraries — behind ``_decode_payload``; swap that one
+function for PIL/torchaudio on a real cluster.
+
+Scale notes: payload bytes travel in Arrow record batches (zero-copy
+JVM<->Python); per-batch work is vectorized pandas; nothing is ever
+collected to the driver. Partition counts, not row counts, bound
+memory — callers should ``maxRecordsPerBatch``-tune for large blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Build a MEDIA_SCHEMA-shaped table from the documents table —
+    deterministic fake payloads (utf-8 text bytes) standing in for
+    real blobs, used by tests and the demo query."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
+            .otherwise(F.lit("audio/wav"))
+            .alias("mime"),
+            (F.octet_length(F.encode(F.col("text"), "UTF-8")) % 640)
+            .cast("int")
+            .alias("width"),
+            (F.octet_length(F.encode(F.col("text"), "UTF-8")) % 480)
+            .cast("int")
+            .alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(kind: str, payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB codec. Deterministic fake decode: dimensions and an
+    8-dim feature vector derived from a sha256 of the payload.
+
+    Real deployment: replace with PIL.Image.open / soundfile.read —
+    the surrounding Arrow plumbing does not change.
+    """
+    if payload is None:
+        return (0, 0, [])
+    digest = hashlib.sha256(payload).digest()
+    width = int.from_bytes(digest[0:2], "big") % 1920
+    height = int.from_bytes(digest[2:4], "big") % 1080
+    feature = [
+        int.from_bytes(digest[4 + 2 * i : 6 + 2 * i], "big") / 65535.0
+        for i in range(8)
+    ]
+    return (width, height, feature)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over a media table.
+
+    ``mapInPandas``: each partition arrives as an iterator of pandas
+    batches; per-batch we vectorize over rows. The output schema is
+    fixed (DECODED_SCHEMA) so downstream plans are stable regardless
+    of the stub/real codec swap.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_payload(k, p) for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def media_byte_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata aggregation over binary payloads — the kind
+    of scan that must NOT decode anything: bytes stay columnar,
+    only lengths are read."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.min(F.octet_length("payload")).cast("long").alias("min_bytes"),
+            F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )

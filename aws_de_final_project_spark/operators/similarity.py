@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers, per the 100 TB design rule "brute force as baseline, a
+bucketed variant as the scale path":
+
+* :func:`cosine_topk` — exact brute force. Queries are broadcast;
+  the corpus is scanned once, dot products run in codegen via
+  ``zip_with``/``aggregate`` (no Python, no UDF), top-k per query via
+  a ranking window. Cost O(|corpus| x |queries|) — right answer for
+  small query batches at any corpus size.
+* :func:`lsh_ann_topk` — random-hyperplane LSH: corpus and queries
+  are bucketed by sign-bit signature; candidate set = same-bucket
+  rows (with multi-probe via several independent tables), exact
+  re-rank inside buckets. Turns the scan into a hash-join keyed on
+  the signature — shuffle-friendly and index-free.
+
+All math is done in double precision with left-to-right array
+accumulation so results are bit-stable and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+
+
+def _dot(a, b):
+    """Double-precision dot product of two array columns, in codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must carry (query_id_col, vec_col). Self-matches
+    (same id) are excluded. Output: query_id, neighbor_id, cos
+    (rounded 4dp), rank — deterministic via (cos desc, id asc).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_cid",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            rnd(F.col("_cos"), 4).alias("cos"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python —
+    evaluated once on the driver, shipped as literals)."""
+    planes = []
+    state = seed
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            # xorshift64* PRNG — stable across platforms/versions.
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            u = ((state * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) / 2**64
+            vec.append(u * 2 - 1)
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / n for x in vec])
+    return planes
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature (bigint) of a vector against hyperplanes."""
+    sig = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    ``n_tables`` independent signature tables (different hyperplane
+    seeds) give multi-probe recall; candidates = union of same-bucket
+    matches across tables, exact cosine re-rank. At scale this is a
+    plain equi-join on (table, signature) — no broadcast of the
+    corpus, no cross product.
+    """
+    table_sets = [
+        _hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+
+    def signatures(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_signature(F.col(vec_col), planes).alias("sig"),
+                        )
+                        for t, planes in enumerate(table_sets)
+                    ]
+                )
+            ).alias("ts"),
+        ).select(F.col(idc), F.col(vec_col), "ts.tbl", "ts.sig")
+
+    csig = signatures(corpus, id_col).withColumnsRenamed(
+        {id_col: "_cid", vec_col: "_cvec"}
+    )
+    qsig = signatures(
+        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
+    ).withColumnsRenamed({query_id_col: "_qid", vec_col: "_qvec"})
+    candidates = (
+        qsig.join(csig, ["tbl", "sig"])
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select("_qid", "_qvec", "_cid", "_cvec")
+        .distinct()
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        candidates.select(
+            "_qid",
+            "_cid",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            rnd(F.col("_cos"), 4).alias("cos"),
+            "rank",
+        )
+    )

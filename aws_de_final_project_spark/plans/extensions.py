@@ -1,0 +1,147 @@
+"""North-star extension queries over documents/embeddings tables.
+
+Each function is ``(spark, sf_dir) -> DataFrame`` with stable aliased
+columns, twinning a DuckDB oracle in ``__spark_entry__`` where the
+semantics are ANSI-expressible (exact dedup, jaccard, brute-force
+cosine, text stats); the hash-function-dependent ops (minhash/simhash
+LSH) get rows-only checks by design — their verification story is the
+agreement test against the exact operators in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+
+from aws_de_final_project_spark.functions import text as TX
+from aws_de_final_project_spark.operators import dedup, multimodal, similarity
+from aws_de_final_project_spark.sources.registry import load_tables
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on documents.text (md5 fingerprint)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.exact_dedup_groups(t["documents"], "text", "doc_id").select(
+        F.col("fp").alias("fingerprint"), "n_copies", "keeper_id"
+    ).orderBy("fingerprint")
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs (J >= 0.5), blocked by
+    lang. Oracle-checkable; also the ground truth the LSH variants
+    are tested against."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.jaccard_pairs(
+        t["documents"], "text", "doc_id", threshold=0.5, block_col="lang"
+    ).orderBy("doc_a", "doc_b")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (verified J >= 0.5). No SQL oracle
+    (signatures depend on Spark's xxhash64); recall vs the exact
+    operator is asserted in tests/test_dedup.py."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3). Rows-only check."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.simhash_near_pairs(
+        t["documents"], "text", "doc_id", max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for five fixed query vectors
+    (vec_id < 5) over the embeddings corpus."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for the same queries. Rows-only
+    check; recall vs brute force asserted in tests/test_similarity.py."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.lsh_ann_topk(emb, queries, dim=dim, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring rolled up per language."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    per_doc = t["documents"].select(
+        "lang",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_m"),
+        TX.quality_score("text").alias("quality"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            rnd(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            rnd(F.avg("n_chars_m"), 2).alias("avg_chars"),
+            rnd(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document md5 fingerprint of normalized text."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id", TX.fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-based language ID per document (deterministic
+    heuristic; accuracy is not the point — the JVM-side classifier
+    shape is)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id", "lang", TX.lang_id("text").alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata scan over synthesized media payloads."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = multimodal.synthesize_media(t["documents"])
+    return multimodal.media_byte_stats(media)
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (stub codec) + rollup of the
+    extracted dimensions. Rows-only check (sha256-derived fake
+    features aren't SQL-expressible in the oracle)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = multimodal.synthesize_media(t["documents"])
+    decoded = multimodal.decode_media(media)
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            rnd(F.avg("width"), 2).alias("avg_width"),
+            rnd(F.avg("height"), 2).alias("avg_height"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,376 @@
+"""Relational parity queries (SURVEY.md §2), re-expressed over the
+driver's TPC-H-ish test tables.
+
+Each public function takes ``(spark, sf_dir)`` and returns a lazy
+DataFrame. Every computed/aggregate column is aliased so names match
+the DuckDB oracle in ``__spark_entry__.oracle_sql`` exactly (the
+driver's compare sorts columns by name before hashing).
+
+Determinism notes applied throughout:
+
+* Every ``LIMIT`` carries a total-order tiebreak (the reference's
+  ``ORDER BY tot_reports DESC LIMIT 15`` at
+  ``athena_queries/arrest_pct_by_community_VIOLENT.txt:23-24`` is
+  tie-ambiguous; we add a key column so Spark and the oracle pick the
+  same rows).
+* Double-typed aggregates are ``ROUND``ed (2dp) on output so
+  floating-point summation order can't flip the value hash. The
+  reference itself rounds its one computed double
+  (``arrest_pct_by_community_VIOLENT.txt:5``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+
+from aws_de_final_project_spark.functions.dialect import (
+    iso_day_of_week,
+    presto_date_format,
+    presto_date_parse,
+)
+from aws_de_final_project_spark.sources.registry import load_tables
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate hash aggregation over the fact table (operator
+    family A1 + F8-F10: grouped COUNT/SUM/AVG with arithmetic).
+
+    TPC-H Q1 shape; the widest single-pass aggregation in the suite,
+    and the headline bench query. At scale: one shuffle on a
+    low-cardinality key (6 groups), fully resolved by partial
+    (map-side) aggregation — reduce side sees ~6 rows per partition.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(charge), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 2).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def return_pct_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query — the arrest-pct shape (J1+A1+A2+F8-F10+O1 in
+    one plan, mirroring ``arrest_pct_by_community_VIOLENT.txt:1-24``):
+    two aggregations of the same base relation joined on the group
+    key, a rounded percentage, and a top-15.
+
+    Base relation: lineitem enriched with the supplier's nation — the
+    broadcast dimension join the reference's ``supporting/`` crawler
+    implied but never committed (``CDK/cdk/cdk_stack.py:113-134``).
+
+    Scale: supplier/nation are broadcast (no fact shuffle for the
+    enrich); the two aggregates shuffle on ``n_name`` once each and
+    the final join of two ~25-row aggregates is trivially broadcast.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    tot = base.groupBy("n_name").agg(F.count(F.lit(1)).alias("tot_lineitems"))
+    ret = (
+        base.filter(F.col("l_returnflag") == "R")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("tot_returns"))
+    )
+    return (
+        tot.join(ret, "n_name", "inner")
+        .select(
+            "n_name",
+            "tot_returns",
+            "tot_lineitems",
+            rnd(
+                F.col("tot_returns").cast("double")
+                / F.col("tot_lineitems").cast("double")
+                * 100,
+                2,
+            ).alias("return_pct"),
+        )
+        .orderBy(F.desc("tot_lineitems"), F.asc("n_name"))
+        .limit(15)
+    )
+
+
+def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way OR with a nested AND + LIKE (operators P4/P6/P7),
+    mirroring the violent-crimes predicate at
+    ``athena_queries/dependency1_violent_crimes.txt:5-10``.
+
+    Catalyst pushes the whole disjunction into the parquet scan
+    (visible as PushedFilters: Or(...)); no shuffle at all.
+    """
+    t = load_tables(spark, sf_dir, ("part",))
+    p = t["part"]
+    return p.filter(
+        ((F.col("p_type") == "PROMO") & F.col("p_brand").like("%#1%"))
+        | (F.col("p_type") == "ECONOMY")
+        | (F.col("p_type") == "LARGE")
+        | (F.col("p_type") == "SMALL")
+    ).select("*")
+
+
+def count_by_concat_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY on a computed concat key (A3 + F7 + P5), mirroring
+    ``count_by_crime_type.txt:2-6`` (``primary_type || ' - ' ||
+    description``). ``F.concat`` is NULL-propagating like Presto
+    ``||`` (``concat_ws`` would silently skip NULLs — wrong)."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return (
+        t["part"]
+        .groupBy(
+            F.concat(F.col("p_brand"), F.lit(" - "), F.col("p_type")).alias(
+                "part_type"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("part_type")
+    )
+
+
+def weekday_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed_dates_violent shape (F4/F5/F6 + nested select V3,
+    mirroring ``fixed_dates_violent.txt:1-9``): a string timestamp is
+    parsed with Presto tokens, then decorated with the weekday name
+    (``%W``) and the ISO day-of-week number (``DAY_OF_WEEK``).
+
+    The test tables carry real timestamps, so the inner select first
+    formats ``ts`` to the reference's 12-hour string form — that
+    round-trip IS operator F4's test surface.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    inner = t["events"].select(
+        "event_id",
+        F.date_format("ts", "MM/dd/yyyy hh:mm:ss a").alias("date_str"),
+    )
+    with_ts = inner.select(
+        "*",
+        presto_date_parse("date_str", "%m/%d/%Y %T %p").alias("date_timestamp"),
+    )
+    return with_ts.select(
+        presto_date_format("date_timestamp", "%W").alias("day_of_week"),
+        iso_day_of_week("date_timestamp").alias("day_of_week_num"),
+        "event_id",
+        "date_str",
+    )
+
+
+def etl_derive_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Glue job's transform chain (P1-P3 / F1-F3), mirroring
+    ``Glue Script/process_crime_data.py:22-24``: parse a
+    ``MM/dd/yyyy hh:mm:ss a`` string to a date, then derive month and
+    day-of-month. String input is produced by formatting the real
+    shipdate, same round-trip rationale as :func:`weekday_features`.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    raw = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "MM/dd/yyyy hh:mm:ss a").alias("date"),
+    )
+    return (
+        raw.withColumn("new_date", F.to_date("date", "MM/dd/yyyy hh:mm:ss a"))
+        .withColumn("month", F.month("new_date"))
+        .withColumn("day", F.dayofmonth("new_date"))
+    )
+
+
+def filtered_agg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregation boolean filter (A2 + P8), mirroring
+    ``arrest_pct_by_community_VIOLENT.txt:15-20`` (``WHERE arrest =
+    True`` then grouped COUNT). The boolean is derived since the test
+    schema has no native boolean column."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    flagged = t["lineitem"].withColumn("returned", F.col("l_returnflag") == "R")
+    return (
+        flagged.filter(F.col("returned"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("tot_returns"))
+        .orderBy("l_suppkey")
+    )
+
+
+def dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join chain (J1 + S10's intended lookup
+    join): customer -> nation -> region rollup. nation/region are tiny
+    at any scale factor — Catalyst auto-broadcasts; at 100 TB the fact
+    side never shuffles for the join, only for the group-by."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    return (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            rnd(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k without full sort (O1, mirroring ``ORDER BY
+    tot_reports DESC LIMIT 15`` at
+    ``arrest_pct_by_community_VIOLENT.txt:23-24``). Catalyst plans
+    TakeOrderedAndProject — each partition keeps 15 rows, the driver
+    merges; no global sort even at 100 TB."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(rnd(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(15)
+    )
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (SURVEY.md §2.9's suggested extension — the
+    reference has no OVER clause): top-3 orders per market segment by
+    price, with a unique tiebreak for determinism."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_orderkey",
+            rnd(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (SURVEY.md §2.7 — absent in the reference, where
+    the nearest analogue is the crawler's CombineCompatibleSchemas
+    UNION-ALL of CSV files, ``cdk_stack.py:109-110``): UNION DISTINCT
+    of two customer selections."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    return building.union(rich).distinct().orderBy("c_custkey")
+
+
+def view_layering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered views (V1-V4 + S11): a filter view consumed by an
+    aggregate view, mirroring how ``dependency1_violent_crimes``
+    feeds ``arrest_pct_by_community_VIOLENT`` (the ``dependency1_``
+    filename prefix encodes creation order,
+    ``cdk_stack.py:307-326``). Catalyst inlines the view bodies into
+    one optimized plan — exactly what Athena did."""
+    load_tables(spark, sf_dir, ("orders",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW dependency1_urgent_orders AS
+        SELECT * FROM orders
+        WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW urgent_by_status AS
+        SELECT o_orderstatus,
+               COUNT(*) AS num_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM dependency1_urgent_orders
+        GROUP BY o_orderstatus
+        """
+    )
+    return spark.sql(
+        "SELECT * FROM urgent_by_status ORDER BY o_orderstatus"
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull an int out of the events JSON
+    ``props`` column and aggregate. The reference stores only flat
+    columns, but its DynamicFrame abstraction
+    (``process_crime_data.py:19``) exists precisely to absorb
+    semi-structured input — this is the Spark-native equivalent."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form (the T1-T3 family:
+    the reference is micro-batch incremental, SURVEY.md §2.10; the
+    same plan runs unchanged under Structured Streaming with
+    ``F.window`` + watermark — see streaming/windows.py)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins dedup (the re-delivery gap in SURVEY.md §2.10:
+    Socrata re-sends updated rows keyed by ``updated_on``,
+    ``get_data_api.py:10-13``, and the reference never dedups them).
+    Spark-first fix: ranking window by event time, keep the newest
+    row per key."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )

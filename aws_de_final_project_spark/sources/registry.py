@@ -1,0 +1,83 @@
+"""Table registry over the driver-generated parquet test tables.
+
+The reference registers tables by running Glue crawlers over S3
+prefixes (``CDK/cdk/cdk_stack.py:96-151``) and then addressing them
+through the Glue catalog (``Glue Script/process_crime_data.py:19``).
+Spark-first equivalent: parquet self-describes its schema, partition
+discovery is automatic, so "crawling" collapses to ``spark.read
+.parquet`` + temp-view registration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_de_final_project_spark.session import tune_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+# timestamp type and refuses the file outright (PARQUET_TYPE_ILLEGAL).
+# We read nanos as raw int64 (legacy conf) and truncate to microseconds
+# with integer division ("div", not "/": float division would round in
+# double precision and corrupt epoch-nanos, which exceed 2^53).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Read the parquet tables under ``sf_dir`` and (optionally)
+    register each as a temp view so ``spark.sql`` queries can address
+    them exactly like the reference's Athena SQL addressed
+    ``glue_crime_db.*`` tables.
+
+    Pins the session timezone to UTC first: the test parquet carries
+    timezone-naive timestamps, and the DuckDB oracle interprets them
+    naively — UTC makes Spark agree regardless of the host/driver
+    session timezone.
+    """
+    tune_session(spark)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for col in _NANOS_TS_COLS.get(name, ()):
+            if isinstance(df.schema[col].dataType, T.LongType):
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                )
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
