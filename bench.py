@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed as a full cold plan->execute->collect cycle
+(the session is shared and warmed by a trivial job first, so JVM
+startup is excluded but per-query planning is included — matching
+how the reference's Athena layer is billed per-query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_de_final_project_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "return_pct_by_nation",
+    "filter_disjunctive",
+    "dim_join_rollup",
+    "window_rank_orders",
+    "hourly_event_stats",
+    "latest_event_per_user",
+    "json_extract_events",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_stats_by_lang",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen paths so query timings are not startup noise
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if name not in ("filter_disjunctive",) else df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, shared warm session",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
