@@ -117,11 +117,16 @@ def minhash_signature(
     row per doc, no explode/shuffle for signature build.
     """
     words = _word_sets(df, text_col, id_col)
+
+    def _seeded(i: int):
+        # NB: the returned lambda must take exactly ONE parameter —
+        # F.transform inspects arity and would pass the element index
+        # as a second arg, silently overriding the seed.
+        return lambda w: F.xxhash64(w, F.lit(i))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("_words"), lambda w, i=i: F.xxhash64(w, F.lit(i)))
-            )
+            F.array_min(F.transform(F.col("_words"), _seeded(i)))
             for i in range(num_hashes)
         ]
     )

@@ -127,6 +127,7 @@ def lsh_ann_topk(
     k: int = 10,
     n_planes: int = 12,
     n_tables: int = 4,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -134,37 +135,47 @@ def lsh_ann_topk(
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
     ``n_tables`` independent signature tables (different hyperplane
-    seeds) give multi-probe recall; candidates = union of same-bucket
-    matches across tables, exact cosine re-rank. At scale this is a
-    plain equi-join on (table, signature) — no broadcast of the
-    corpus, no cross product.
+    seeds); candidates = union of same-bucket matches across tables,
+    exact cosine re-rank. With ``multiprobe`` the QUERY side also
+    probes every hamming-1 bucket (flip each signature bit once) —
+    recall per table goes from p^b to p^b + b*p^(b-1)*(1-p) at the
+    cost of (b+1)x rows on the small query side only. At scale this
+    is a plain equi-join on (table, signature): the 100 TB corpus is
+    signed once (one narrow projection, one shuffle on the join key)
+    — no broadcast of the corpus, no cross product, no index.
     """
     table_sets = [
         _hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
     ]
 
-    def signatures(df: DataFrame, idc: str) -> DataFrame:
+    def signatures(df: DataFrame, idc: str, probe: bool) -> DataFrame:
+        entries = []
+        for t, planes in enumerate(table_sets):
+            base = lsh_signature(F.col(vec_col), planes)
+            entries.append(
+                F.struct(F.lit(t).alias("tbl"), base.alias("sig"))
+            )
+            if probe:
+                entries.extend(
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        base.bitwiseXOR(F.lit(1 << i)).alias("sig"),
+                    )
+                    for i in range(n_planes)
+                )
         return df.select(
             F.col(idc),
             F.col(vec_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_signature(F.col(vec_col), planes).alias("sig"),
-                        )
-                        for t, planes in enumerate(table_sets)
-                    ]
-                )
-            ).alias("ts"),
+            F.explode(F.array(*entries)).alias("ts"),
         ).select(F.col(idc), F.col(vec_col), "ts.tbl", "ts.sig")
 
-    csig = signatures(corpus, id_col).withColumnsRenamed(
+    csig = signatures(corpus, id_col, probe=False).withColumnsRenamed(
         {id_col: "_cid", vec_col: "_cvec"}
     )
     qsig = signatures(
-        queries.select(F.col(query_id_col), F.col(vec_col)), query_id_col
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        query_id_col,
+        probe=multiprobe,
     ).withColumnsRenamed({query_id_col: "_qid", vec_col: "_qvec"})
     candidates = (
         qsig.join(csig, ["tbl", "sig"])

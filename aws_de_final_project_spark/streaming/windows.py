@@ -1,0 +1,66 @@
+"""Event-time windowed aggregation with late-data handling.
+
+The reference has no true streaming operators (SURVEY.md §2.10): late
+data is handled by *re-delivery* (the Socrata ``updated_on`` filter
+re-fetches updated rows) with no dedup. This module supplies the
+missing pieces as Structured Streaming plans:
+
+* tumbling-window counts with a watermark (bounded state, late rows
+  dropped deterministically after the horizon);
+* the batch twin of the same plan (identical ``F.window`` expression)
+  so results are testable without a stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts per event_type. Works on both batch and
+    streaming frames; the watermark only binds in streaming mode
+    (bounds state: window entries older than the horizon are evicted
+    and late rows beyond it dropped)."""
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = events.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    events_stream: DataFrame,
+    query_name: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Drive the windowed plan from any streaming source to an
+    in-memory sink until caught up (AvailableNow) — the test harness
+    for streaming semantics."""
+    agg = windowed_event_counts(events_stream, window_duration, watermark)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

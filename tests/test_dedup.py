@@ -1,0 +1,93 @@
+"""Dedup operator tests: planted duplicates + LSH-vs-exact agreement
+(the verification story for the no-oracle minhash/simhash queries)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_de_final_project_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while birds sing in the tall green trees above"
+    )
+    near = base.replace("quick", "fast")  # 1-word edit ≈ J 0.9
+    far = "completely different content about spark shuffles and parquet files"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, far),
+        (5, "the quick brown fox"),  # subset, lower J
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs, "text", "doc_id").collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in groups}
+    assert by_keeper[1] == 2  # docs 1 and 2 collapse
+    deduped = dedup.exact_dedup(docs, "text", "doc_id")
+    assert sorted(r.doc_id for r in deduped.collect()) == [1, 3, 4, 5]
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] >= 0.8
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    # LSH output is verified by exact jaccard, so no false positives;
+    # recall on J>=0.8 planted pairs must be total.
+    assert lsh <= exact
+    assert {(1, 2), (1, 3)} <= lsh
+
+
+def test_minhash_lsh_recall_on_corpus(spark):
+    """On the real documents table (same-lang blocking): recall vs the
+    exact operator must match the b=16,r=4 S-curve — >=95% at J>=0.7,
+    ~100% at J>=0.9. (100% at 0.7 is NOT expected: the theoretical
+    miss rate there is ~1.2%.)"""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact07 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.7).collect()
+    }
+    exact09 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.9).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    recall07 = len(exact07 & lsh) / len(exact07)
+    assert recall07 >= 0.95, f"recall at J>=0.7: {recall07:.3f}"
+    if exact09:
+        recall09 = len(exact09 & lsh) / len(exact09)
+        assert recall09 >= 0.999, f"recall at J>=0.9: {recall09:.4f}"
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_pairs(docs, "text", "doc_id", 3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical simhash
+    assert (1, 4) not in pairs

@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: binary columns, typed metadata, and the
+Arrow-batched decode path (stub codec, real Spark machinery)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return multimodal.synthesize_media(docs)
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "doc_id",
+        "kind",
+        "payload",
+        "meta",
+    ]
+    meta_type = media.schema["meta"].dataType
+    assert [f.name for f in meta_type.fields] == ["mime", "width", "height"]
+
+
+def test_decode_is_deterministic_and_batched(media):
+    d1 = {r.media_id: (r.width, r.height, tuple(r.feature))
+          for r in multimodal.decode_media(media).collect()}
+    d2 = {r.media_id: (r.width, r.height, tuple(r.feature))
+          for r in multimodal.decode_media(media.repartition(7)).collect()}
+    assert d1 == d2  # partitioning/batching must not change results
+    w, h, feat = next(iter(d1.values()))
+    assert 0 <= w < 1920 and 0 <= h < 1080 and len(feat) == 8
+    assert all(0.0 <= f <= 1.0 for f in feat)
+
+
+def test_byte_stats_no_decode(media):
+    stats = {r.kind: r for r in multimodal.media_byte_stats(media).collect()}
+    assert set(stats) == {"image", "audio"}
+    total_rows = sum(r.n_media for r in stats.values())
+    assert total_rows == media.count()
+    for r in stats.values():
+        assert r.min_bytes <= r.max_bytes <= r.total_bytes
