@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
         "dedup_jaccard_pairs": X.dedup_jaccard_pairs,
+        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": X.dedup_embedding_cosine,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,
@@ -281,6 +283,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard FROM pairs
             WHERE jaccard >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 2, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 2, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       (floor((CAST(len(list_intersect(a.sh, b.sh)) AS double) /
+                           CAST(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)) AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+                FROM s a JOIN s b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM pairs
+            WHERE jaccard >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding_cosine": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       (floor((
+                           list_dot_product(a.e, b.e) /
+                           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                       ) * 10000.0 + 0.5) / 10000.0) AS cos
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos FROM pairs
+            WHERE cos >= 0.3
+            ORDER BY id_a, id_b
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -54,11 +54,94 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure per-row-heavy compute (shingling, seeded hashing — all
+    interpreted higher-order functions) is spread across the cluster.
+
+    A small single-file input arrives as ONE partition, serializing
+    the whole operator on one core (measured: 8.8s -> 0.4s at sf0.1).
+    At 100 TB the scan already yields thousands of partitions and this
+    is a no-op — the repartition only fires below defaultParallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _word_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """id -> distinct lowercase word set (array<string>)."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.split(normalized_text(text_col), " ")).alias("_words"),
+    )
+
+
+def _shingle_expr(words_col, ngram: int):
+    """Distinct word-n-gram shingles (array<string>) of a word array.
+
+    Docs shorter than ``ngram`` words collapse to one whole-doc
+    shingle (slice caps at the array end). Pure sequence/transform/
+    slice — stays in whole-stage codegen.
+    """
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(words_col) - (ngram - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words_col, i, ngram))
+        )
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """id -> distinct word-n-gram shingle set (array<string>).
+
+    Word-level sets (ngram=1) make every pair of documents drawn from
+    a small shared vocabulary look similar — near-dup detection MUST
+    shingle (ngram>=2) so unrelated docs share ~no features. This is
+    the 100 TB criticality: with unigrams the LSH candidate set
+    degenerates toward the cross product; with 3-gram shingles it
+    stays proportional to the true duplicate count.
+    """
+    if ngram <= 1:
+        return _word_sets(df, text_col, id_col)
+    # Materialize the word array in its OWN projection before the
+    # higher-order shingle transform. HOFs are interpreted with no
+    # subexpression elimination: if the lambda's child is the raw
+    # split(regex(regex(...))) expression, that whole pipeline re-runs
+    # per array ELEMENT (measured ~10ms/doc); against a bound column
+    # reference it runs once per row. CollapseProject keeps the two
+    # selects separate because the reference is non-cheap and used
+    # multiple times.
+    words = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.split(normalized_text(text_col), " ").alias("_w"),
+    )
+    return words.select(
+        "_id",
+        _shingle_expr(F.col("_w"), ngram).alias("_words"),
+    )
+
+
+def _hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """id -> distinct 64-bit-hashed shingle set (array<bigint>).
+
+    Hashing shingles to 8-byte ints before any shuffle keeps rows
+    narrow (a 300-char doc's shingle set is ~2.4 KB as strings, ~230 B
+    hashed) and makes min-hash seeding cheap. Set sizes — hence
+    Jaccard — are preserved up to 64-bit collision odds.
+    """
+    sets = _shingle_sets(df, text_col, id_col, ngram)
+    return sets.select(
+        "_id",
+        F.array_distinct(
+            F.transform(F.col("_words"), lambda s: F.xxhash64(s))
+        ).alias("_words"),
     )
 
 
@@ -68,9 +151,12 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     block_col: str | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
-    """Exact word-set Jaccard similarity join: all pairs (a < b) with
-    ``J(a,b) >= threshold``.
+    """Exact n-gram-set Jaccard similarity join: all pairs (a < b)
+    with ``J(a,b) >= threshold``. ``ngram=1`` compares word sets;
+    ``ngram>=2`` compares word-n-gram shingle sets (the right
+    definition for near-dup detection — see :func:`_shingle_sets`).
 
     This is the *verification* primitive: O(n^2) within a block, so
     only run it on candidate sets (LSH output) or with a blocking
@@ -78,7 +164,7 @@ def jaccard_pairs(
     :func:`minhash_lsh_pairs`, which feeds candidates into the same
     Jaccard verify.
     """
-    a = _word_sets(df, text_col, id_col)
+    a = _shingle_sets(df, text_col, id_col, ngram)
     if block_col is not None:
         a = a.join(
             df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")),
@@ -107,30 +193,55 @@ def jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs — the ground truth
+    that :func:`minhash_lsh_pairs` approximates (same shingle
+    definition, same threshold semantics)."""
+    return jaccard_pairs(df, text_col, id_col, threshold, block_col, ngram)
+
+
 def minhash_signature(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, ngram: int = 3
 ) -> DataFrame:
     """id -> minhash signature (array<bigint>, length ``num_hashes``).
 
-    Hash family: ``xxhash64(word, seed=i)`` for i in [0, k). Computed
-    as array expressions over the word set — stays in codegen; one
-    row per doc, no explode/shuffle for signature build.
+    Features = 64-bit-hashed word-``ngram`` shingles; hash family:
+    ``xxhash64(shingle_hash, seed=i)`` for i in [0, k).
+
+    Built as explode(shingles) -> hash-aggregate with k ``min(
+    xxhash64(h, seed))`` buffers -> array reassembly. Everything after
+    the shingle build is whole-stage codegen (min + xxhash64 are
+    codegen'd; higher-order-function folds are interpreted and
+    allocation-heavy — measured 5-10x slower with wild GC variance).
+    The explode looks like it multiplies rows, but partial (map-side)
+    aggregation collapses to one row per doc BEFORE the exchange, so
+    shuffle volume is docs x k x 8B regardless of corpus size.
     """
-    words = _word_sets(df, text_col, id_col)
-
-    def _seeded(i: int):
-        # NB: the returned lambda must take exactly ONE parameter —
-        # F.transform inspects arity and would pass the element index
-        # as a second arg, silently overriding the seed.
-        return lambda w: F.xxhash64(w, F.lit(i))
-
-    sig = F.array(
+    words = _hashed_shingle_sets(df, text_col, id_col, ngram)
+    # explode_outer, NOT explode: plain explode makes the optimizer
+    # infer a size(_words)>0 filter and push it below the repartition,
+    # re-running the whole shingle pipeline on the un-spread input
+    # (measured: the single pre-shuffle task dominated the job). Our
+    # shingle arrays are never empty by construction (split always
+    # yields >=1 element), so outer semantics are identical.
+    exploded = words.select("_id", F.explode_outer("_words").alias("_h"))
+    agg = exploded.groupBy("_id").agg(
         *[
-            F.array_min(F.transform(F.col("_words"), _seeded(i)))
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
-    return words.select(F.col("_id"), sig.alias("_sig"))
+    return agg.select(
+        "_id",
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -140,21 +251,27 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
+    ngram: int = 3,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
 
-    Pipeline: signature (k=``num_hashes``) -> split into ``bands``
-    bands of k/bands rows -> band-hash -> self-join per (band, hash)
-    bucket -> candidate pairs -> exact Jaccard verify >= threshold.
+    Pipeline: shingle (word ``ngram``-grams) -> signature
+    (k=``num_hashes``) -> split into ``bands`` bands of k/bands rows
+    -> band-hash -> self-join per (band, hash) bucket -> candidate
+    pairs -> exact shingle-Jaccard verify >= threshold. The verify
+    uses the SAME shingle sets as the signature, so output ==
+    :func:`ngram_jaccard_pairs` minus S-curve misses.
 
     With k=64, b=16 (r=4) the S-curve gives ~98% recall at J=0.5 and
     near-1 at J>=0.7, while candidate volume stays ~collision-rate of
     4-row band hashes. At 100 TB: the only shuffles are the band
     explode (rows = docs x bands, ~40-byte rows) and the bucket
-    self-join; no cross product anywhere.
+    self-join; no cross product anywhere — provided features are
+    shingles, not unigrams (unigram sets over a shared vocabulary
+    collide everything into the same buckets).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes)
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, ngram)
     banded = sigs.select(
         "_id",
         F.explode(
@@ -183,7 +300,7 @@ def minhash_lsh_pairs(
         .select("_id", "_id_b")
         .distinct()
     )
-    words = _word_sets(df, text_col, id_col)
+    words = _hashed_shingle_sets(df, text_col, id_col, ngram)
     wa = words
     wb = words.select(
         F.col("_id").alias("_id_b"), F.col("_words").alias("_words_b")
@@ -202,18 +319,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, ngram: int = 3
+) -> DataFrame:
     """id -> SimHash signature (bigint).
 
-    Per doc: hash every distinct word to 64 bits; each output bit is
-    the sign of the sum of (+1/-1) contributions across words.
-    Expressed as explode -> 64 conditional sums -> bit reassembly;
-    one shuffle on the doc id.
+    Per doc: hash every distinct word-``ngram`` shingle to 64 bits;
+    each output bit is the sign of the sum of (+1/-1) contributions
+    across shingles. Expressed as explode -> 64 conditional sums ->
+    bit reassembly; one shuffle on the doc id. Shingle features for
+    the same reason as minhash: unigram features over a shared
+    vocabulary put unrelated docs within small hamming distance.
     """
+    # explode_outer for the same inferred-filter-pushdown reason as in
+    # minhash_signature; shingle arrays are never empty.
     exploded = (
-        _word_sets(df, text_col, id_col)
-        .select("_id", F.explode("_words").alias("_w"))
-        .select("_id", F.xxhash64("_w").alias("_h"))
+        _hashed_shingle_sets(df, text_col, id_col, ngram)
+        .select("_id", F.explode_outer("_words").alias("_h"))
     )
     bit_sums = exploded.groupBy("_id").agg(
         *[
@@ -240,6 +362,7 @@ def simhash_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    ngram: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -248,7 +371,7 @@ def simhash_near_pairs(
     one exact chunk, so candidates come from ``chunks`` equality
     joins (shuffle on 16-bit keys), then exact popcount verify.
     """
-    sigs = simhash(df, text_col, id_col)
+    sigs = simhash(df, text_col, id_col, ngram=ngram)
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
     banded = sigs.select(

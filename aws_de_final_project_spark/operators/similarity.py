@@ -88,6 +88,45 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_planes: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    ``cos(a,b) >= threshold``.
+
+    ``block_planes=0`` is the exact O(n^2) baseline (oracle-checkable).
+    With ``block_planes>0`` the self-join is blocked by a random-
+    hyperplane signature (vectors with cos >= ~0.9 agree on most sign
+    bits), turning the cross product into an equi-join on the bucket —
+    the 100 TB path, at the cost of S-curve recall. Both paths verify
+    with the exact cosine, so precision is always 1.
+    """
+    a = corpus.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    if block_planes > 0:
+        if dim is None:
+            raise ValueError("dim is required when block_planes > 0")
+        planes = _hyperplanes(dim, block_planes)
+        a = a.withColumn("_sig", lsh_signature(F.col("_va"), planes))
+        b = b.withColumn("_sig", lsh_signature(F.col("_vb"), planes))
+        joined = a.join(b, "_sig").filter(F.col("_ida") < F.col("_idb"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
+    return (
+        joined.select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            rnd(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure python —
     evaluated once on the driver, shipped as literals)."""

@@ -38,14 +38,34 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram shingle Jaccard near-dup pairs (J >= 0.5) —
+    the ground truth dedup_minhash_lsh approximates. O(n^2) within a
+    lang block; oracle-checkable."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", threshold=0.5, block_col="lang"
+    ).orderBy("doc_a", "doc_b")
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (verified J >= 0.5). No SQL oracle
-    (signatures depend on Spark's xxhash64); recall vs the exact
-    operator is asserted in tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs over 3-gram shingles (verified
+    shingle-J >= 0.5). No SQL oracle (signatures depend on Spark's
+    xxhash64); recall vs dedup_ngram_jaccard is asserted in
+    tests/test_dedup.py."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.minhash_lsh_pairs(
         t["documents"], "text", "doc_id", threshold=0.5
     ).orderBy("doc_a", "doc_b")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; the LSH-blocked
+    variant is the scale path — see operators/similarity.py)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.cosine_dup_pairs(t["embeddings"], threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

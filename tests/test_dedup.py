@@ -47,36 +47,44 @@ def test_jaccard_pairs(docs):
 def test_minhash_lsh_agrees_with_exact(docs):
     exact = {
         (r.doc_a, r.doc_b)
-        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
     }
     lsh = {
         (r.doc_a, r.doc_b)
         for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", 0.5).collect()
     }
-    # LSH output is verified by exact jaccard, so no false positives;
-    # recall on J>=0.8 planted pairs must be total.
+    # LSH output is verified by exact shingle-jaccard against the same
+    # shingle definition, so no false positives are possible; recall
+    # on the planted high-J pairs must be total.
     assert lsh <= exact
     assert {(1, 2), (1, 3)} <= lsh
 
 
 def test_minhash_lsh_recall_on_corpus(spark):
-    """On the real documents table (same-lang blocking): recall vs the
-    exact operator must match the b=16,r=4 S-curve — >=95% at J>=0.7,
-    ~100% at J>=0.9. (100% at 0.7 is NOT expected: the theoretical
-    miss rate there is ~1.2%.)"""
+    """On the real documents table: recall vs the exact 3-gram-shingle
+    operator must match the b=16,r=4 S-curve — >=95% at J>=0.7, ~100%
+    at J>=0.9. (100% at 0.7 is NOT expected: the theoretical miss
+    rate there is ~1.2%.) Also: no false positives, ever (LSH output
+    is shingle-J-verified)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact05 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
     exact07 = {
         (r.doc_a, r.doc_b)
-        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.7).collect()
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 0.7).collect()
     }
     exact09 = {
         (r.doc_a, r.doc_b)
-        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.9).collect()
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 0.9).collect()
     }
     lsh = {
         (r.doc_a, r.doc_b)
         for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", 0.5).collect()
     }
+    assert lsh <= exact05, f"false positives: {sorted(lsh - exact05)[:5]}"
+    assert exact07, "corpus has no planted near-dup pairs?!"
     recall07 = len(exact07 & lsh) / len(exact07)
     assert recall07 >= 0.95, f"recall at J>=0.7: {recall07:.3f}"
     if exact09:
