@@ -54,11 +54,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,
         "ann_lsh_topk": X.ann_lsh_topk,
+        "ann_ivf_topk": X.ann_ivf_topk,
         "text_stats_by_lang": X.text_stats_by_lang,
         "doc_fingerprints": X.doc_fingerprints,
+        "doc_winnow_fingerprints": X.doc_winnow_fingerprints,
         "lang_id_heuristic": X.lang_id_heuristic,
         "multimodal_byte_stats": X.multimodal_byte_stats,
         "multimodal_decode_features": X.multimodal_decode_features,
+        "multimodal_resize_stats": X.multimodal_resize_stats,
+        "multimodal_frame_sample": X.multimodal_frame_sample,
     }
 
 
@@ -388,6 +392,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({norm_text}) AS fingerprint
             FROM documents
             ORDER BY doc_id
+        """,
+        "doc_winnow_fingerprints": f"""
+            WITH n AS (
+                SELECT doc_id, {norm_text} AS t FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest([
+                    {{'pos': i - 1,
+                      'h': ('0x' || substring(md5(substring(t, CAST(i AS INT), 5)), 1, 15))::BIGINT}}
+                    for i in range(1, greatest(length(t) - 4, 1) + 1)
+                ], recursive := true)
+                FROM n
+            ),
+            sl AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                       ) AS fp,
+                       count(*) OVER (PARTITION BY doc_id) AS cnt
+                FROM g
+            )
+            SELECT DISTINCT doc_id, fp
+            FROM sl
+            WHERE pos <= greatest(cnt - 4, 0)
+            ORDER BY doc_id, fp
         """,
         "lang_id_heuristic": f"""
             SELECT doc_id, lang,

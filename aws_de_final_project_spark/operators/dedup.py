@@ -319,6 +319,64 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    char ``n``-gram of the normalized text, slide a ``window``-gram
+    window, keep each window's minimum hash, dedupe.
+
+    Sliding (not tumbling) windows make the selection
+    self-synchronizing: an edit only perturbs fingerprints within
+    ``window + n`` chars of the change — any shared substring of
+    length >= window+n-1 contributes at least one shared fingerprint
+    regardless of global position shifts.
+
+    Output is flat (doc_id, fp) so it joins/aggregates like any
+    relation and is oracle-checkable; hash = first 60 bits of md5
+    (engine-portable, unlike xxhash64).
+
+    Scale shape: one shuffle on doc_id for the per-doc ordered window
+    (state = ``window`` rows), then distinct. Rows between explode and
+    distinct are ~doc-length small ints.
+    """
+    from pyspark.sql.window import Window
+
+    norm = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        normalized_text(text_col).alias("_t"),
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1)))
+    grams = norm.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.transform(idx, lambda i: F.col("_t").substr(i, F.lit(n)))
+        ).alias("_pos", "_g"),
+    )
+    h = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long")
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        grams.select("doc_id", "_pos", h.alias("_h"))
+        .withColumn("_fp", F.min("_h").over(w_min))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_doc))
+        # only full windows — except short docs, which keep window 0
+        .filter(
+            F.col("_pos") <= F.greatest(F.col("_cnt") - window, F.lit(0))
+        )
+        .select("doc_id", F.col("_fp").alias("fp"))
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = 64, ngram: int = 3
 ) -> DataFrame:

@@ -130,6 +130,110 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("orig_bytes", T.LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Arrow-batched "resize" over image payloads.
+
+    STUB codec (no image libs in this container): output payload is a
+    deterministic byte-budget crop (w*h/64 bytes of the original) —
+    the real transform swaps only the inner function for
+    ``PIL.Image.resize``; schema, batching, and partitioning are the
+    production shape. Non-image rows pass through untouched.
+    """
+    budget = max(1, width * height // 64)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for kind, payload, meta in zip(
+                pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None:
+                    out_payload.append(None)
+                    out_w.append(None)
+                    out_h.append(None)
+                elif kind == "image":
+                    out_payload.append(bytes(payload[:budget]))
+                    out_w.append(width)
+                    out_h.append(height)
+                else:
+                    out_payload.append(bytes(payload))
+                    out_w.append(None if meta is None else meta["width"])
+                    out_h.append(None if meta is None else meta["height"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                    "orig_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling for video/audio payloads: treat the payload as
+    a sequence of fixed-size frames and emit every ``every_n``-th one
+    as its own row (1 input row -> many output rows — the mapInPandas
+    contract the real ffmpeg-based sampler would use).
+
+    STUB decoder: "frames" are byte slices; a real implementation
+    replaces the slicing with container demux, keeping the fan-out
+    schema identical.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = max(1, len(payload) // frame_bytes)
+                for f in range(0, n_frames, every_n):
+                    chunk = bytes(payload[f * frame_bytes : (f + 1) * frame_bytes])
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
 def media_byte_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata aggregation over binary payloads — the kind
     of scan that must NOT decode anything: bytes stay columnar,

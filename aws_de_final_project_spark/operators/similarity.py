@@ -88,6 +88,93 @@ def cosine_topk(
     )
 
 
+def _centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids (driver-side
+    literals, like :func:`_hyperplanes`). A production IVF would
+    k-means these on a sample; fixed random centroids keep the
+    operator deterministic and test the same execution shape."""
+    return _hyperplanes(dim, n_centroids, seed=seed)
+
+
+def _nearest_centroid(vec_col, cents: list[list[float]]):
+    """Index (0-based) of the max-dot-product centroid."""
+    dots = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted-file)
+    partitioning: every corpus vector is assigned to its nearest
+    centroid; each query probes its ``n_probe`` nearest centroid
+    cells and exact-reranks only those cells.
+
+    At scale: the corpus is scanned once to tag cell ids (pure
+    codegen arithmetic), candidates come from an equi-join on
+    ``cell`` — the 1/(n_centroids/n_probe) fraction of the corpus a
+    query actually touches. No index structure, no driver state;
+    re-centroiding is a recompute, not a rebuild.
+    """
+    cents = _centroids(dim, n_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cell"),
+    )
+    # query side: top n_probe cells by centroid dot product
+    qdots = F.array(
+        *[
+            F.struct(
+                (-_dot(F.col("_qvec"), F.array(*[F.lit(float(x)) for x in cc])))
+                .alias("nd"),
+                F.lit(i).cast("int").alias("i"),
+            )
+            for i, cc in enumerate(cents)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+        .withColumn("_probes", F.slice(F.array_sort(qdots), 1, n_probe))
+        .select(
+            "_qid", "_qvec", F.explode(F.col("_probes.i")).alias("cell")
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        q.join(c, "cell")
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_cid",
+            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            rnd(F.col("_cos"), 4).alias("cos"),
+            "rank",
+        )
+    )
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

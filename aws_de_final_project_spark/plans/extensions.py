@@ -107,6 +107,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-10 for the same queries.
+    Rows-only check; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.ivf_ann_topk(
+        emb, queries, dim=dim, k=10, n_centroids=8, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: sliding-window min of
+    md5-prefix hashes over char-5-grams, deduped. Oracle-checked."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.winnow_fingerprints(
+        t["documents"], "text", "doc_id", n=5, window=4
+    ).orderBy("doc_id", "fp")
+
+
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched stub resize over image payloads + rollup.
+    Rows-only check (stub codec)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = multimodal.synthesize_media(t["documents"])
+    resized = multimodal.resize_media(media, width=224, height=224)
+    return (
+        resized.groupBy("kind", "width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("payload")).alias("resized_bytes"),
+            F.sum("orig_bytes").alias("orig_bytes"),
+        )
+        .orderBy("kind", "width", "height")
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub frame sampling (1 row -> N frame rows via mapInPandas) +
+    per-media frame counts. Rows-only check (stub demuxer)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = multimodal.synthesize_media(t["documents"])
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("n_bytes").alias("sampled_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring rolled up per language."""
     t = load_tables(spark, sf_dir, ("documents",))

@@ -36,7 +36,9 @@ HEADLINE = [
     "json_extract_events",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "doc_winnow_fingerprints",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_stats_by_lang",
 ]
 

@@ -99,3 +99,26 @@ def test_simhash_near_pairs(docs):
     }
     assert pairs[(1, 2)] == 0  # identical text -> identical simhash
     assert (1, 4) not in pairs
+
+
+def test_winnow_fingerprints(docs):
+    fps = dedup.winnow_fingerprints(docs, "text", "doc_id", n=5, window=4)
+    rows = fps.collect()
+    # identical docs -> identical fingerprint sets
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[4]
+    # sliding windows self-synchronize: a 1-word edit perturbs only
+    # fingerprints near the change, so the near-dup shares most
+    # fingerprints; the unrelated doc shares ~none.
+    assert len(by_doc[1] & by_doc[3]) / len(by_doc[1] | by_doc[3]) >= 0.7
+    assert len(by_doc[1] & by_doc[4]) / len(by_doc[1] | by_doc[4]) < 0.2
+    # deterministic across partitionings
+    rows2 = dedup.winnow_fingerprints(
+        docs.repartition(5), "text", "doc_id", n=5, window=4
+    ).collect()
+    assert {(r.doc_id, r.fp) for r in rows2} == {
+        (r.doc_id, r.fp) for r in rows
+    }

@@ -46,3 +46,38 @@ def test_byte_stats_no_decode(media):
     assert total_rows == media.count()
     for r in stats.values():
         assert r.min_bytes <= r.max_bytes <= r.total_bytes
+
+
+def test_resize_stub(media):
+    resized = multimodal.resize_media(media, width=224, height=224)
+    rows = resized.collect()
+    assert len(rows) == media.count()
+    budget = 224 * 224 // 64
+    for r in rows:
+        if r.kind == "image":
+            assert (r.width, r.height) == (224, 224)
+            assert len(r.payload) <= budget
+            assert r.orig_bytes >= len(r.payload)
+        else:  # non-image passes through untouched
+            assert len(r.payload) == r.orig_bytes
+
+
+def test_frame_sample_fanout(media):
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=4)
+    per_media = {
+        r.media_id: r.n_frames
+        for r in frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .collect()
+    }
+    sizes = {r.media_id: r for r in media.select(
+        "media_id", F.octet_length("payload").alias("nb")).collect()}
+    assert set(per_media) <= set(sizes)
+    for mid, n in per_media.items():
+        n_frames = max(1, sizes[mid].nb // 64)
+        expected = len(range(0, n_frames, 4))
+        assert n == expected
+    # frame indices step by every_n and slices are bounded
+    for r in frames.filter(F.col("media_id") == min(per_media)).collect():
+        assert r.frame_idx % 4 == 0
+        assert r.n_bytes <= 64

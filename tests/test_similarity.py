@@ -114,3 +114,35 @@ def test_lsh_high_recall_on_clustered_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"clustered LSH recall {recall:.2f}"
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF with random centroids on planted clusters: probing 4 of 8
+    cells must recover most exact neighbors (same-cluster vectors land
+    in the same or adjacent cells)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(300):
+        v = centers[i % 6] + rng.normal(scale=0.08, size=32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_ann_topk(
+            emb, q, dim=32, k=10, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
