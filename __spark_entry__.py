@@ -40,10 +40,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_join_rollup": Q.dim_join_rollup,
         "topk_customers": Q.topk_customers,
         "window_rank_orders": Q.window_rank_orders,
+        "left_join_order_counts": Q.left_join_order_counts,
+        "anti_join_idle_customers": Q.anti_join_idle_customers,
+        "rollup_region_nation": Q.rollup_region_nation,
+        "distinct_agg_customers": Q.distinct_agg_customers,
         "set_union_distinct": Q.set_union_distinct,
         "view_layering": Q.view_layering,
         "json_extract_events": Q.json_extract_events,
         "hourly_event_stats": Q.hourly_event_stats,
+        "user_sessions": Q.user_sessions,
         "latest_event_per_user": Q.latest_event_per_user,
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
@@ -210,6 +215,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 3
             ORDER BY c_mktsegment, rk
         """,
+        "left_join_order_counts": """
+            SELECT c_mktsegment, n_orders, count(*) AS n_customers
+            FROM (
+                SELECT c.c_custkey, c.c_mktsegment,
+                       count(o.o_orderkey) AS n_orders
+                FROM customer c
+                LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey, c.c_mktsegment
+            )
+            GROUP BY c_mktsegment, n_orders
+            ORDER BY c_mktsegment, n_orders
+        """,
+        "anti_join_idle_customers": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            ORDER BY c_custkey
+        """,
+        "rollup_region_nation": """
+            SELECT r_name, n_name,
+                   count(*) AS n_customers,
+                   (floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+        """,
+        "distinct_agg_customers": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
         "set_union_distinct": """
             SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
             UNION
@@ -251,6 +296,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
             ORDER BY hour_start, event_type
+        """,
+        "user_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT *,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            s AS (
+                SELECT *,
+                       sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM f
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+            FROM s
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type

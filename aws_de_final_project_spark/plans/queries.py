@@ -267,6 +267,84 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join (SURVEY.md §2.5 — absent in the reference;
+    first-class here): every customer with their order count,
+    including zero-order customers. The dim side (customer) is the
+    probe side; at scale this shuffles both sides on the key unless
+    one fits the broadcast threshold."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("c_mktsegment", "n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment", "n_orders")
+    )
+
+
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (absent in the reference): customers with no
+    1-URGENT orders. Plans as a broadcast/shuffled hash anti join —
+    never a subquery-per-row."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in the reference): per-nation,
+    per-region subtotal, and grand-total customer counts in one pass.
+    Spark expands grouping sets inside the same hash aggregate — one
+    shuffle, not three queries."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    joined = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+def distinct_agg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregate (absent in the reference): distinct
+    ordering customers and order count per priority. Catalyst plans
+    distinct aggregates as a two-phase expand+aggregate — no
+    driver-side dedup."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (SURVEY.md §2.7 — absent in the reference, where
     the nearest analogue is the crawler's CombineCompatibleSchemas
@@ -353,6 +431,25 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation (built-in ``session_window``) in
+    batch form; the identical expression runs under Structured
+    Streaming with watermark-driven state eviction (see
+    streaming/windows.py::session_stats). Oracle: gaps-and-islands
+    rewrite (lag + running sum of gap breaks)."""
+    from aws_de_final_project_spark.streaming.windows import session_stats
+
+    t = load_tables(spark, sf_dir, ("events",))
+    s = session_stats(t["events"], gap="30 minutes")
+    return s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        rnd(F.col("sum_value"), 2).alias("sum_value"),
+    ).orderBy("user_id", "session_start")
 
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,6 +46,41 @@ def windowed_event_counts(
     )
 
 
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregation via the built-in ``session_window``
+    (Spark >= 3.2): events within ``gap`` of each other merge into one
+    session per key; ``end`` = last event + gap.
+
+    The same expression runs in batch (oracle-checkable via a
+    gaps-and-islands SQL rewrite) and streaming (state store holds one
+    open session per key, closed by the watermark). Prefer this over
+    hand-rolled state whenever plain sessionization is the need —
+    applyInPandasWithState (see :func:`sessionize_stateful`) is for
+    semantics the built-ins can't express.
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), key_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     events_stream: DataFrame,
     query_name: str,
