@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": Q.json_extract_events,
         "hourly_event_stats": Q.hourly_event_stats,
         "user_sessions": Q.user_sessions,
+        "asof_click_attribution": Q.asof_click_attribution,
         "latest_event_per_user": Q.latest_event_per_user,
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": X.ann_lsh_topk,
         "ann_ivf_topk": X.ann_ivf_topk,
         "text_stats_by_lang": X.text_stats_by_lang,
+        "token_counts": X.token_counts,
         "doc_fingerprints": X.doc_fingerprints,
         "doc_winnow_fingerprints": X.doc_winnow_fingerprints,
         "lang_id_heuristic": X.lang_id_heuristic,
@@ -327,6 +329,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, sid
             ORDER BY user_id, session_start
         """,
+        "asof_click_attribution": """
+            WITH p AS (
+                SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            )
+            SELECT p.user_id, p.purchase_id, p.purchase_ts,
+                   c.click_id, c.click_ts,
+                   epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+            ORDER BY p.user_id, p.purchase_id
+        """,
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type
             FROM (
@@ -462,6 +481,16 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
             GROUP BY lang
             ORDER BY lang
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                       AS n_bpe_tokens
+            FROM documents
+            ORDER BY doc_id
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, md5({norm_text}) AS fingerprint

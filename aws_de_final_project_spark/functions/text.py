@@ -37,6 +37,25 @@ def token_count(col: Column | str) -> Column:
     )
 
 
+# Conservative BPE-style pre-tokenization classes (letter runs, digit
+# runs, punctuation runs) — the split a GPT-2-style regex performs
+# before merges. Deliberately restricted to constructs RE2 (DuckDB)
+# and java.util.regex (Spark) interpret identically, so the operator
+# stays oracle-checkable.
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """GPT-2-style pre-tokenization -> array<string>: runs of letters,
+    runs of digits, runs of punctuation (whitespace delimits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), F.lit(0))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

@@ -186,6 +186,17 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting, whitespace AND BPE-style regex
+    pre-tokenization (both JVM-side; no Python in the loop)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document md5 fingerprint of normalized text."""
     t = load_tables(spark, sf_dir, ("documents",))

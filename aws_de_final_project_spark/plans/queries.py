@@ -452,6 +452,46 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): every purchase event
+    attributed to the user's most recent click at-or-before it, plus
+    the attribution gap. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from aws_de_final_project_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    # unique (user, ts) on the reference side for determinism
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key_col="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        F.col("r_click_id").alias("click_id"),
+        F.col("r_click_ts").alias("click_ts"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("r_click_ts")).alias(
+            "gap_us"
+        ),
+    ).orderBy("user_id", "purchase_id")
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins dedup (the re-delivery gap in SURVEY.md §2.10:
     Socrata re-sends updated rows keyed by ``updated_on``,

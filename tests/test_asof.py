@@ -1,0 +1,70 @@
+"""As-of join unit tests: inclusive backward semantics, left-join
+nulls, tie handling, and no row blowup."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators.asof import asof_join
+
+
+def _ts(s: str):
+    return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+def test_asof_backward_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0),
+            (1, _ts("2024-01-01 10:05:00"), 101.0),
+            (1, _ts("2024-01-01 10:10:00"), 102.0),
+            (2, _ts("2024-01-01 10:07:00"), 55.0),
+        ],
+        ["k", "qts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:04:59"), "t1"),   # -> 100.0
+            (1, _ts("2024-01-01 10:05:00"), "t2"),   # inclusive -> 101.0
+            (1, _ts("2024-01-01 10:20:00"), "t3"),   # -> 102.0
+            (1, _ts("2024-01-01 09:00:00"), "t0"),   # before any quote -> null
+            (2, _ts("2024-01-01 10:08:00"), "t4"),   # -> 55.0
+            (3, _ts("2024-01-01 10:08:00"), "t5"),   # key with no quotes -> null
+        ],
+        ["k", "tts", "trade_id"],
+    )
+    out = asof_join(
+        trades, quotes, key_col="k", left_ts="tts", right_ts="qts",
+        payload_cols=["px", "qts"],
+    )
+    rows = {r.trade_id: (r.r_px, r.r_qts) for r in out.collect()}
+    assert len(rows) == trades.count()  # exactly one output row per left row
+    assert rows["t1"][0] == 100.0
+    assert rows["t2"][0] == 101.0
+    assert rows["t3"][0] == 102.0
+    assert rows["t0"] == (None, None)
+    assert rows["t4"][0] == 55.0
+    assert rows["t5"] == (None, None)
+
+
+def test_asof_no_cartesian_on_hot_key(spark):
+    """1000 left x 1000 right on ONE key must still produce exactly
+    1000 output rows (the window formulation never multiplies)."""
+    left = spark.range(1000).select(
+        F.lit(1).alias("k"),
+        F.col("id").alias("lid"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias("lts"),
+    )
+    right = spark.range(1000).select(
+        F.lit(1).alias("k"),
+        F.timestamp_micros((F.col("id") * 1_000_000 + 500_000).cast("long")).alias("rts"),
+        (F.col("id") * 10).alias("payload"),
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["payload"])
+    assert out.count() == 1000
+    got = {r.lid: r.r_payload for r in out.collect()}
+    assert got[0] is None          # 0.0s < first right at 0.5s
+    assert got[1] == 0             # 1.0s -> right at 0.5s (id 0)
+    assert got[999] == 9980        # 999.0s -> right at 998.5s (id 998)
