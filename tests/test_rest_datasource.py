@@ -1,0 +1,67 @@
+"""Python Data Source API tests: partitioned paged reads, server-side
+predicate, schema-typed rows — all against a file:// 'server'."""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+
+from aws_de_final_project_spark.sources.rest_datasource import RestCsvDataSource
+
+SCHEMA = "id BIGINT, updated_on STRING, arrest BOOLEAN, score DOUBLE"
+
+
+@pytest.fixture(scope="module")
+def csv_server(tmp_path_factory):
+    path = tmp_path_factory.mktemp("restsrc") / "crimes.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "updated_on", "arrest", "score"])
+        for i in range(100):
+            w.writerow(
+                [i, f"2024-01-{(i % 28) + 1:02d}", "true" if i % 3 == 0 else "false",
+                 i / 10.0]
+            )
+    return f"file://{path}"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(RestCsvDataSource)
+
+
+def test_partitioned_read(spark, csv_server):
+    df = (
+        spark.read.format("rest_csv")
+        .schema(SCHEMA)
+        .option("url", csv_server)
+        .option("num_partitions", "4")
+        .option("page_size", "30")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one task per page
+    rows = df.collect()
+    assert len(rows) == 100  # pages 0-29,30-59,60-89,90-119(partial)
+    assert {r.id for r in rows} == set(range(100))
+    r0 = next(r for r in rows if r.id == 0)
+    assert r0.arrest is True and r0.score == 0.0  # typed, not stringly
+
+
+def test_server_side_predicate(spark, csv_server):
+    df = (
+        spark.read.format("rest_csv")
+        .schema(SCHEMA)
+        .option("url", csv_server)
+        .option("where", 'updated_on > "2024-01-20"')
+        .option("num_partitions", "2")
+        .option("page_size", "100")
+        .load()
+    )
+    rows = df.collect()
+    assert rows and all(r.updated_on > "2024-01-20" for r in rows)
+
+
+def test_requires_schema(spark, csv_server):
+    with pytest.raises(Exception, match="[Ss]chema"):
+        spark.read.format("rest_csv").option("url", csv_server).load().collect()
