@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": X.ann_ivf_topk,
         "text_stats_by_lang": X.text_stats_by_lang,
         "token_counts": X.token_counts,
+        "sketch_event_stats": X.sketch_event_stats,
         "doc_fingerprints": X.doc_fingerprints,
         "doc_winnow_fingerprints": X.doc_winnow_fingerprints,
         "lang_id_heuristic": X.lang_id_heuristic,

@@ -164,6 +164,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event_type: HyperLogLog++ distinct users
+    and approximate value percentiles. Rows-only check (sketch
+    internals are engine-specific); accuracy vs exact is asserted in
+    tests/test_sketches.py.
+
+    The 100 TB rationale: exact COUNT(DISTINCT) shuffles every
+    distinct key; the HLL sketch is a fixed few-KB buffer per group,
+    merged associatively map-side — constant shuffle volume at any
+    cardinality. Same story for percentiles vs a global sort.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], 10000
+            ).alias("value_pcts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_pcts")[0].alias("p50"),
+            F.col("value_pcts")[1].alias("p95"),
+            F.col("value_pcts")[2].alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring rolled up per language."""
     t = load_tables(spark, sf_dir, ("documents",))

@@ -45,6 +45,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_csv_dir_merged(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Crawler-parity CSV directory read with schema drift handling.
+
+    The reference's crawler groups compatible files into one table
+    (``CombineCompatibleSchemas`` + ``UPDATE_IN_DATABASE`` evolution,
+    ``CDK/cdk/cdk_stack.py:106-110``): a file that gains a column must
+    not break the table, old files surface NULL for new columns.
+    Spark-first: read each file's own header, then
+    ``unionByName(allowMissingColumns=True)`` — the union of all
+    schemas, NULL-padded. With an explicit ``schema`` the per-file
+    read is strict instead of inferred.
+
+    Scale note: per-file inference costs one extra pass per NEW file
+    only; production pins ``schema`` after the first crawl, which is
+    exactly the crawler's UPDATE_IN_DATABASE lifecycle.
+    """
+    paths = sorted(
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if f.endswith(".csv")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no CSV files under {input_dir}")
+    out: DataFrame | None = None
+    for p in paths:
+        r = spark.read.option("header", True)
+        df = (
+            r.schema(schema).csv(p)
+            if schema is not None
+            else r.option("inferSchema", True).csv(p)
+        )
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,51 @@
+"""Sketch-aggregate accuracy + schema-drift CSV merge tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.sources.registry import (
+    load_tables,
+    read_csv_dir_merged,
+)
+
+
+def test_sketches_close_to_exact(spark):
+    from aws_de_final_project_spark.plans.extensions import sketch_event_stats
+
+    approx = {
+        r.event_type: r
+        for r in sketch_event_stats(spark, "/root/testdata/sf0.01").collect()
+    }
+    t = load_tables(spark, "/root/testdata/sf0.01", ("events",))
+    exact = {
+        r.event_type: r
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) / e.users <= 0.05
+        # approx p50 within 5% of the exact median's magnitude window
+        spread = max(abs(e.p50), 1.0)
+        assert abs(a.p50 - e.p50) <= 0.05 * spread
+        assert a.p50 <= a.p95 <= a.p99
+
+
+def test_csv_dir_merged_schema_drift(spark, tmp_path):
+    """CombineCompatibleSchemas parity: a file that gains a column
+    must not break the read; old files surface NULL for it."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.csv").write_text("id,name\n1,x\n2,y\n")
+    (d / "b.csv").write_text("id,name,extra\n3,z,9\n")
+    df = read_csv_dir_merged(spark, str(d))
+    rows = {r.id: (r.name, r.extra) for r in df.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 9)}
+    assert set(df.columns) == {"id", "name", "extra"}
