@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_byte_stats": X.multimodal_byte_stats,
         "multimodal_decode_features": X.multimodal_decode_features,
         "multimodal_resize_stats": X.multimodal_resize_stats,
+        "multimodal_feature_knn": X.multimodal_feature_knn,
         "multimodal_frame_sample": X.multimodal_frame_sample,
     }
 

