@@ -37,7 +37,8 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     keeper_id`` (min id = the canonical survivor — deterministic).
     """
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        _spread(df)
+        .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),

@@ -51,23 +51,33 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # run 1: cold — includes Catalyst analysis + whole-stage
+        # codegen compile for this plan shape (the per-query price an
+        # Athena-style serverless engine pays every time)
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if name not in ("filter_disjunctive",) else df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
-    total = round(sum(timings.values()), 3)
+        fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        # run 2: warm/steady-state — codegen cached; what a resident
+        # engine (and a TPC-style power run) measures
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 3)
+    total_warm = round(sum(warm.values()), 3)
+    total_cold = round(sum(cold.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock, shared warm session",
-                "value": total,
+                "metric": "headline warm-run wall-clock (cold 1st runs in queries_cold)",
+                "value": total_warm,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
+                "total_cold": total_cold,
                 "sf": float(sf) if sf else sf_dir,
             }
         )
