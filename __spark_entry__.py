@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_stats": Q.hourly_event_stats,
         "user_sessions": Q.user_sessions,
         "asof_click_attribution": Q.asof_click_attribution,
+        "range_join_event_sessions": Q.range_join_event_sessions,
         "latest_event_per_user": Q.latest_event_per_user,
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
@@ -330,6 +331,42 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "range_join_event_sessions": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT *,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            s AS (
+                SELECT *,
+                       sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM f
+            ),
+            sess AS (
+                SELECT user_id,
+                       min(ts) AS session_start,
+                       max(ts) + INTERVAL 30 MINUTE AS session_end
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT e.user_id, sess.session_start, sess.session_end,
+                   count(*) AS n_events
+            FROM events e
+            JOIN sess ON e.user_id = sess.user_id
+                     AND e.ts >= sess.session_start
+                     AND e.ts < sess.session_end
+            GROUP BY e.user_id, sess.session_start, sess.session_end
+            ORDER BY e.user_id, sess.session_start
         """,
         "asof_click_attribution": """
             WITH p AS (

@@ -492,6 +492,36 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "purchase_id")
 
 
+def range_join_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed range join (operators/rangejoin.py): every event
+    matched back into its session's [start, end) interval, recounted
+    per session. Self-consistent with user_sessions' n_events — and
+    oracle-checked against a plain BETWEEN join in DuckDB."""
+    from aws_de_final_project_spark.operators.rangejoin import range_join
+    from aws_de_final_project_spark.streaming.windows import session_stats
+
+    t = load_tables(spark, sf_dir, ("events",))
+    events = t["events"]
+    sessions = session_stats(events, gap="30 minutes").select(
+        "user_id", "session_start", "session_end"
+    )
+    points = events.select("user_id", "ts")
+    joined = range_join(
+        points,
+        sessions,
+        key_col="user_id",
+        point_ts="ts",
+        interval_start="session_start",
+        interval_end="session_end",
+        bin_minutes=60,
+    )
+    return (
+        joined.groupBy("user_id", "session_start", "session_end")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_start")
+    )
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins dedup (the re-delivery gap in SURVEY.md §2.10:
     Socrata re-sends updated rows keyed by ``updated_on``,

@@ -68,3 +68,38 @@ def test_asof_no_cartesian_on_hot_key(spark):
     assert got[0] is None          # 0.0s < first right at 0.5s
     assert got[1] == 0             # 1.0s -> right at 0.5s (id 0)
     assert got[999] == 9980        # 999.0s -> right at 998.5s (id 998)
+
+
+def test_range_join_semantics(spark):
+    """Exclusive end, single-bin points never duplicated even when an
+    interval spans many bins."""
+    from aws_de_final_project_spark.operators.rangejoin import range_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 10:00:00"), "long"),
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"), "short"),
+            (2, _ts("2024-01-01 05:00:00"), _ts("2024-01-01 06:00:00"), "other"),
+        ],
+        ["k", "lo", "hi", "tag"],
+    )
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 03:33:00"), "inside-long"),
+            (1, _ts("2024-01-01 10:00:00"), "boundary"),   # end-exclusive: short only
+            (1, _ts("2024-01-01 10:29:59"), "in-short"),
+            (1, _ts("2024-01-01 11:00:00"), "nowhere"),
+            (2, _ts("2024-01-01 05:30:00"), "other-key"),
+        ],
+        ["k", "pts", "name"],
+    )
+    out = range_join(points, intervals, "k", "pts", "lo", "hi", bin_minutes=60)
+    got = sorted((r.name, r.tag) for r in out.collect())
+    assert got == [
+        ("boundary", "short"),
+        ("in-short", "short"),
+        ("inside-long", "long"),
+        ("other-key", "other"),
+    ]
+    # a 10-hour interval spans 10 bins but each point matches exactly once
+    assert out.count() == 4
