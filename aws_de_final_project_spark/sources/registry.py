@@ -84,6 +84,27 @@ def read_csv_dir_merged(
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) catalog
+    table. Two tables bucketed the same way on their join key join
+    WITHOUT a shuffle — the pre-partitioning replaces the exchange,
+    which at 100 TB removes the single largest cost of a repeated
+    fact-to-fact join (see tests/test_bucketing.py for the plan
+    proof). Bucketing only pays for itself when the layout is reused
+    across many queries; one-off joins should rely on AQE instead.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
