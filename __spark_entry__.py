@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": Q.user_sessions,
         "asof_click_attribution": Q.asof_click_attribution,
         "range_join_event_sessions": Q.range_join_event_sessions,
+        "pivot_event_matrix": Q.pivot_event_matrix,
         "latest_event_per_user": Q.latest_event_per_user,
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
@@ -331,6 +332,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "pivot_event_matrix": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "range_join_event_sessions": """
             WITH o AS (

@@ -492,6 +492,24 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "purchase_id")
 
 
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (absent in the reference): per-user event-type count
+    matrix. The value list is pinned so Spark skips the extra
+    distinct-scan pass it otherwise needs to discover columns —
+    at scale, pivot on an unpinned high-cardinality column is a bug,
+    not a feature."""
+    t = load_tables(spark, sf_dir, ("events",))
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
 def range_join_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-bucketed range join (operators/rangejoin.py): every event
     matched back into its session's [start, end) interval, recounted
