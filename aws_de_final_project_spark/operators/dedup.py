@@ -55,19 +55,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi")
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure per-row-heavy compute (shingling, seeded hashing — all
-    interpreted higher-order functions) is spread across the cluster.
-
-    A small single-file input arrives as ONE partition, serializing
-    the whole operator on one core (measured: 8.8s -> 0.4s at sf0.1).
-    At 100 TB the scan already yields thousands of partitions and this
-    is a no-op — the repartition only fires below defaultParallelism.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from aws_de_final_project_spark.operators.util import spread as _spread
 
 
 def _word_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
