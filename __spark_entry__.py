@@ -611,7 +611,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY kind
             ORDER BY kind
         """,
+        # The stub codec is deterministic sha256/byte math, so DuckDB
+        # can twin it: sha256(VARCHAR) hashes the UTF-8 bytes — the
+        # exact payload bytes synthesize_media encodes.
+        "multimodal_decode_features": """
+            WITH m AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                       octet_length(encode(text)) AS n_bytes,
+                       ('0x' || substr(sha256(text), 1, 4))::INT % 1920 AS width,
+                       ('0x' || substr(sha256(text), 5, 4))::INT % 1080 AS height
+                FROM documents
+            )
+            SELECT kind,
+                   count(*) AS n_media,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   (floor((avg(width)) * 100.0 + 0.5) / 100.0) AS avg_width,
+                   (floor((avg(height)) * 100.0 + 0.5) / 100.0) AS avg_height
+            FROM m
+            GROUP BY kind
+            ORDER BY kind
+        """,
+        # resize stub: images crop to 224x224 with a w*h/64=784-byte
+        # budget; non-images pass through with meta dims (len%640/480).
+        "multimodal_resize_stats": """
+            WITH m AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                       octet_length(encode(text)) AS L
+                FROM documents
+            )
+            SELECT kind,
+                   CAST(CASE WHEN kind = 'image' THEN 224 ELSE L % 640 END AS INT) AS width,
+                   CAST(CASE WHEN kind = 'image' THEN 224 ELSE L % 480 END AS INT) AS height,
+                   count(*) AS n_media,
+                   CAST(sum(CASE WHEN kind = 'image' THEN least(L, 784) ELSE L END) AS BIGINT)
+                       AS resized_bytes,
+                   CAST(sum(L) AS BIGINT) AS orig_bytes
+            FROM m
+            GROUP BY 1, 2, 3
+            ORDER BY kind, width, height
+        """,
+        # frame stub: payload sliced into 64-byte frames, every 4th
+        # kept. floor(L/64) full frames (min 1) means every sampled
+        # frame is full-width except the single L<64 frame.
+        "multimodal_frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST((greatest(L // 64, 1) + 3) // 4 AS BIGINT) AS n_frames,
+                   CAST(CASE WHEN L < 64 THEN L
+                             ELSE ((greatest(L // 64, 1) + 3) // 4) * 64
+                        END AS BIGINT) AS sampled_bytes
+            FROM m
+            ORDER BY media_id
+        """,
         # rows-only (hash-function/stub dependent, by design):
         #   dedup_minhash_lsh, dedup_simhash_pairs, ann_lsh_topk,
-        #   multimodal_decode_features
+        #   ann_ivf_topk, sketch_event_stats, multimodal_feature_knn
     }

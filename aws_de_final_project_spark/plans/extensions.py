@@ -150,7 +150,8 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched stub resize over image payloads + rollup.
-    Rows-only check (stub codec)."""
+    Oracle-checked: the stub's byte-budget crop is pure arithmetic on
+    octet_length, which DuckDB reproduces."""
     t = load_tables(spark, sf_dir, ("documents",))
     media = multimodal.synthesize_media(t["documents"])
     resized = multimodal.resize_media(media, width=224, height=224)
@@ -167,7 +168,8 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub frame sampling (1 row -> N frame rows via mapInPandas) +
-    per-media frame counts. Rows-only check (stub demuxer)."""
+    per-media frame counts. Oracle-checked: the fixed-stride slicing
+    reduces to closed-form byte math DuckDB reproduces."""
     t = load_tables(spark, sf_dir, ("documents",))
     media = multimodal.synthesize_media(t["documents"])
     frames = multimodal.sample_frames(media, frame_bytes=64, every_n=4)
@@ -275,8 +277,9 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode (stub codec) + rollup of the
-    extracted dimensions. Rows-only check (sha256-derived fake
-    features aren't SQL-expressible in the oracle)."""
+    extracted dimensions. Oracle-checked: the stub derives dims from
+    sha256 bytes, and DuckDB's sha256() hashes the same UTF-8
+    payload."""
     t = load_tables(spark, sf_dir, ("documents",))
     media = multimodal.synthesize_media(t["documents"])
     decoded = multimodal.decode_media(media)
