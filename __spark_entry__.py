@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": X.dedup_jaccard_pairs,
         "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
         "dedup_embedding_cosine": X.dedup_embedding_cosine,
+        "dedup_embedding_cosine_blocked": X.dedup_embedding_cosine_blocked,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,

@@ -182,6 +182,7 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     block_planes: int = 0,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     ``cos(a,b) >= threshold``.
@@ -190,18 +191,43 @@ def cosine_dup_pairs(
     With ``block_planes>0`` the self-join is blocked by a random-
     hyperplane signature (vectors with cos >= ~0.9 agree on most sign
     bits), turning the cross product into an equi-join on the bucket —
-    the 100 TB path, at the cost of S-curve recall. Both paths verify
-    with the exact cosine, so precision is always 1.
+    the 100 TB path, at the cost of S-curve recall; ``n_tables``
+    independent signature tables recover it (miss probability
+    ``(1-p^b)^T``). Both paths verify with the exact cosine, so
+    precision is always 1.
     """
     a = corpus.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
     if block_planes > 0:
         if dim is None:
             raise ValueError("dim is required when block_planes > 0")
-        planes = _hyperplanes(dim, block_planes)
-        a = a.withColumn("_sig", lsh_signature(F.col("_va"), planes))
-        b = b.withColumn("_sig", lsh_signature(F.col("_vb"), planes))
-        joined = a.join(b, "_sig").filter(F.col("_ida") < F.col("_idb"))
+        tables = [
+            _hyperplanes(dim, block_planes, seed=42 + 1000 * t)
+            for t in range(n_tables)
+        ]
+
+        def signed(df: DataFrame, vcol: str) -> DataFrame:
+            sigs = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_signature(F.col(vcol), planes).alias("sig"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+            return df.select(
+                *df.columns, F.explode(sigs).alias("_ts")
+            ).select(*df.columns, "_ts.tbl", "_ts.sig")
+
+        # a pair colliding in several tables would duplicate — dedup on
+        # the pair key BEFORE the cosine so the exact re-rank runs once.
+        joined = (
+            signed(a, "_va")
+            .join(signed(b, "_vb"), ["tbl", "sig"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .dropDuplicates(["_ida", "_idb"])
+        )
     else:
         joined = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
     return (

@@ -17,7 +17,7 @@ from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 
 from aws_de_final_project_spark.functions import text as TX
 from aws_de_final_project_spark.operators import dedup, multimodal, similarity
-from aws_de_final_project_spark.sources.registry import load_tables
+from aws_de_final_project_spark.sources.registry import embedding_dim, load_tables
 
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +68,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding dedup: hyperplane-signature
+    blocking turns the O(n^2) self-join into an equi-join on
+    (table, signature) — no CartesianProduct in the plan (pinned in
+    tests/test_plan_shapes.py). Rows-only check (bucket membership
+    depends on the plane seeds); recall vs the exact entry is
+    asserted in tests/test_similarity.py. Parameters are tuned for
+    this weakly-structured corpus (threshold 0.3 -> per-plane
+    agreement ~0.6): 4-bit signatures x 8 tables."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.cosine_dup_pairs(
+        t["embeddings"],
+        threshold=0.3,
+        block_planes=4,
+        dim=embedding_dim(sf_dir),
+        n_tables=8,
+    ).orderBy("id_a", "id_b")
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3). Rows-only check."""
     t = load_tables(spark, sf_dir, ("documents",))
@@ -101,7 +120,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
+    dim = embedding_dim(sf_dir)
     return similarity.lsh_ann_topk(
         emb, queries, dim=dim, k=10, n_planes=4, n_tables=8
     ).orderBy("query_id", "rank")
@@ -116,7 +135,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
+    dim = embedding_dim(sf_dir)
     return similarity.ivf_ann_topk(
         emb, queries, dim=dim, k=10, n_centroids=8, n_probe=4
     ).orderBy("query_id", "rank")

@@ -82,6 +82,47 @@ def test_ann_lsh_is_equijoin(plans):
     assert "CartesianProduct" not in p
 
 
+def test_blocked_embedding_dedup_no_cartesian(plans):
+    """The registered 100 TB path for embedding dedup must be an
+    equi-join on (table, signature), never a cross product — the exact
+    sibling (dedup_embedding_cosine) is the oracle twin and IS allowed
+    its crossJoin."""
+    p = plans("dedup_embedding_cosine_blocked")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_derived_schema_matches_inference(spark):
+    """parquet_schema (pyarrow footer, driver-side) must agree with
+    Spark's own inference for every test table — the contract that
+    lets load_tables skip the per-read footer-inference job."""
+    from aws_de_final_project_spark.sources import registry
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in registry.TABLES:
+        path = registry.table_path(SF_DIR, name)
+        derived = registry.parquet_schema(path)
+        inferred = spark.read.parquet(path).schema
+        assert derived == inferred, name
+
+
+def test_ann_builders_run_no_spark_job(spark):
+    """Building (not executing) the ANN / blocked-dedup plans must not
+    trigger a Spark job — VERDICT r1 flagged a driver-side .first()
+    dim discovery that ran a full pipeline per build."""
+    from aws_de_final_project_spark.plans import extensions as X
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-build", "plan construction only")
+    try:
+        X.ann_lsh_topk(spark, SF_DIR)
+        X.ann_ivf_topk(spark, SF_DIR)
+        X.dedup_embedding_cosine_blocked(spark, SF_DIR)
+    finally:
+        sc.setJobGroup("ann-build-done", "")
+    assert sc.statusTracker().getJobIdsForGroup("ann-build") == []
+
+
 def test_partial_aggregation_before_exchange(plans):
     """q1's aggregate must be partial (map-side) then final — shuffle
     rows are per-group partials, not raw lineitems."""

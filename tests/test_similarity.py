@@ -116,6 +116,41 @@ def test_lsh_high_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"clustered LSH recall {recall:.2f}"
 
 
+def test_blocked_dup_pairs_recall_and_precision(spark):
+    """Hyperplane-blocked cosine_dup_pairs vs the exact cross-join on
+    planted near-duplicates (cos ~0.97): precision must be 1 (the
+    exact cosine re-check runs inside the blocked path) and recall
+    high (miss probability (1-p^b)^T with p~0.92, b=8, T=6 -> ~1%)."""
+    import numpy as np
+
+    from aws_de_final_project_spark.operators.similarity import cosine_dup_pairs
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(150):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        dup = base + rng.normal(scale=0.04, size=32)
+        dup /= np.linalg.norm(dup)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(emb, threshold=0.9).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(
+            emb, threshold=0.9, block_planes=8, dim=32, n_tables=6
+        ).collect()
+    }
+    assert blocked <= exact, "blocked path emitted a non-duplicate pair"
+    assert exact, "planted duplicates did not exceed the threshold"
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.9, f"blocked dedup recall {recall:.2f}"
+
+
 def test_ivf_recall_on_clustered_data(spark):
     """IVF with random centroids on planted clusters: probing 4 of 8
     cells must recover most exact neighbors (same-cluster vectors land
