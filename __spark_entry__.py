@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_sessions": Q.range_join_event_sessions,
         "pivot_event_matrix": Q.pivot_event_matrix,
         "latest_event_per_user": Q.latest_event_per_user,
+        "skew_plain_join": Q.skew_plain_join,
+        "skew_salted_join": Q.skew_salted_join,
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
         "dedup_jaccard_pairs": X.dedup_jaccard_pairs,
@@ -99,6 +101,25 @@ _STOPWORDS = {
 def _stopword_hits_sql(lang: str) -> str:
     vocab = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
     return f"len(list_intersect({_TOKENS_LOWER}, [{vocab}]))"
+
+
+_SKEW_SQL = """
+    WITH probe AS (
+        SELECT event_id, value,
+               CASE WHEN event_id % 10 != 0 THEN 0
+                    ELSE user_id % 150 END AS k
+        FROM events
+    ),
+    build AS (
+        SELECT i AS k, 'seg_' || CAST(i % 8 AS VARCHAR) AS segment
+        FROM range(150) t(i)
+    )
+    SELECT segment, count(*) AS n_events,
+           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+    FROM probe JOIN build USING (k)
+    GROUP BY segment
+    ORDER BY segment
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -612,6 +633,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY kind
             ORDER BY kind
         """,
+        # Salting only changes the partitioning, never the matches —
+        # one oracle serves both the plain and the salted form.
+        "skew_plain_join": _SKEW_SQL,
+        "skew_salted_join": _SKEW_SQL,
         # The stub codec is deterministic sha256/byte math, so DuckDB
         # can twin it: sha256(VARCHAR) hashes the UTF-8 bytes — the
         # exact payload bytes synthesize_media encodes.

@@ -559,3 +559,73 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type")
         .orderBy("user_id")
     )
+
+
+def _skew_probe_build(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the skew demo: events re-keyed so ~90% of
+    rows land on one hot key (the planted pathology), plus a 150-row
+    dimension too small to matter but HINTED off the broadcast path —
+    the scenario where skew handling matters is a build side above
+    the broadcast threshold, and the hint recreates that shape at
+    test scale."""
+    t = load_tables(spark, sf_dir, ("events",))
+    probe = t["events"].select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 10 != 0, F.lit(0))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(150)))
+        .cast("long")
+        .alias("k"),
+    )
+    build = (
+        spark.range(150)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("seg_"), (F.col("id") % 8).cast("string")).alias(
+                "segment"
+            ),
+        )
+        .hint("shuffle_hash")
+    )
+    return probe, build
+
+
+def skew_plain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unmitigated baseline: shuffle join on the hot key — one
+    reducer receives ~90% of the probe side. AQE's skew-join split
+    (on in session.py) repairs this at runtime for sort-merge plans;
+    tests/test_skew.py pins that repair. Benched against
+    skew_salted_join so BENCH records the cost split."""
+    from aws_de_final_project_spark.functions.numeric import round_half_up as _rnd
+
+    probe, build = _skew_probe_build(spark, sf_dir)
+    return (
+        probe.join(build, "k")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted form of skew_plain_join: the hot key spreads over 16
+    salt buckets (operators/skew.py), at the price of 16x replication
+    of the small build side. Result-identical to the plain join —
+    same oracle SQL — because salting only changes the partitioning,
+    never the matches."""
+    from aws_de_final_project_spark.functions.numeric import round_half_up as _rnd
+    from aws_de_final_project_spark.operators.skew import salted_join
+
+    probe, build = _skew_probe_build(spark, sf_dir)
+    return (
+        salted_join(probe, build, "k", n_salts=16, salt_on="event_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
