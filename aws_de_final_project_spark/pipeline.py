@@ -53,9 +53,16 @@ def _with_retry(step: Callable[[], None], name: str) -> None:
             log.warning("step %s failed; retrying (%d)", name, attempt + 1)
 
 
-def run(spark: SparkSession, cfg: PipelineConfig) -> list[str]:
+def run(
+    spark: SparkSession, cfg: PipelineConfig, persistent: bool = False
+) -> list[str]:
     """One full pipeline pass: ingest -> incremental transform ->
-    register -> create analytics views. Returns created view names."""
+    register -> create analytics views. Returns created view names.
+
+    ``persistent=True`` is Glue-catalog/Athena-view parity: the
+    ``processed`` table and every analytics view land in the catalog
+    (durable across sessions — and across processes when the session
+    has a persistent metastore) instead of dying with the session."""
 
     def step_ingest() -> None:
         if cfg.base_url and cfg.fetcher:
@@ -75,7 +82,21 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> list[str]:
         )
 
     def step_register() -> None:
-        if os.path.exists(cfg.processed_dir):
+        if not os.path.exists(cfg.processed_dir):
+            return
+        if persistent:
+            from aws_de_final_project_spark.sources.registry import (
+                register_external_table,
+            )
+
+            register_external_table(
+                spark, "processed", cfg.processed_dir, infer=True
+            )
+            try:
+                spark.catalog.recoverPartitions("processed")
+            except Exception:
+                pass  # unpartitioned layout — nothing to recover
+        else:
             spark.read.parquet(cfg.processed_dir).createOrReplaceTempView(
                 "processed"
             )
@@ -83,4 +104,4 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> list[str]:
     _with_retry(step_ingest, "ingest")
     _with_retry(step_transform, "transform")
     _with_retry(step_register, "register")
-    return create_views_from_dir(spark, cfg.sql_dir)
+    return create_views_from_dir(spark, cfg.sql_dir, persistent=persistent)

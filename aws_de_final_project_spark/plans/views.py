@@ -30,13 +30,32 @@ def _order_key(name: str) -> tuple[int, int, str]:
     return (1, 0, name)
 
 
-def create_views_from_dir(spark: SparkSession, sql_dir: str | os.PathLike) -> list[str]:
+_TEMP_VIEW_RE = re.compile(
+    r"CREATE\s+OR\s+REPLACE\s+TEMP(?:ORARY)?\s+VIEW", re.IGNORECASE
+)
+
+
+def create_views_from_dir(
+    spark: SparkSession,
+    sql_dir: str | os.PathLike,
+    persistent: bool = False,
+) -> list[str]:
     """Execute every ``*.sql`` file under ``sql_dir`` in dependency
-    order; returns the created view names (file stems)."""
+    order; returns the created view names (file stems).
+
+    ``persistent=True`` rewrites ``CREATE OR REPLACE TEMP VIEW`` to
+    ``CREATE OR REPLACE VIEW`` — Athena-view parity (the reference's
+    views live in the Glue catalog, ``cdk_stack.py:307-326``, not in
+    a session). Persistent views can only reference catalog tables,
+    so the base table (``processed``) must be registered persistently
+    first (see pipeline.run)."""
     files = sorted(Path(sql_dir).glob("*.sql"), key=lambda p: _order_key(p.stem))
     created = []
     for path in files:
         text = path.read_text()
+        if persistent:
+            text = _TEMP_VIEW_RE.sub("CREATE OR REPLACE VIEW", text)
+            spark.sql(f"DROP TABLE IF EXISTS {path.stem}")
         # strip line comments; Spark SQL handles them, but keep the
         # statement single — files hold exactly one statement each.
         spark.sql(text)

@@ -170,16 +170,42 @@ def embedding_dim(
     return _DIM_CACHE[key]
 
 
+def register_external_table(
+    spark: SparkSession, name: str, path: str, infer: bool = False
+) -> None:
+    """Register ``path`` as a PERSISTENT external parquet table — the
+    Glue-catalog parity the temp-view path lacks (the reference's
+    crawlers write durable catalog entries, ``CDK/cdk/cdk_stack.py:
+    96-151``; a temp view dies with the session). The table is
+    metadata-only: data stays at ``path``, DROP TABLE never deletes
+    it. Durability across processes requires a persistent metastore
+    (``enableHiveSupport`` + a warehouse dir — proven in
+    tests/test_catalog.py); with the default in-memory catalog the
+    entry still outlives ``spark.newSession()``."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP VIEW IF EXISTS {name}")
+    if infer:
+        # hive-partitioned layouts: let Spark discover the partition
+        # columns (the pyarrow footer can't see them).
+        spark.catalog.createTable(name, path=path, source="parquet")
+    else:
+        spark.catalog.createTable(
+            name, path=path, source="parquet", schema=parquet_schema(path)
+        )
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
     names: tuple[str, ...] = TABLES,
     register_views: bool = True,
+    persistent: bool = False,
 ) -> dict[str, DataFrame]:
     """Read the parquet tables under ``sf_dir`` and (optionally)
     register each as a temp view so ``spark.sql`` queries can address
     them exactly like the reference's Athena SQL addressed
-    ``glue_crime_db.*`` tables.
+    ``glue_crime_db.*`` tables. ``persistent=True`` registers catalog
+    (external parquet) tables instead — the durable-crawl form.
 
     Pins the session timezone to UTC first: the test parquet carries
     timezone-naive timestamps, and the DuckDB oracle interprets them
@@ -203,6 +229,29 @@ def load_tables(
                     col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
                 )
         out[name] = df
-        if register_views:
+        if persistent:
+            nanos = [
+                c
+                for c in _NANOS_TS_COLS.get(name, ())
+                if isinstance(parquet_schema(path)[c].dataType, T.LongType)
+            ]
+            if nanos:
+                # the µs conversion must survive in the catalog too:
+                # raw table + persistent converting view on top.
+                register_external_table(spark, f"{name}_raw", path)
+                cols = ", ".join(
+                    f"timestamp_micros(`{c}` div 1000) AS `{c}`"
+                    if c in nanos
+                    else f"`{c}`"
+                    for c in df.columns
+                )
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW {name} AS SELECT {cols} "
+                    f"FROM {name}_raw"
+                )
+            else:
+                register_external_table(spark, name, path)
+        elif register_views:
             df.createOrReplaceTempView(name)
     return out
