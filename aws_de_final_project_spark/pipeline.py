@@ -39,6 +39,10 @@ class PipelineConfig:
     base_url: str | None = None  # REST endpoint; None = files only
     fetcher: Callable[[str], str] | None = None
     partition_cols: tuple[str, ...] = ("year", "month")
+    # supporting dimension tables: name -> CSV directory, registered
+    # before views run (the reference's supporting/ crawler,
+    # CDK/cdk/cdk_stack.py:113-134)
+    supporting: dict[str, str] = field(default_factory=dict)
     extra: dict = field(default_factory=dict)
 
 
@@ -101,7 +105,20 @@ def run(
                 "processed"
             )
 
+    def step_supporting() -> None:
+        from aws_de_final_project_spark.sources.registry import (
+            read_csv_dir_merged,
+        )
+
+        for name, csv_dir in cfg.supporting.items():
+            df = read_csv_dir_merged(spark, csv_dir)
+            if persistent:
+                df.write.mode("overwrite").saveAsTable(name)
+            else:
+                df.createOrReplaceTempView(name)
+
     _with_retry(step_ingest, "ingest")
     _with_retry(step_transform, "transform")
     _with_retry(step_register, "register")
+    _with_retry(step_supporting, "supporting")
     return create_views_from_dir(spark, cfg.sql_dir, persistent=persistent)

@@ -45,6 +45,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# numeric widening ladder for choice-type resolution; any conflict
+# off the ladder resolves to string (the always-safe representation).
+_WIDEN_RANK: tuple[type, ...] = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+)
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    if a == b:
+        return a
+    ra = next((i for i, t in enumerate(_WIDEN_RANK) if isinstance(a, t)), None)
+    rb = next((i for i, t in enumerate(_WIDEN_RANK) if isinstance(b, t)), None)
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
+    return T.StringType()
+
+
 def read_csv_dir_merged(
     spark: SparkSession,
     input_dir: str,
@@ -61,6 +83,13 @@ def read_csv_dir_merged(
     schemas, NULL-padded. With an explicit ``schema`` the per-file
     read is strict instead of inferred.
 
+    Choice-type resolution (DynamicFrame ``resolveChoice`` parity —
+    the per-record type conflict Glue's DynamicFrame exists to solve,
+    ``Glue Script/process_crime_data.py:19``): a column whose inferred
+    type drifts across files widens along int -> bigint -> double, and
+    to string for any conflict off the numeric ladder, instead of
+    failing the union.
+
     Scale note: per-file inference costs one extra pass per NEW file
     only; production pins ``schema`` after the first crawl, which is
     exactly the crawler's UPDATE_IN_DATABASE lifecycle.
@@ -72,13 +101,32 @@ def read_csv_dir_merged(
     )
     if not paths:
         raise FileNotFoundError(f"no CSV files under {input_dir}")
-    out: DataFrame | None = None
+    dfs: list[DataFrame] = []
     for p in paths:
         r = spark.read.option("header", True)
-        df = (
+        dfs.append(
             r.schema(schema).csv(p)
             if schema is not None
             else r.option("inferSchema", True).csv(p)
+        )
+    # resolve choice types: widen every column across all file schemas
+    target: dict[str, T.DataType] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            target[f.name] = (
+                _widen(target[f.name], f.dataType)
+                if f.name in target
+                else f.dataType
+            )
+    out: DataFrame | None = None
+    for df in dfs:
+        df = df.select(
+            *[
+                F.col(c).cast(target[c]).alias(c)
+                if df.schema[c].dataType != target[c]
+                else F.col(c)
+                for c in df.columns
+            ]
         )
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     return out

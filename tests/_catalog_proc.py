@@ -65,6 +65,19 @@ def create(root: str) -> None:
         os.path.join(landing, "recent_source_data_t0.csv"),
         generate_crimes_rows(n=1500),
     )
+    supporting = os.path.join(root, "supporting")
+    os.makedirs(supporting, exist_ok=True)
+    import csv
+
+    from tests.crimes_fixture import community_area_rows
+
+    with open(
+        os.path.join(supporting, "community_areas.csv"), "w", newline=""
+    ) as f:
+        rows = community_area_rows()
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
     cfg = pipeline.PipelineConfig(
         landing_dir=landing,
         processed_dir=os.path.join(root, "processed"),
@@ -72,6 +85,7 @@ def create(root: str) -> None:
         state_path=os.path.join(root, "hwm.json"),
         sql_dir=os.path.join(REPO, "sql"),
         schema=CRIME_SCHEMA,
+        supporting={"community_areas": supporting},
     )
     views = pipeline.run(spark, cfg, persistent=True)
     assert "arrest_pct_by_community_violent" in views, views
@@ -94,6 +108,10 @@ def read(root: str) -> None:
     assert n == 1530, n  # 1500 + 30 re-delivered rows
     top = spark.table("arrest_pct_by_community_violent").collect()
     assert len(top) == 15, len(top)
+    enriched = spark.table("violent_by_community_enriched").collect()
+    assert len(enriched) == 15 and all(
+        r.community_name.startswith("AREA_") for r in enriched
+    )
     # the events µs-conversion view survived the restart too
     assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
     print("READ_OK", n, len(top), flush=True)

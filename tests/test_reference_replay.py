@@ -17,6 +17,7 @@ from aws_de_final_project_spark import etl, pipeline
 from aws_de_final_project_spark.sources.rest_source import ingest_increment
 from tests.crimes_fixture import (
     COLUMNS,
+    community_area_rows,
     generate_crimes_rows,
     write_crimes_csv,
 )
@@ -57,8 +58,21 @@ def pipeline_dirs(tmp_path_factory):
         "processed": str(root / "processed"),
         "checkpoint": str(root / "checkpoint"),
         "state": str(root / "state" / "hwm.json"),
+        "supporting": str(root / "supporting"),
     }
     os.makedirs(d["landing"], exist_ok=True)
+    os.makedirs(d["supporting"], exist_ok=True)
+    # the community-areas dimension the reference's supporting/
+    # crawler registers (cdk_stack.py:113-134)
+    import csv as _csv
+
+    with open(
+        os.path.join(d["supporting"], "community_areas.csv"), "w", newline=""
+    ) as f:
+        rows = community_area_rows()
+        w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
     return d
 
 
@@ -108,6 +122,7 @@ def test_full_pipeline_and_views(spark, pipeline_dirs, crimes_rows, tmp_path):
         state_path=pipeline_dirs["state"],
         sql_dir=os.path.join(os.path.dirname(os.path.dirname(__file__)), "sql"),
         schema=CRIME_SCHEMA,
+        supporting={"community_areas": pipeline_dirs["supporting"]},
     )
     views = pipeline.run(spark, cfg)
     assert set(views) >= {
@@ -115,6 +130,7 @@ def test_full_pipeline_and_views(spark, pipeline_dirs, crimes_rows, tmp_path):
         "arrest_pct_by_community_violent",
         "count_by_crime_type",
         "fixed_dates_violent",
+        "violent_by_community_enriched",
     }
     n1 = spark.table("processed").count()
     assert n1 == len(batch1)
@@ -186,6 +202,36 @@ def test_full_pipeline_and_views(spark, pipeline_dirs, crimes_rows, tmp_path):
         dar, drep, dpct = d_pct[area]
         assert (ar, rep) == (dar, drep)
         assert abs(pct - round(dpct, 2)) <= 0.011
+
+    # violent_by_community_enriched: the crimes->community_areas join
+    # the reference provisioned a crawler for but never queried
+    con.execute(
+        f"CREATE VIEW community_areas AS SELECT * FROM read_csv_auto("
+        f"'{pipeline_dirs['supporting']}/community_areas.csv')"
+    )
+    s_enriched = {
+        r.community_area: (r.community_name, r.side, r.population, r.tot_reports)
+        for r in spark.table("violent_by_community_enriched").collect()
+    }
+    d_enriched = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""
+            WITH v AS ({dep1}),
+            tr AS (SELECT community_area, count(*) AS tot_reports FROM v GROUP BY 1),
+            ta AS (SELECT community_area, count(*) AS tot_arrests FROM v WHERE arrest GROUP BY 1),
+            top AS (
+                SELECT tr.community_area, tot_arrests, tot_reports
+                FROM tr JOIN ta ON tr.community_area = ta.community_area
+                ORDER BY tot_reports DESC, tr.community_area LIMIT 15
+            )
+            SELECT t.community_area, c.name, c.side, c.population, t.tot_reports
+            FROM top t JOIN community_areas c
+              ON t.community_area = c.community_area
+            """
+        ).fetchall()
+    }
+    assert s_enriched == d_enriched and len(s_enriched) == 15
 
     # fixed_dates_violent: weekday name + ISO number parity
     s_wd = {

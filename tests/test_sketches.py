@@ -49,3 +49,26 @@ def test_csv_dir_merged_schema_drift(spark, tmp_path):
     rows = {r.id: (r.name, r.extra) for r in df.collect()}
     assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 9)}
     assert set(df.columns) == {"id", "name", "extra"}
+
+
+def test_csv_dir_merged_choice_types(spark, tmp_path):
+    """resolveChoice parity: a column drifting int -> string across
+    files widens to string; int -> double widens to double — one
+    merged table either way, never a union failure."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.csv").write_text("id,ward,score\n1,7,10\n2,9,20\n")
+    (d / "b.csv").write_text("id,ward,score\n3,7B,1.5\n")
+    df = read_csv_dir_merged(spark, str(d))
+    assert dict(df.dtypes) == {"id": "int", "ward": "string", "score": "double"}
+    rows = {r.id: (r.ward, r.score) for r in df.collect()}
+    assert rows == {1: ("7", 10.0), 2: ("9", 20.0), 3: ("7B", 1.5)}
+    # oracle twin: DuckDB's union_by_name read of the same directory
+    import duckdb
+
+    con = duckdb.connect()
+    n, w = con.execute(
+        f"SELECT count(*), count(DISTINCT ward) FROM "
+        f"read_csv_auto('{d}/*.csv', union_by_name=true)"
+    ).fetchone()
+    assert (n, w) == (df.count(), df.select("ward").distinct().count())
