@@ -251,6 +251,11 @@ def minhash_lsh_pairs(
     uses the SAME shingle sets as the signature, so output ==
     :func:`ngram_jaccard_pairs` minus S-curve misses.
 
+    ``num_hashes`` must divide evenly into ``bands`` — leftover
+    hashes would otherwise be silently dropped from every band
+    (ADVICE r1), changing the S-curve the caller thinks they asked
+    for.
+
     With k=64, b=16 (r=4) the S-curve gives ~98% recall at J=0.5 and
     near-1 at J>=0.7, while candidate volume stays ~collision-rate of
     4-row band hashes. At 100 TB: the only shuffles are the band
@@ -259,6 +264,12 @@ def minhash_lsh_pairs(
     shingles, not unigrams (unigram sets over a shared vocabulary
     collide everything into the same buckets).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); {num_hashes % bands} hashes would be "
+            "silently dropped from the banding"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, ngram)
     banded = sigs.select(
@@ -417,7 +428,17 @@ def simhash_near_pairs(
     16-bit chunks; any pair within hamming<=chunks-1 shares at least
     one exact chunk, so candidates come from ``chunks`` equality
     joins (shuffle on 16-bit keys), then exact popcount verify.
+
+    The pigeonhole guarantee only holds for ``max_hamming <=
+    chunks-1`` — beyond it qualifying pairs can disagree in every
+    chunk and be silently missed (ADVICE r1), hence the ValueError.
     """
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) > chunks-1 ({chunks - 1}): "
+            "pigeonhole banding cannot guarantee recall — raise "
+            "chunks or lower max_hamming"
+        )
     sigs = simhash(df, text_col, id_col, ngram=ngram)
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1

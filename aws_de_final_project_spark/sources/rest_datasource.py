@@ -8,9 +8,11 @@ form of the same capability (SURVEY.md §2 S1's "custom
 * the high-water-mark predicate is passed server-side (``$where=
   updated_on > "<hwm>"`` — operator P9: the filter never reaches the
   cluster, mirroring ``get_data_api.py:13``);
-* reads are PARTITIONED: each Spark task pulls one ``$offset/$limit``
-  page (SoQL paging), so a backfill parallelizes across executors
-  instead of serializing through one driver request;
+* reads are PARTITIONED and UNBOUNDED: task ``i`` pulls pages ``i,
+  i+P, i+2P, ...`` (strided SoQL paging) until a short or empty page,
+  so a backfill parallelizes across executors AND an endpoint larger
+  than ``num_partitions * page_size`` is drained completely instead
+  of silently truncated (ADVICE r1);
 * rows are typed against the declared schema on the way in (the
   "crawler" step collapses into the source).
 
@@ -45,10 +47,14 @@ from pyspark.sql.types import (
 )
 
 
-class _Page(InputPartition):
-    def __init__(self, offset: int, limit: int):
-        self.offset = offset
-        self.limit = limit
+class _Stride(InputPartition):
+    """Task-owned page sequence: pages ``first, first+stride,
+    first+2*stride, ...`` of ``page_size`` rows each."""
+
+    def __init__(self, first_page: int, stride: int, page_size: int):
+        self.first_page = first_page
+        self.stride = stride
+        self.page_size = page_size
 
 
 def _fetch_page(url: str, where: str | None, offset: int, limit: int) -> str:
@@ -79,7 +85,11 @@ def _fetch_page(url: str, where: str | None, offset: int, limit: int) -> str:
     params = {"$offset": offset, "$limit": limit}
     if where:
         params["$where"] = where
-    return requests.get(url, params=params, timeout=180).text
+    resp = requests.get(url, params=params, timeout=180)
+    # a 4xx/5xx body must not parse as an empty CSV page — a failed
+    # fetch and end-of-data would otherwise be indistinguishable
+    resp.raise_for_status()
+    return resp.text
 
 
 def _coerce(value: str | None, dtype):
@@ -104,17 +114,33 @@ class _RestCsvReader(DataSourceReader):
 
     def partitions(self):
         return [
-            _Page(i * self.page_size, self.page_size)
+            _Stride(i, self.num_partitions, self.page_size)
             for i in range(self.num_partitions)
         ]
 
-    def read(self, partition: _Page):
-        body = _fetch_page(self.url, self.where, partition.offset, partition.limit)
-        if not body.strip():
-            return
+    def read(self, partition: _Stride):
+        """Drain this task's page stride until the endpoint is
+        exhausted (empty or short page) — an unknown-size endpoint is
+        never silently truncated; ``num_partitions`` tunes
+        parallelism, not coverage."""
         fields = [(f.name, f.dataType) for f in self.schema.fields]
-        for row in csv.DictReader(io.StringIO(body)):
-            yield tuple(_coerce(row.get(name), dt) for name, dt in fields)
+        page = partition.first_page
+        while True:
+            body = _fetch_page(
+                self.url,
+                self.where,
+                page * partition.page_size,
+                partition.page_size,
+            )
+            if not body.strip():
+                return
+            n_rows = 0
+            for row in csv.DictReader(io.StringIO(body)):
+                n_rows += 1
+                yield tuple(_coerce(row.get(name), dt) for name, dt in fields)
+            if n_rows < partition.page_size:
+                return
+            page += partition.stride
 
 
 class RestCsvDataSource(DataSource):

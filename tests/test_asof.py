@@ -103,3 +103,25 @@ def test_range_join_semantics(spark):
     ]
     # a 10-hour interval spans 10 bins but each point matches exactly once
     assert out.count() == 4
+
+    # left join: unmatched points survive NULL-padded (the predicate
+    # is in the join condition, not a post-filter — ADVICE r1)
+    left = range_join(
+        points, intervals, "k", "pts", "lo", "hi", bin_minutes=60, how="left"
+    )
+    lgot = sorted((r.name, r.tag) for r in left.collect())
+    assert lgot == [
+        ("boundary", "short"),
+        ("in-short", "short"),
+        ("inside-long", "long"),
+        ("nowhere", None),
+        ("other-key", "other"),
+    ]
+
+    # duplicate-unsafe outer variants are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate-free"):
+        range_join(
+            points, intervals, "k", "pts", "lo", "hi", how="full"
+        )

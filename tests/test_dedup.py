@@ -101,6 +101,16 @@ def test_simhash_near_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_banding_parameter_validation(docs):
+    """ADVICE r1: silently-degraded parameter combos must raise."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=10)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=5, chunks=4)
+
+
 def test_winnow_fingerprints(docs):
     fps = dedup.winnow_fingerprints(docs, "text", "doc_id", n=5, window=4)
     rows = fps.collect()

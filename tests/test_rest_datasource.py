@@ -48,6 +48,22 @@ def test_partitioned_read(spark, csv_server):
     assert r0.arrest is True and r0.score == 0.0  # typed, not stringly
 
 
+def test_endpoint_larger_than_initial_pages_not_truncated(spark, csv_server):
+    """ADVICE r1: an endpoint bigger than num_partitions*page_size
+    must be drained by strided paging, never silently truncated."""
+    df = (
+        spark.read.format("rest_csv")
+        .schema(SCHEMA)
+        .option("url", csv_server)
+        .option("num_partitions", "2")
+        .option("page_size", "10")  # 2x10 covers 20 of 100 rows up front
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert {r.id for r in rows} == set(range(100))
+
+
 def test_server_side_predicate(spark, csv_server):
     df = (
         spark.read.format("rest_csv")
