@@ -91,9 +91,55 @@ def cosine_topk(
 def _centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit centroids (driver-side
     literals, like :func:`_hyperplanes`). A production IVF would
-    k-means these on a sample; fixed random centroids keep the
-    operator deterministic and test the same execution shape."""
+    k-means these on a sample (see :func:`kmeans_centroids`); fixed
+    random centroids keep the operator deterministic with no train
+    step and test the same execution shape."""
     return _hyperplanes(dim, n_centroids, seed=seed)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int,
+    iters: int = 3,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids: Lloyd iterations over a
+    bounded deterministic sample, driver-side.
+
+    This is the OFFLINE "train" step every real IVF has (FAISS trains
+    on a sample, then assigns the full corpus): it runs one Spark job
+    to collect ``sample`` vectors (ordered by id — deterministic),
+    then numpy Lloyd on the driver. Pass the result to
+    :func:`ivf_ann_topk`'s ``centroids`` parameter; query builds
+    stay job-free because training is explicit, not hidden in the
+    plan build. Spherical k-means (normalize per iteration) to match
+    the cosine metric; empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample)
+        .collect()
+    )
+    V = np.array([r._v for r in rows], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    C = np.array(_centroids(dim, n_centroids, seed=seed), dtype=np.float64)
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = V[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[c] = m / n
+    return [[float(x) for x in c] for c in C]
 
 
 def _nearest_centroid(vec_col, cents: list[list[float]]):
@@ -117,11 +163,16 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file)
     partitioning: every corpus vector is assigned to its nearest
     centroid; each query probes its ``n_probe`` nearest centroid
     cells and exact-reranks only those cells.
+
+    ``centroids``: pass :func:`kmeans_centroids` output for trained
+    cells (better recall at low n_probe); default is the fixed-random
+    quantizer (zero train cost, deterministic).
 
     At scale: the corpus is scanned once to tag cell ids (pure
     codegen arithmetic), candidates come from an equi-join on
@@ -129,7 +180,11 @@ def ivf_ann_topk(
     query actually touches. No index structure, no driver state;
     re-centroiding is a recompute, not a rebuild.
     """
-    cents = _centroids(dim, n_centroids)
+    cents = centroids if centroids is not None else _centroids(dim, n_centroids)
+    if len(cents) != n_centroids:
+        raise ValueError(
+            f"centroids length {len(cents)} != n_centroids {n_centroids}"
+        )
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),

@@ -14,8 +14,19 @@ def spread(df: DataFrame) -> DataFrame:
     the whole operator on one core. At 100 TB the scan already yields
     thousands of partitions and this is a no-op — the repartition only
     fires below defaultParallelism.
+
+    Decides from ``df.inputFiles()`` (driver-side file listing), NOT
+    ``df.rdd.getNumPartitions()`` — the RDD conversion forces a full
+    logical->physical plan translation per call (VERDICT r1 #4). A
+    file count >= the core budget means the scan already parallelizes;
+    fewer (or a non-file source) gets one explicit round-robin
+    shuffle, which is noise at this size.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)

@@ -116,6 +116,53 @@ def test_lsh_high_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"clustered LSH recall {recall:.2f}"
 
 
+def test_kmeans_centroids_beat_random_at_low_probe(spark):
+    """The trained coarse quantizer must earn its one offline job:
+    with 16 planted clusters, 16 cells, and n_probe=1, k-means
+    centroids converge near the true centers while random ones split
+    clusters across cells — recall must improve, strictly."""
+    import numpy as np
+
+    from aws_de_final_project_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(16, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(640):
+        v = centers[i % 16] + rng.normal(scale=0.06, size=32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+
+    def recall(cents):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_ann_topk(
+                emb, q, dim=32, k=10, n_centroids=16, n_probe=1,
+                centroids=cents,
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r_random = recall(None)
+    trained = kmeans_centroids(emb, dim=32, n_centroids=16, sample=640)
+    r_trained = recall(trained)
+    assert r_trained > r_random, (r_trained, r_random)
+    assert r_trained >= 0.8, r_trained
+
+
 def test_blocked_dup_pairs_recall_and_precision(spark):
     """Hyperplane-blocked cosine_dup_pairs vs the exact cross-join on
     planted near-duplicates (cos ~0.97): precision must be 1 (the

@@ -107,6 +107,89 @@ def test_session_window_stream_equals_batch(spark, events_parquet_dir):
     assert got == expected
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T3's late-data contract, pinned: in append mode a row arriving
+    BEYOND the watermark horizon (here 30 min) after the max seen
+    event time must be dropped — its window already closed and
+    emitted. A mildly-late row inside the horizon still counts."""
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def land(name: str, rows, mtime_offset: float):
+        df = spark.createDataFrame(rows, schema)
+        d = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        dst = str(src / f"{name}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        now = time.time()
+        os.utime(dst, (now + mtime_offset, now + mtime_offset))
+
+    from datetime import datetime
+
+    h = lambda hh, mm: datetime(2024, 1, 1, hh, mm)  # noqa: E731
+    # batch 1: events up to 03:00 -> watermark advances to 02:30
+    # after this batch commits
+    land(
+        "b1",
+        [
+            (h(1, 10), "click", 1.0),
+            (h(1, 20), "click", 1.0),
+            (h(3, 0), "view", 1.0),
+        ],
+        0,
+    )
+    # batch 2: 02:40 is within horizon (kept); at this batch's END the
+    # 01:00 window (end 02:00 < watermark 02:30) is emitted + evicted
+    land("b2", [(h(2, 40), "click", 1.0)], 20)
+    # batch 3: 01:30 is beyond the watermark AND its window state is
+    # gone -> the row must be DROPPED (eviction is batch-granular:
+    # a late row arriving while state still lingered could merge,
+    # which is why this arrives a full batch after the eviction)
+    land("b3", [(h(1, 30), "click", 99.0)], 40)
+    # batch 4: advance time so every open window closes and emits
+    land("b4", [(h(9, 0), "view", 1.0)], 60)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    from aws_de_final_project_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    agg = windowed_event_counts(stream, "1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the 01:00 click window holds ONLY the two on-time rows — the
+    # 99.0-valued late row never lands anywhere
+    assert got[("2024-01-01 01:00:00", "click")] == (2, 2.0)
+    assert ("2024-01-01 02:00:00", "click") in got  # in-horizon row kept
+    assert not any(v[1] == 99.0 for v in got.values())
+
+
 def test_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: with time-ordered file
     arrival, every gap-closed session must match the batch
