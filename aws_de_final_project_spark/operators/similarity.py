@@ -29,6 +29,21 @@ from pyspark.sql.window import Window
 from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 
 
+def _lit_array(values) -> "F.Column":
+    """Literal double-array column built from ONE parsed SQL string.
+
+    ``F.array(*[F.lit(x) for x in vec])`` issues several py4j round
+    trips per element — at (tables x planes x dim) literals the
+    DRIVER-side plan construction dominated whole queries (measured:
+    ann_lsh build 5.7s vs 1.3s execution). One ``F.expr`` string is
+    one round trip; ``repr`` round-trips float64 exactly, so results
+    are bit-identical.
+    """
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+    )
+
+
 def _dot(a, b):
     """Double-precision dot product of two array columns, in codegen."""
     return F.aggregate(
@@ -60,19 +75,32 @@ def cosine_topk(
     (same id) are excluded. Output: query_id, neighbor_id, cos
     (rounded 4dp), rank — deterministic via (cos desc, id asc).
     """
+    # norms are per-vector, not per-pair: compute once on each side
+    # before the join instead of |corpus| x |queries| times inside it
+    # (array HOFs are interpreted — hoisting them out of the pair loop
+    # is a measured win, not a style point).
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("_cid") != F.col("_qid"))
         .select(
             "_qid",
             "_cid",
-            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+            (
+                _dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
@@ -146,7 +174,7 @@ def _nearest_centroid(vec_col, cents: list[list[float]]):
     """Index (0-based) of the max-dot-product centroid."""
     dots = F.array(
         *[
-            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            _dot(vec_col, _lit_array(c))
             for c in cents
         ]
     )
@@ -188,13 +216,14 @@ def ivf_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
         _nearest_centroid(F.col(vec_col), cents).alias("cell"),
     )
     # query side: top n_probe cells by centroid dot product
     qdots = F.array(
         *[
             F.struct(
-                (-_dot(F.col("_qvec"), F.array(*[F.lit(float(x)) for x in cc])))
+                (-_dot(F.col("_qvec"), _lit_array(cc)))
                 .alias("nd"),
                 F.lit(i).cast("int").alias("i"),
             )
@@ -203,11 +232,13 @@ def ivf_ann_topk(
     )
     q = (
         queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
         )
         .withColumn("_probes", F.slice(F.array_sort(qdots), 1, n_probe))
         .select(
-            "_qid", "_qvec", F.explode(F.col("_probes.i")).alias("cell")
+            "_qid", "_qvec", "_qn", F.explode(F.col("_probes.i")).alias("cell")
         )
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
@@ -217,7 +248,10 @@ def ivf_ann_topk(
         .select(
             "_qid",
             "_cid",
-            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+            (
+                _dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -251,8 +285,16 @@ def cosine_dup_pairs(
     ``(1-p^b)^T``). Both paths verify with the exact cosine, so
     precision is always 1.
     """
-    a = corpus.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    a = corpus.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     if block_planes > 0:
         if dim is None:
             raise ValueError("dim is required when block_planes > 0")
@@ -261,7 +303,10 @@ def cosine_dup_pairs(
             for t in range(n_tables)
         ]
 
-        def signed(df: DataFrame, vcol: str) -> DataFrame:
+        def signed(df: DataFrame, idc: str, vcol: str) -> DataFrame:
+            """(id, tbl, sig) — signatures computed scan-side, vector
+            DROPPED before any shuffle: the bucket join and pair dedup
+            move 16-byte id rows, not embeddings."""
             sigs = F.array(
                 *[
                     F.struct(
@@ -272,24 +317,38 @@ def cosine_dup_pairs(
                 ]
             )
             return df.select(
-                *df.columns, F.explode(sigs).alias("_ts")
-            ).select(*df.columns, "_ts.tbl", "_ts.sig")
+                F.col(idc), F.explode(sigs).alias("_ts")
+            ).select(F.col(idc), "_ts.tbl", "_ts.sig")
 
         # a pair colliding in several tables would duplicate — dedup on
-        # the pair key BEFORE the cosine so the exact re-rank runs once.
-        joined = (
-            signed(a, "_va")
-            .join(signed(b, "_vb"), ["tbl", "sig"])
+        # the bare pair key BEFORE re-attaching vectors, so the exact
+        # cosine runs once per pair and the dedup shuffle stays narrow.
+        pairs = (
+            signed(a, "_ida", "_va")
+            .join(signed(b, "_idb", "_vb"), ["tbl", "sig"])
             .filter(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb")
             .dropDuplicates(["_ida", "_idb"])
         )
+        # the id-pair shuffle is tiny in BYTES, so AQE coalesces it to
+        # a few partitions — but each row then costs an interpreted
+        # 2x dim-element dot product after the vector join. Re-spread
+        # explicitly: per-row compute, not byte count, is the budget.
+        pairs = pairs.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        joined = pairs.join(a, "_ida").join(b, "_idb")
     else:
         joined = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
     return (
         joined.select(
             F.col("_ida").alias("id_a"),
             F.col("_idb").alias("id_b"),
-            rnd(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cos"),
+            rnd(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                4,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -318,7 +377,7 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     """Sign-bit signature (bigint) of a vector against hyperplanes."""
     sig = None
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = _lit_array(plane)
         bit = F.when(_dot(vec_col, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -356,9 +415,26 @@ def lsh_ann_topk(
     ]
 
     def signatures(df: DataFrame, idc: str, probe: bool) -> DataFrame:
+        """(id, tbl, sig) — the vector is dropped before the bucket
+        join so the shuffle moves ids, not embeddings.
+
+        Two-step projection on purpose: each table's signature is
+        materialized ONCE as a column and the probe variants XOR that
+        column. Inlining the signature expression into every probe
+        struct copied the whole planes x dim literal tree per probe —
+        (1+n_planes) x n_tables copies — and Catalyst analysis time,
+        not execution, dominated the query (measured ~6s at 8x4x64).
+        """
+        sigs = df.select(
+            F.col(idc),
+            *[
+                lsh_signature(F.col(vec_col), planes).alias(f"_s{t}")
+                for t, planes in enumerate(table_sets)
+            ],
+        )
         entries = []
-        for t, planes in enumerate(table_sets):
-            base = lsh_signature(F.col(vec_col), planes)
+        for t in range(n_tables):
+            base = F.col(f"_s{t}")
             entries.append(
                 F.struct(F.lit(t).alias("tbl"), base.alias("sig"))
             )
@@ -370,32 +446,48 @@ def lsh_ann_topk(
                     )
                     for i in range(n_planes)
                 )
-        return df.select(
+        return sigs.select(
             F.col(idc),
-            F.col(vec_col),
             F.explode(F.array(*entries)).alias("ts"),
-        ).select(F.col(idc), F.col(vec_col), "ts.tbl", "ts.sig")
+        ).select(F.col(idc), "ts.tbl", "ts.sig")
 
-    csig = signatures(corpus, id_col, probe=False).withColumnsRenamed(
-        {id_col: "_cid", vec_col: "_cvec"}
+    csig = signatures(corpus, id_col, probe=False).withColumnRenamed(
+        id_col, "_cid"
     )
     qsig = signatures(
         queries.select(F.col(query_id_col), F.col(vec_col)),
         query_id_col,
         probe=multiprobe,
-    ).withColumnsRenamed({query_id_col: "_qid", vec_col: "_qvec"})
-    candidates = (
+    ).withColumnRenamed(query_id_col, "_qid")
+    # dedup on bare id pairs, then re-attach vectors + hoisted norms
+    cand_ids = (
         qsig.join(csig, ["tbl", "sig"])
         .filter(F.col("_cid") != F.col("_qid"))
-        .select("_qid", "_qvec", "_cid", "_cvec")
+        .select("_qid", "_cid")
         .distinct()
     )
+    qv = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    candidates = cand_ids.join(qv, "_qid").join(cv, "_cid")
     w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
     return (
         candidates.select(
             "_qid",
             "_cid",
-            cosine_similarity(F.col("_qvec"), F.col("_cvec")).alias("_cos"),
+            (
+                _dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
