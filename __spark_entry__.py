@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": X.doc_fingerprints,
         "doc_winnow_fingerprints": X.doc_winnow_fingerprints,
         "lang_id_heuristic": X.lang_id_heuristic,
+        "quality_filter_flags": X.quality_filter_flags,
+        "ngram_top_terms": X.ngram_top_terms,
+        "stratified_sample_events": X.stratified_sample_events,
+        "dedup_component_groups": X.dedup_component_groups,
         "multimodal_byte_stats": X.multimodal_byte_stats,
         "multimodal_decode_features": X.multimodal_decode_features,
         "multimodal_resize_stats": X.multimodal_resize_stats,
@@ -120,6 +124,36 @@ _SKEW_SQL = """
     GROUP BY segment
     ORDER BY segment
 """
+
+
+def _ngram_jaccard_sql() -> str:
+    """Word-3-gram Jaccard pair list (J >= 0.5, lang-blocked) — used
+    standalone AND as the edge list of the components oracle."""
+    return f"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 2, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 2, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       (floor((CAST(len(list_intersect(a.sh, b.sh)) AS double) /
+                           CAST(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)) AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+                FROM s a JOIN s b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM pairs
+            WHERE jaccard >= 0.5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -455,31 +489,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE jaccard >= 0.5
             ORDER BY doc_a, doc_b
         """,
-        "dedup_ngram_jaccard": f"""
-            WITH w AS (
-                SELECT doc_id, lang,
-                       string_split({_NORM.format(c='text')}, ' ') AS wd
-                FROM documents
+        "dedup_ngram_jaccard": _ngram_jaccard_sql() + " ORDER BY doc_a, doc_b",
+        "dedup_component_groups": f"""
+            WITH RECURSIVE plist AS ({_ngram_jaccard_sql()}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM plist
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM plist
             ),
-            s AS (
-                SELECT doc_id, lang,
-                       list_distinct([
-                           array_to_string(wd[i:least(i + 2, len(wd))], ' ')
-                           for i in range(1, greatest(len(wd) - 2, 1) + 1)
-                       ]) AS sh
-                FROM w
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             ),
-            pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       (floor((CAST(len(list_intersect(a.sh, b.sh)) AS double) /
-                           CAST(len(a.sh) + len(b.sh)
-                                - len(list_intersect(a.sh, b.sh)) AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
-                FROM s a JOIN s b
-                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+            mins AS (
+                SELECT a AS node, min(b) AS mn FROM reach GROUP BY a
             )
-            SELECT doc_a, doc_b, jaccard FROM pairs
-            WHERE jaccard >= 0.5
-            ORDER BY doc_a, doc_b
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component,
+                   least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id
+                       AS is_keeper
+            FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
+            ORDER BY d.doc_id
         """,
         "dedup_embedding_cosine": """
             WITH v AS (
@@ -632,6 +663,77 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY kind
             ORDER BY kind
+        """,
+        "quality_filter_flags": """
+            WITH q AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                            THEN CAST(list_sum(list_transform(
+                                     string_split_regex(trim(text), '\\s+'),
+                                     w -> length(w))) AS double)
+                                 / len(string_split_regex(trim(text), '\\s+'))
+                            ELSE 0.0 END AS mwl,
+                       CASE WHEN length(text) > 0
+                            THEN CAST(length(text) - length(regexp_replace(
+                                     text, '[^a-zA-Z0-9\\s]', '', 'g')) AS double)
+                                 / length(text)
+                            ELSE 0.0 END AS sr,
+                       CAST(len(string_split(text, chr(10)))
+                            - len(list_distinct(string_split(text, chr(10))))
+                            AS double)
+                           / len(string_split(text, chr(10))) AS dlf
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   (floor((mwl) * 10000.0 + 0.5) / 10000.0) AS mean_word_len,
+                   (floor((sr) * 10000.0 + 0.5) / 10000.0) AS symbol_ratio,
+                   (floor((dlf) * 10000.0 + 0.5) / 10000.0) AS dup_line_frac,
+                   (n_tokens >= 5 AND n_tokens <= 100000
+                    AND mwl >= 3.0 AND mwl <= 12.0
+                    AND sr <= 0.1 AND dlf <= 0.3) AS keep
+            FROM q
+            ORDER BY doc_id
+        """,
+        "ngram_top_terms": f"""
+            WITH w AS (
+                SELECT lang,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            g AS (
+                SELECT lang, unnest([
+                    array_to_string(wd[i:least(i + 1, len(wd))], ' ')
+                    for i in range(1, greatest(len(wd) - 1, 1) + 1)
+                ]) AS ngram
+                FROM w
+            ),
+            c AS (
+                SELECT lang, ngram, count(*) AS n FROM g GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT lang, ngram, n,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n DESC, ngram ASC
+                       ) AS rank
+                FROM c
+            )
+            SELECT lang, ngram, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+            ORDER BY lang, rank
+        """,
+        "stratified_sample_events": """
+            SELECT event_id, event_type, user_id, value
+            FROM events
+            WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000
+                  < CASE event_type WHEN 'click' THEN 50
+                                    WHEN 'view' THEN 20
+                                    ELSE 100 END
+            ORDER BY event_id
         """,
         # Salting only changes the partitioning, never the matches —
         # one oracle serves both the plain and the salted form.

@@ -131,3 +131,66 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     norm = normalized_text(col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    """Mean characters per whitespace token (0 for empty docs) — a
+    Gopher-rule signal: real prose sits ~3-10; OCR noise and code
+    fall outside."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_ratio(col: Column | str) -> Column:
+    """Non-alphanumeric, non-whitespace characters / all characters
+    (0 for empty docs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chr = char_count(c).cast("double")
+    return F.when(n_chr > 0, punct_count(c).cast("double") / n_chr).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_line_frac(col: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line —
+    boilerplate/template pages repeat themselves; prose doesn't."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    return (
+        F.size(lines) - F.size(F.array_distinct(lines))
+    ).cast("double") / F.size(lines).cast("double")
+
+
+def gopher_keep(
+    col: Column | str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_word: float = 3.0,
+    max_mean_word: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_dup_line_frac: float = 0.3,
+) -> Column:
+    """Gopher-style quality gate (Rae et al. 2021, §A1.1 repetition +
+    quality rules, re-expressed as one boolean column): token-count
+    window, mean-word-length window, symbol-ratio cap, duplicate-line
+    cap. Pure built-ins — the filter runs in the scan stage and rows
+    drop before any shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    mwl = mean_word_len(c)
+    return (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (mwl >= min_mean_word)
+        & (mwl <= max_mean_word)
+        & (symbol_ratio(c) <= max_symbol_ratio)
+        & (dup_line_frac(c) <= max_dup_line_frac)
+    )

@@ -479,3 +479,97 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: the step
+    that turns "these documents are similar" into "keep one per
+    cluster". Output: (node, component) with component = min node id
+    in the cluster — the canonical keeper.
+
+    Algorithm: iterative min-label propagation (the DataFrame form of
+    large-star; Kiveris et al., "Connected Components in MapReduce").
+    Each round every node takes the min label over itself and its
+    neighbors; rounds = graph diameter (near-dup graphs are shallow —
+    clusters are cliques or short chains, so 3-5 rounds typical).
+    Per round: one edges-to-labels join + one min-aggregate — all
+    shuffle-on-key, no driver data movement; the driver loop only
+    checks the converged flag (a 1-row count). localCheckpoint cuts
+    the lineage so plan size stays constant across rounds.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .union(
+            pairs.select(
+                F.col(id_b).cast("long").alias("src"),
+                F.col(id_a).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Component assignment for EVERY document: docs in some near-dup
+    cluster get the cluster's min id, singletons get themselves.
+    Output: (id_col, component, is_keeper)."""
+    comps = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col).cast("long").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("component"),
+            (
+                F.coalesce("component", F.col("node")) == F.col("node")
+            ).alias("is_keeper"),
+        )
+    )

@@ -312,3 +312,99 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate per document: the repetition/quality
+    signals (token window, mean word length, symbol ratio, duplicate
+    lines) plus the combined keep flag. All built-ins; at scale the
+    flag evaluates in the scan stage, so filtered rows never shuffle.
+    Oracle-checked."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        rnd(TX.mean_word_len("text"), 4).alias("mean_word_len"),
+        rnd(TX.symbol_ratio("text"), 4).alias("symbol_ratio"),
+        rnd(TX.dup_line_frac("text"), 4).alias("dup_line_frac"),
+        TX.gopher_keep("text").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def ngram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-10 word bigrams per language (frequency, not
+    distinct-set, so counts reflect true occurrence mass).
+
+    At scale this is the canonical "heavy hitters" shape: explode ->
+    two-level aggregation (map-side partial collapses the explode
+    before the exchange) -> per-group top-k window over the already
+    tiny (lang, ngram) aggregate. Oracle-checked."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = t["documents"].select(
+        "lang", F.split(TX.normalized_text("text"), " ").alias("_w")
+    )
+    grams = words.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_w") - 1, F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+            )
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("lang", "ngram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "ngram", "n", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates applied
+    via an md5-derived hash bucket of the row id — reproducible across
+    runs, engines, and cluster sizes (unlike df.sample, whose output
+    depends on partitioning). The filter is scan-stage; no shuffle.
+    Oracle-checked (DuckDB computes the identical md5 buckets)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    rate = (
+        F.when(F.col("event_type") == "click", F.lit(50))
+        .when(F.col("event_type") == "view", F.lit(20))
+        .otherwise(F.lit(100))
+    )
+    return (
+        t["events"]
+        .filter(bucket < rate)
+        .select("event_id", "event_type", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: connected components
+    over the exact 3-gram-Jaccard pair list, assigning every document
+    its cluster's min doc_id (singletons keep their own id) and an
+    is_keeper flag — the final "keep one per cluster" step of a dedup
+    pipeline. Iterative min-label propagation (operators/dedup.py);
+    oracle-checked via a DuckDB recursive-CTE transitive closure over
+    the same pair list."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, block_col="lang"
+    )
+    return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")

@@ -41,6 +41,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_stats_by_lang",
+    "quality_filter_flags",
+    "ngram_top_terms",
+    "dedup_component_groups",
     "skew_plain_join",
     "skew_salted_join",
 ]

@@ -101,6 +101,45 @@ def test_simhash_near_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_connected_components_vs_union_find(spark):
+    """Iterative min-label propagation must agree with a driver-side
+    union-find on a random 200-node graph (including chain-shaped
+    components that need several propagation rounds)."""
+    import random
+
+    rng = random.Random(3)
+    edges = set()
+    for _ in range(150):
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # add a long chain to force multi-round convergence
+    edges.update((i, i + 1) for i in range(300, 320))
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    expected = {n: find(n) for n in nodes}
+
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
 def test_banding_parameter_validation(docs):
     """ADVICE r1: silently-degraded parameter combos must raise."""
     import pytest as _pytest
