@@ -55,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": Q.latest_event_per_user,
         "skew_plain_join": Q.skew_plain_join,
         "skew_salted_join": Q.skew_salted_join,
+        "cube_order_stats": Q.cube_order_stats,
+        "set_intersect_customers": Q.set_intersect_customers,
+        "set_except_customers": Q.set_except_customers,
+        "moving_avg_user_value": Q.moving_avg_user_value,
+        "median_value_by_type": Q.median_value_by_type,
+        "label_centroids": X.label_centroids,
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
         "dedup_jaccard_pairs": X.dedup_jaccard_pairs,
@@ -663,6 +669,59 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY kind
             ORDER BY kind
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST
+        """,
+        "set_intersect_customers": """
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+            ORDER BY c_custkey
+        """,
+        "set_except_customers": """
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+            ORDER BY c_custkey
+        """,
+        "moving_avg_user_value": """
+            SELECT user_id, event_id, ts,
+                   (floor((avg(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   )) * 10000.0 + 0.5) / 10000.0) AS mavg3
+            FROM events
+            ORDER BY user_id, ts, event_id
+        """,
+        "median_value_by_type": """
+            SELECT event_type,
+                   (floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0) AS p50,
+                   (floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0) AS p90,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "label_centroids": """
+            SELECT label, pos,
+                   (floor((avg(v)) * 10000.0 + 0.5) / 10000.0) AS avg_v
+            FROM (
+                SELECT label,
+                       unnest([
+                           {'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+                           for i in range(1, len(embedding) + 1)
+                       ], recursive := true)
+                FROM embeddings
+            )
+            GROUP BY label, pos
+            ORDER BY label, pos
         """,
         "quality_filter_flags": """
             WITH q AS (

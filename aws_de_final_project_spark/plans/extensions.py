@@ -408,3 +408,19 @@ def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", threshold=0.5, block_col="lang"
     )
     return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid, emitted as (label, pos, avg) rows
+    — class prototypes for a training corpus. posexplode + two-key
+    aggregate: the explode collapses map-side (partial avg per
+    (label, pos)) so shuffle volume is |labels| x dim regardless of
+    corpus size. Oracle-checked."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(rnd(F.avg(F.col("v").cast("double")), 4).alias("avg_v"))
+        .orderBy("label", "pos")
+    )

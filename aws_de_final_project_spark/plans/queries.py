@@ -629,3 +629,80 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination in
+    one pass — one shuffle, the expansion happens inside the
+    aggregate, not as four scans."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two customer slices."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    return a.intersect(b).orderBy("c_custkey")
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): BUILDING customers without a high balance."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    return a.exceptAll(b).distinct().orderBy("c_custkey")
+
+
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-event moving average (ROWS BETWEEN frame) — the
+    sliding-frame window family, distinct from the ranking windows."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            rnd(F.avg("value").over(w), 4).alias("mavg3"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (vs the sketch twin in
+    sketch_event_stats): a full sort per group — correct, and the
+    reason the HLL/KLL sketch path exists at 100 TB."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            rnd(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            rnd(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -107,6 +107,46 @@ def test_session_window_stream_equals_batch(spark, events_parquet_dir):
     assert got == expected
 
 
+def test_stream_stream_join_equals_batch(spark, events_parquet_dir):
+    """Watermarked stream-stream interval join (purchase <- preceding
+    clicks within 60 min): streaming append output == the identical
+    plan run in batch."""
+    from aws_de_final_project_spark.streaming.joins import (
+        click_purchase_attribution,
+    )
+
+    batch = spark.read.parquet(events_parquet_dir)
+    b_p = batch.filter(F.col("event_type") == "purchase")
+    b_c = batch.filter(F.col("event_type") == "click")
+    expected = {
+        (r.user_id, r.purchase_id, r.click_id, r.gap_us)
+        for r in click_purchase_attribution(b_p, b_c).collect()
+    }
+    assert expected, "fixture has no purchase<-click matches"
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_parquet_dir)
+    )
+    s_p = stream.filter(F.col("event_type") == "purchase")
+    s_c = stream.filter(F.col("event_type") == "click")
+    q = (
+        click_purchase_attribution(s_p, s_c)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.purchase_id, r.click_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == expected
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """T3's late-data contract, pinned: in append mode a row arriving
     BEYOND the watermark horizon (here 30 min) after the max seen
