@@ -132,6 +132,45 @@ _SKEW_SQL = """
 """
 
 
+def _sql_vec(vals) -> str:
+    """DuckDB double-list literal. repr round-trips float64 exactly,
+    so the SQL literal equals the Spark-side plane/centroid literal
+    bit for bit."""
+    return "[" + ",".join(repr(float(x)) for x in vals) + "]"
+
+
+def _planes_values(n_tables: int, n_planes: int, dim: int) -> str:
+    """(tbl, p, pv) VALUES rows for the SAME hyperplanes the Spark
+    operators ship as literals (deterministic xorshift, seed
+    42+1000*t) — which is what makes LSH oracle-checkable at all."""
+    from aws_de_final_project_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(_hyperplanes(dim, n_planes, seed=42 + 1000 * t)):
+            rows.append(f"({t}, {p}, {_sql_vec(plane)})")
+    return ",\n".join(rows)
+
+
+def _cents_values(n_centroids: int, dim: int) -> str:
+    from aws_de_final_project_spark.operators.similarity import _centroids
+
+    return ",\n".join(
+        f"({i}, {_sql_vec(c)})" for i, c in enumerate(_centroids(dim, n_centroids))
+    )
+
+
+# LSH signature per (vector, table): sum of sign bits — identical to
+# the Spark operators' shiftleft/bitwiseOR construction.
+_SIG_SQL = """
+        SELECT v.vec_id, pl.tbl,
+               CAST(sum(CASE WHEN list_dot_product(v.e, pl.pv) >= 0
+                             THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS sig
+        FROM corpus v CROSS JOIN planes pl
+        GROUP BY v.vec_id, pl.tbl
+"""
+
+
 def _ngram_jaccard_sql() -> str:
     """Word-3-gram Jaccard pair list (J >= 0.5, lang-blocked) — used
     standalone AND as the edge list of the components oracle."""
@@ -853,7 +892,163 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             ORDER BY media_id
         """,
-        # rows-only (hash-function/stub dependent, by design):
-        #   dedup_minhash_lsh, dedup_simhash_pairs, ann_lsh_topk,
-        #   ann_ivf_topk, sketch_event_stats, multimodal_feature_knn
+        # The ANN/blocked operators ship their hyperplanes/centroids
+        # as deterministic driver-side literals — so the SAME literals
+        # interpolate into DuckDB SQL and the whole approximate
+        # pipeline (bucketing included) is oracle-checkable.
+        "ann_ivf_topk": f"""
+            WITH cents AS (
+                SELECT * FROM (VALUES {_cents_values(8, 64)}) t(cid, cv)
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            assign AS (
+                SELECT vec_id, e,
+                       (SELECT cid FROM cents
+                        ORDER BY list_dot_product(e, cv) DESC, cid ASC
+                        LIMIT 1) AS cell
+                FROM corpus
+            ),
+            qprobes AS (
+                SELECT q.vec_id AS query_id, q.e AS qv, c.cid AS cell,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.e, c.cv) DESC, c.cid ASC
+                       ) AS pr
+                FROM corpus q CROSS JOIN cents c
+                WHERE q.vec_id < 5
+            ),
+            scored AS (
+                SELECT p.query_id, a.vec_id AS cid,
+                       list_dot_product(p.qv, a.e) /
+                       (sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(a.e, a.e))) AS cos_raw
+                FROM (SELECT * FROM qprobes WHERE pr <= 4) p
+                JOIN assign a ON a.cell = p.cell
+                WHERE a.vec_id <> p.query_id
+            ),
+            ranked AS (
+                SELECT query_id, cid AS neighbor_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, cid ASC
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id,
+                   (floor((cos_raw) * 10000.0 + 0.5) / 10000.0) AS cos,
+                   CAST(rnk AS int) AS rank
+            FROM ranked WHERE rnk <= 10
+            ORDER BY query_id, rank
+        """,
+        "ann_lsh_topk": f"""
+            WITH planes AS (
+                SELECT * FROM (VALUES {_planes_values(8, 4, 64)}) t(tbl, p, pv)
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            sigs AS ({_SIG_SQL}),
+            qprobe AS (
+                SELECT vec_id, tbl,
+                       unnest([sig] || [
+                           xor(sig, CAST(1 << i AS BIGINT))
+                           for i in range(0, 4)
+                       ]) AS sig
+                FROM sigs WHERE vec_id < 5
+            ),
+            cands AS (
+                SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS cid
+                FROM qprobe q JOIN sigs s
+                  ON q.tbl = s.tbl AND q.sig = s.sig
+                WHERE s.vec_id <> q.vec_id
+            ),
+            ranked AS (
+                SELECT c.query_id, c.cid AS neighbor_id,
+                       list_dot_product(q.e, v.e) /
+                       (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(v.e, v.e))) AS cos_raw,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY list_dot_product(q.e, v.e) /
+                                    (sqrt(list_dot_product(q.e, q.e))
+                                     * sqrt(list_dot_product(v.e, v.e))) DESC,
+                                    c.cid ASC
+                       ) AS rnk
+                FROM cands c
+                JOIN corpus q ON q.vec_id = c.query_id
+                JOIN corpus v ON v.vec_id = c.cid
+            )
+            SELECT query_id, neighbor_id,
+                   (floor((cos_raw) * 10000.0 + 0.5) / 10000.0) AS cos,
+                   CAST(rnk AS int) AS rank
+            FROM ranked WHERE rnk <= 10
+            ORDER BY query_id, rank
+        """,
+        "dedup_embedding_cosine_blocked": f"""
+            WITH planes AS (
+                SELECT * FROM (VALUES {_planes_values(8, 4, 64)}) t(tbl, p, pv)
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            sigs AS ({_SIG_SQL}),
+            pairs AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+            ),
+            scored AS (
+                SELECT p.id_a, p.id_b,
+                       (floor((
+                           list_dot_product(x.e, y.e) /
+                           (sqrt(list_dot_product(x.e, x.e))
+                            * sqrt(list_dot_product(y.e, y.e)))
+                       ) * 10000.0 + 0.5) / 10000.0) AS cos
+                FROM pairs p
+                JOIN corpus x ON x.vec_id = p.id_a
+                JOIN corpus y ON y.vec_id = p.id_b
+            )
+            SELECT id_a, id_b, cos FROM scored
+            WHERE cos >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "multimodal_feature_knn": """
+            WITH f AS (
+                SELECT doc_id AS media_id,
+                       [ (('0x' || substr(sha256(text), 9 + 4*i, 4))::INT
+                          / 65535.0)::FLOAT::DOUBLE
+                         for i in range(0, 8) ] AS feature
+                FROM documents
+            ),
+            q AS (
+                SELECT media_id AS query_id, feature AS qv
+                FROM f WHERE media_id < 3
+            ),
+            scored AS (
+                SELECT query_id, f.media_id AS cid,
+                       list_dot_product(qv, feature) /
+                       (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(feature, feature))) AS cos_raw
+                FROM q CROSS JOIN f
+                WHERE f.media_id <> query_id
+            ),
+            ranked AS (
+                SELECT query_id, cid AS neighbor_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, cid ASC
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id,
+                   (floor((cos_raw) * 10000.0 + 0.5) / 10000.0) AS cos,
+                   CAST(rnk AS int) AS rank
+            FROM ranked WHERE rnk <= 5
+            ORDER BY query_id, rank
+        """,
+        # rows-only (genuinely engine-hash/sketch dependent):
+        #   dedup_minhash_lsh, dedup_simhash_pairs (Spark xxhash64 has
+        #   no DuckDB twin), sketch_event_stats (HLL/KLL internals)
     }

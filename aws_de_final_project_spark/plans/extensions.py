@@ -72,9 +72,11 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     """The 100 TB path for embedding dedup: hyperplane-signature
     blocking turns the O(n^2) self-join into an equi-join on
     (table, signature) — no CartesianProduct in the plan (pinned in
-    tests/test_plan_shapes.py). Rows-only check (bucket membership
-    depends on the plane seeds); recall vs the exact entry is
-    asserted in tests/test_similarity.py. Parameters are tuned for
+    tests/test_plan_shapes.py). Fully oracle-checked: the hyperplanes
+    are deterministic driver-side literals, so the SAME literals
+    interpolate into the DuckDB twin and even the bucketing is
+    verified; recall vs the exact entry is also asserted in
+    tests/test_similarity.py. Parameters are tuned for
     this weakly-structured corpus (threshold 0.3 -> per-plane
     agreement ~0.6): 4-bit signatures x 8 tables."""
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -107,8 +109,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 for the same queries. Rows-only
-    check; recall vs brute force asserted in tests/test_similarity.py.
+    """LSH-bucketed approximate top-10 for the same queries.
+    Oracle-checked end-to-end (plane literals interpolated into the
+    DuckDB twin); recall vs brute force asserted in
+    tests/test_similarity.py.
 
     Parameters are tuned for THIS corpus, whose vectors are weakly
     structured (top-1 cos ~0.36): short 4-bit signatures x 8 tables.
@@ -128,8 +132,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-10 for the same queries.
-    Rows-only check; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    Oracle-checked end-to-end (centroid literals interpolated into
+    the DuckDB twin — cell assignment and probing included); recall
+    vs brute force asserted in tests/test_similarity.py."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -155,7 +160,9 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched decode (stub codec) -> 8-dim feature vectors ->
     brute-force cosine top-5 neighbors for three query media. The
     shape of "embed the corpus, search it" with zero driver round
-    trips between stages. Rows-only (stub features)."""
+    trips between stages. Oracle-checked: the stub features are
+    sha256 byte math, and DuckDB reproduces the float32 rounding via
+    ::FLOAT::DOUBLE."""
     t = load_tables(spark, sf_dir, ("documents",))
     media = multimodal.synthesize_media(t["documents"])
     feats = multimodal.decode_media(media).select("media_id", "feature")
