@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_user_value": Q.moving_avg_user_value,
         "median_value_by_type": Q.median_value_by_type,
         "label_centroids": X.label_centroids,
+        "tfidf_top_terms": X.tfidf_top_terms,
         # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
         "dedup_jaccard_pairs": X.dedup_jaccard_pairs,
@@ -761,6 +762,29 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY label, pos
             ORDER BY label, pos
+        """,
+        "tfidf_top_terms": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM words GROUP BY doc_id, term
+            ),
+            df_t AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT t.doc_id, t.term,
+                   CAST(t.tf AS BIGINT) AS tf,
+                   CAST(d.df AS BIGINT) AS df,
+                   (floor((t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df))
+                        * 10000.0 + 0.5) / 10000.0) AS tfidf
+            FROM tf t JOIN df_t d ON t.term = d.term CROSS JOIN n
+            WHERE t.doc_id < 50
+            ORDER BY t.doc_id, t.term
         """,
         "quality_filter_flags": """
             WITH q AS (

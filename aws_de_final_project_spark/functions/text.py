@@ -194,3 +194,25 @@ def gopher_keep(
         & (symbol_ratio(c) <= max_symbol_ratio)
         & (dup_line_frac(c) <= max_dup_line_frac)
     )
+
+
+# Conservative PII patterns restricted to constructs java.util.regex
+# and RE2 (DuckDB) interpret identically — keeps the transform
+# oracle-checkable. Order matters: emails first (their local part
+# would otherwise half-match the number patterns).
+PII_PATTERNS = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("[0-9]{9,}", "<ID>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email / phone / long-id spans with typed placeholders —
+    the scrubbing pass a training-data pipeline runs before anything
+    else sees the text. Chained JVM regexp_replace: scan-stage, no
+    Python, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

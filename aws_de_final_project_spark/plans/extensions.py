@@ -431,3 +431,39 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rnd(F.avg(F.col("v").cast("double")), 4).alias("avg_v"))
         .orderBy("label", "pos")
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring for a fixed doc slice (doc_id < 50):
+    term frequency x ln(N/df) with df from the whole corpus.
+
+    The classic two-aggregation shape: per-(doc, term) counts, then
+    per-term document frequencies, joined back — both aggregations
+    collapse map-side; N arrives as a broadcast 1-row cross join, not
+    a driver round trip. Oracle-checked (ln() agrees across engines
+    at 4dp rounding)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    words = docs.select(
+        "doc_id", F.explode(F.split(TX.normalized_text("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            rnd(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )

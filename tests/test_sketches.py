@@ -51,6 +51,42 @@ def test_csv_dir_merged_schema_drift(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "extra"}
 
 
+def test_redact_pii_matches_duckdb(spark):
+    """PII scrubbing parity on constructed rows: Spark's chained
+    regexp_replace must equal DuckDB's over the same patterns (both
+    restricted to the regex subset the engines share)."""
+    import duckdb
+
+    from aws_de_final_project_spark.functions.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "contact bob.smith+spam@corp.example.co for info"),
+        (2, "call 555-867-5309 or 555.867.5309 now"),
+        (3, "ssn-ish 123456789 and card 4111111111111111 inline"),
+        (4, "mixed a@b.io then 999-111-2222 then 987654321 end"),
+        (5, "clean text with no pii at all"),
+        (6, "edge a@b.c not-an-email @nope 12345678 short"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r.id: r.red for r in df.select("id", redact_pii("t").alias("red")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (id INT, t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", rows)
+    expr = "t"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = dict(con.execute(f"SELECT id, {expr} FROM s").fetchall())
+    assert got == want
+    assert got[1] == "contact <EMAIL> for info"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "ssn-ish <ID> and card <ID> inline"
+    assert got[5] == rows[4][1]
+
+
 def test_csv_dir_merged_choice_types(spark, tmp_path):
     """resolveChoice parity: a column drifting int -> string across
     files widens to string; int -> double widens to double — one
