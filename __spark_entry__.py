@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top_terms": X.ngram_top_terms,
         "stratified_sample_events": X.stratified_sample_events,
         "dedup_component_groups": X.dedup_component_groups,
+        "dedup_component_groups_lsh": X.dedup_component_groups_lsh,
         "multimodal_byte_stats": X.multimodal_byte_stats,
         "multimodal_decode_features": X.multimodal_decode_features,
         "multimodal_resize_stats": X.multimodal_resize_stats,

@@ -408,12 +408,31 @@ def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_keeper flag — the final "keep one per cluster" step of a dedup
     pipeline. Iterative min-label propagation (operators/dedup.py);
     oracle-checked via a DuckDB recursive-CTE transitive closure over
-    the same pair list."""
+    the same pair list.
+
+    Edges here come from the EXACT Jaccard join (O(n^2) within a lang
+    block) so the oracle can reproduce them — this entry is the
+    correctness twin. The scale path is
+    :func:`dedup_component_groups_lsh`, identical clustering over
+    MinHash+LSH edges."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     pairs = dedup.ngram_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, block_col="lang"
     )
+    return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+def dedup_component_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup-clustering path: connected components over
+    MinHash+LSH candidate edges (every stage bucketed — no O(n^2)
+    anywhere). Rows-only check (edges depend on Spark's xxhash64);
+    the clustering itself is pinned by the oracled exact twin and the
+    union-find ground-truth test, and LSH edge recall by
+    tests/test_dedup.py."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
     return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
 
 

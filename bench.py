@@ -43,7 +43,7 @@ HEADLINE = [
     "text_stats_by_lang",
     "quality_filter_flags",
     "ngram_top_terms",
-    "dedup_component_groups",
+    "dedup_component_groups_lsh",
     "skew_plain_join",
     "skew_salted_join",
 ]
