@@ -230,6 +230,62 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert not any(v[1] == 99.0 for v in got.values())
 
 
+def test_streaming_upsert_last_writer_wins(spark, tmp_path):
+    """foreachBatch keyed MERGE (the re-delivery fix the reference
+    never had): re-delivered keys replace their old version, new keys
+    insert, a re-run adds nothing, and only touched hash buckets are
+    rewritten."""
+    from pyspark.sql import types as T
+
+    from aws_de_final_project_spark.streaming.upsert import streaming_upsert
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    (src / "f1.csv").write_text(
+        "id,v,payload\n" + "".join(f"{i},1,a{i}\n" for i in range(100))
+    )
+    (src / "f2.csv").write_text(
+        # re-deliver 0-19 at v=2, add 100-109
+        "id,v,payload\n"
+        + "".join(f"{i},2,b{i}\n" for i in range(20))
+        + "".join(f"{i},1,a{i}\n" for i in range(100, 110))
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        streaming_upsert(spark, stream, out, ckpt, "id", "v")
+
+    run()
+    got = {r.id: (r.v, r.payload) for r in spark.read.parquet(out).collect()}
+    want = {i: (1, f"a{i}") for i in range(20, 110)}
+    want.update({i: (2, f"b{i}") for i in range(20)})
+    assert got == want
+
+    run()  # no new files -> checkpoint makes this a no-op
+    again = {r.id: (r.v, r.payload) for r in spark.read.parquet(out).collect()}
+    assert again == want
+
+    # late re-delivery with an OLDER version must lose
+    (src / "f3.csv").write_text("id,v,payload\n5,0,stale\n")
+    run()
+    final = {r.id: (r.v, r.payload) for r in spark.read.parquet(out).collect()}
+    assert final == want
+
+
 def test_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: with time-ordered file
     arrival, every gap-closed session must match the batch
