@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": X.dedup_embedding_cosine,
         "dedup_embedding_cosine_blocked": X.dedup_embedding_cosine_blocked,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
+        "dedup_minhash_portable": X.dedup_minhash_portable,
+        "grouping_sets_order_stats": Q.grouping_sets_order_stats,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,
         "ann_lsh_topk": X.ann_lsh_topk,
@@ -200,6 +202,65 @@ def _ngram_jaccard_sql() -> str:
             )
             SELECT doc_a, doc_b, jaccard FROM pairs
             WHERE jaccard >= 0.5
+    """
+
+
+def _minhash_portable_sql() -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs_portable: identical md5
+    hash family, 16 signatures, 4 bands of 4, candidate join, exact
+    Jaccard verify."""
+    mins = ",\n                ".join(
+        f"min(('0x' || substr(md5('{i}:' || sh1), 1, 15))::BIGINT) AS m{i}"
+        for i in range(16)
+    )
+    bands = ",\n                ".join(
+        "{'band': %d, 'bh': md5(m%d || '-' || m%d || '-' || m%d || '-' || m%d)}"
+        % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+        for b in range(4)
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS wd
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(wd[i:least(i + 2, len(wd))], ' ')
+                       for i in range(1, greatest(len(wd) - 2, 1) + 1)
+                   ]) AS sh
+            FROM w
+        ),
+        e AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+        m AS (
+            SELECT doc_id,
+                {mins}
+            FROM e GROUP BY doc_id
+        ),
+        b AS (
+            SELECT doc_id, unnest([
+                {bands}
+            ], recursive := true)
+            FROM m
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+            FROM b a JOIN b c
+              ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+        )
+        SELECT cand.doc_a, cand.doc_b,
+               (floor((CAST(len(list_intersect(x.sh, y.sh)) AS double) /
+                   CAST(len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)) AS double))
+                   * 10000.0 + 0.5) / 10000.0) AS jaccard
+        FROM cand
+        JOIN s x ON x.doc_id = cand.doc_a
+        JOIN s y ON y.doc_id = cand.doc_b
+        WHERE (floor((CAST(len(list_intersect(x.sh, y.sh)) AS double) /
+                   CAST(len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)) AS double))
+                   * 10000.0 + 0.5) / 10000.0) >= 0.5
+        ORDER BY doc_a, doc_b
     """
 
 
@@ -537,6 +598,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql() + " ORDER BY doc_a, doc_b",
+        "dedup_minhash_portable": _minhash_portable_sql(),
+        "grouping_sets_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST
+        """,
         "dedup_component_groups": f"""
             WITH RECURSIVE plist AS ({_ngram_jaccard_sql()}),
             edges AS (

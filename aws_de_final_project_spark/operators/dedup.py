@@ -573,3 +573,93 @@ def dedup_components(
             ).alias("is_keeper"),
         )
     )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash+LSH: identical pipeline to
+    :func:`minhash_lsh_pairs`, but the hash family is
+    ``int(md5(i ':' shingle)[:15 hex])`` — md5 is bit-identical in
+    every engine, so the WHOLE approximate pipeline (signatures,
+    banding, candidate join, exact-Jaccard verify) has a DuckDB twin.
+
+    This is the correctness twin; :func:`minhash_lsh_pairs`
+    (xxhash64, k=64) is the fast path — md5 costs ~num_hashes
+    digests per shingle, which is why the portable variant defaults
+    to k=16. Same S-curve mechanics: b=4 bands of r=4 rows.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+    sets = _shingle_sets(df, text_col, id_col, ngram)
+    exploded = sets.select("_id", F.explode_outer("_words").alias("_sh"))
+    agg = exploded.groupBy("_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = agg.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.col(f"_m{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+    other = banded.select(
+        F.col("_id").alias("_id_b"), "band", "bh"
+    )
+    cand = (
+        banded.join(other, ["band", "bh"])
+        .filter(F.col("_id") < F.col("_id_b"))
+        .select("_id", "_id_b")
+        .distinct()
+    )
+    a = sets
+    b = sets.select(
+        F.col("_id").alias("_id_b"), F.col("_words").alias("_words_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_words"), F.col("_words_b")))
+    union = F.size(F.col("_words")) + F.size(F.col("_words_b")) - inter
+    return (
+        cand.join(a, "_id")
+        .join(b, "_id_b")
+        .select(
+            F.col("_id").alias("doc_a"),
+            F.col("_id_b").alias("doc_b"),
+            rnd(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

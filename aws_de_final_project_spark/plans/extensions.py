@@ -486,3 +486,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with an md5 hash family — the oracle-checkable twin
+    of dedup_minhash_lsh: DuckDB computes the identical signatures,
+    bands, candidate pairs, and Jaccard verify, so the driver
+    hash-checks the full approximate pipeline (not just its recall)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.minhash_lsh_pairs_portable(
+        t["documents"], "text", "doc_id", threshold=0.5
+    ).orderBy("doc_a", "doc_b")
