@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_order_stats": Q.grouping_sets_order_stats,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,
+        "ann_cosine_topk_vec": X.ann_cosine_topk_vec,
         "ann_lsh_topk": X.ann_lsh_topk,
         "ann_ivf_topk": X.ann_ivf_topk,
         "text_stats_by_lang": X.text_stats_by_lang,
@@ -267,7 +268,7 @@ def _minhash_portable_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM.format(c="text")
     hits = {lang: _stopword_hits_sql(lang) for lang in _STOPWORDS}
-    return {
+    sqls = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
@@ -1148,3 +1149,8 @@ def oracle_sql() -> dict[str, str]:
         #   dedup_minhash_lsh, dedup_simhash_pairs (Spark xxhash64 has
         #   no DuckDB twin), sketch_event_stats (HLL/KLL internals)
     }
+    # the Arrow/numpy ANN twin has the same output contract as the
+    # HOF path, so it shares the oracle verbatim (4dp rounding absorbs
+    # BLAS-vs-left-to-right float summation order).
+    sqls["ann_cosine_topk_vec"] = sqls["ann_cosine_topk"]
+    return sqls

@@ -116,6 +116,107 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors — Arrow/numpy twin of
+    :func:`cosine_topk` (same output contract: query_id, neighbor_id,
+    cos rounded 4dp, rank; tiebreak (cos desc, id asc)).
+
+    Where :func:`cosine_topk` materializes |corpus| x |queries| pair
+    ROWS and evaluates an interpreted ``aggregate``/``zip_with`` dot
+    per pair, this variant streams corpus partitions through
+    ``mapInPandas`` and scores each Arrow batch against the whole
+    query matrix with ONE BLAS matmul — no pair rows ever exist.
+    Each batch emits only its local top-k per query (a batch row can
+    only reach the global top-k by being in its batch's top-k), so
+    the final window merges ~k x |queries| x n_batches candidate
+    rows instead of the full product.
+
+    The query batch is collected to the driver and shipped via a
+    broadcast variable — an EXPLICIT small-batch materialization
+    (queries are the small side by contract, exactly like
+    :func:`kmeans_centroids`'s documented train step), not a hidden
+    plan-build job.
+
+    float64 matmul sums in a different order than the left-to-right
+    HOF accumulation, so last-bit differences vs :func:`cosine_topk`
+    are possible; at 4dp rounding the outputs agree (asserted in
+    tests/test_similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    Qn = (Q / qn[:, None]).T  # dim x n_queries, normalized once
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, Qn))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("_cos", DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        b_qids, b_Qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy()
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0.0] = 1.0
+            S = (C / cn[:, None]) @ b_Qn  # batch_rows x n_queries
+            out_q, out_c, out_s = [], [], []
+            for j in range(S.shape[1]):
+                keep = np.nonzero(cids != b_qids[j])[0]
+                if keep.size == 0:
+                    continue
+                col = S[keep, j]
+                # lexsort: primary -cos (desc), secondary cid (asc) —
+                # the same deterministic tiebreak as the global window
+                order = np.lexsort((cids[keep], -col))[:k]
+                sel = keep[order]
+                out_q.extend([b_qids[j]] * sel.size)
+                out_c.extend(cids[sel])
+                out_s.extend(S[sel, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "_cos": out_s}
+            )
+
+    from aws_de_final_project_spark.operators.util import spread
+
+    candidates = spread(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).mapInPandas(score_partition, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd(F.col("_cos"), 4).alias("cos"),
+            "rank",
+        )
+    )
+
+
 def _centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit centroids (driver-side
     literals, like :func:`_hyperplanes`). A production IVF would

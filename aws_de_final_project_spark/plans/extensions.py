@@ -108,6 +108,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
+def ann_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of ann_cosine_topk: same queries, same output
+    contract, scored by per-partition BLAS matmul via mapInPandas
+    instead of pair-row HOF dots (operators/similarity.py:
+    cosine_topk_vectorized). Shares ann_cosine_topk's oracle; bench
+    measures the vectorized-vs-interpreted gap."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk_vectorized(emb, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 for the same queries.
     Oracle-checked end-to-end (plane literals interpolated into the

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_cosine_blocked",
     "doc_winnow_fingerprints",
     "ann_cosine_topk",
+    "ann_cosine_topk_vec",
     "ann_ivf_topk",
     "text_stats_by_lang",
     "quality_filter_flags",

@@ -228,3 +228,23 @@ def test_ivf_recall_on_clustered_data(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_vectorized_topk_matches_hof_path(emb):
+    """The Arrow/numpy mapInPandas twin must produce the exact same
+    (query_id, neighbor_id, rank) rows as the HOF path, with cos equal
+    at the shared 4dp rounding — the contract that lets it share
+    ann_cosine_topk's DuckDB oracle."""
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hof = similarity.cosine_topk(emb, q, k=10).orderBy("query_id", "rank")
+    vec = similarity.cosine_topk_vectorized(emb, q, k=10).orderBy(
+        "query_id", "rank"
+    )
+    hof_rows = [tuple(r) for r in hof.collect()]
+    vec_rows = [tuple(r) for r in vec.collect()]
+    assert hof.columns == vec.columns == [
+        "query_id", "neighbor_id", "cos", "rank"
+    ]
+    assert hof_rows == vec_rows
