@@ -81,6 +81,81 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+_CODEC_CACHE: dict | None = None
+
+
+def available_codecs() -> dict:
+    """Real decoders, gated behind import-try — resolved LAZILY and
+    PER-PROCESS (cached), so each executor probes its own site-packages;
+    the driver never ships availability flags that could be wrong on a
+    heterogeneous cluster.
+
+    kind -> callable(payload) -> (width, height, feature[8]). Empty in
+    this container (no PIL/soundfile baked in); on a real cluster the
+    same wheel picks them up with zero code change.
+    """
+    global _CODEC_CACHE
+    if _CODEC_CACHE is not None:
+        return _CODEC_CACHE
+    codecs: dict = {}
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            hist = img.histogram()  # 256 bins
+            total = float(sum(hist)) or 1.0
+            feature = [
+                sum(hist[32 * i : 32 * (i + 1)]) / total for i in range(8)
+            ]
+            return (img.width, img.height, feature)
+
+        codecs["image"] = _decode_image
+    except ImportError:
+        pass
+    try:
+        import io
+
+        import numpy as _np
+        import soundfile  # type: ignore[import-not-found]
+
+        def _decode_audio(payload: bytes) -> tuple[int, int, list[float]]:
+            data, rate = soundfile.read(io.BytesIO(payload), always_2d=True)
+            mono = data.mean(axis=1)
+            chunks = _np.array_split(mono, 8)
+            feature = [
+                float(_np.sqrt((c**2).mean())) if len(c) else 0.0
+                for c in chunks
+            ]
+            # (n_samples, sample_rate) in the width/height slots —
+            # documented overload, same fixed schema either way
+            return (len(mono), int(rate), feature)
+
+        codecs["audio"] = _decode_audio
+    except ImportError:
+        pass
+    _CODEC_CACHE = codecs
+    return codecs
+
+
+def _decode_with_codecs(
+    codecs: dict, kind: str, payload
+) -> tuple[int, int, list[float]]:
+    """Route one payload: a registered real decoder wins for its kind;
+    a payload the real codec rejects yields the (0, 0, []) sentinel —
+    NEVER stub features masquerading as real ones; kinds without a
+    real decoder fall back to the deterministic stub."""
+    fn = codecs.get(kind)
+    if fn is not None and payload is not None:
+        try:
+            return fn(bytes(payload))
+        except Exception:
+            return (0, 0, [])
+    return _decode_payload(kind, payload)
+
+
 def _decode_payload(kind: str, payload: bytes) -> tuple[int, int, list[float]]:
     """STUB codec. Deterministic fake decode: dimensions and an
     8-dim feature vector derived from a sha256 of the payload.
@@ -100,19 +175,31 @@ def _decode_payload(kind: str, payload: bytes) -> tuple[int, int, list[float]]:
     return (width, height, feature)
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, codec: str = "auto") -> DataFrame:
     """Arrow-batched decode/feature-extract over a media table.
 
     ``mapInPandas``: each partition arrives as an iterator of pandas
     batches; per-batch we vectorize over rows. The output schema is
     fixed (DECODED_SCHEMA) so downstream plans are stable regardless
     of the stub/real codec swap.
+
+    ``codec="auto"`` uses any real decoder :func:`available_codecs`
+    finds on the EXECUTOR (import-try per worker process), falling
+    back to the deterministic stub per kind; a payload a real codec
+    rejects yields the (0, 0, []) sentinel rather than silently
+    substituting stub features for real ones. ``codec="stub"`` forces
+    the stub everywhere — what the oracle-checked queries pin, so
+    their results are environment-independent.
     """
+    if codec not in ("auto", "stub"):
+        raise ValueError(f"codec must be 'auto' or 'stub', got {codec!r}")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs = available_codecs() if codec == "auto" else {}
         for pdf in batches:
             decoded = [
-                _decode_payload(k, p) for k, p in zip(pdf["kind"], pdf["payload"])
+                _decode_with_codecs(codecs, k, p)
+                for k, p in zip(pdf["kind"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {

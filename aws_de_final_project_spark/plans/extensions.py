@@ -181,7 +181,7 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ::FLOAT::DOUBLE."""
     t = load_tables(spark, sf_dir, ("documents",))
     media = multimodal.synthesize_media(t["documents"])
-    feats = multimodal.decode_media(media).select("media_id", "feature")
+    feats = multimodal.decode_media(media, codec="stub").select("media_id", "feature")
     queries = feats.filter(F.col("media_id") < 3).select(
         F.col("media_id").alias("query_id"), F.col("feature")
     )
@@ -324,7 +324,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload."""
     t = load_tables(spark, sf_dir, ("documents",))
     media = multimodal.synthesize_media(t["documents"])
-    decoded = multimodal.decode_media(media)
+    decoded = multimodal.decode_media(media, codec="stub")
     return (
         decoded.groupBy("kind")
         .agg(

@@ -81,3 +81,42 @@ def test_frame_sample_fanout(media):
     for r in frames.filter(F.col("media_id") == min(per_media)).collect():
         assert r.frame_idx % 4 == 0
         assert r.n_bytes <= 64
+
+
+def test_codec_gate_absent_falls_back_to_stub(media):
+    """This container has no PIL/soundfile, so the import-try registry
+    is empty and codec='auto' must equal codec='stub' exactly."""
+    assert multimodal.available_codecs() == {}
+    auto = {r.media_id: (r.width, r.height, tuple(r.feature))
+            for r in multimodal.decode_media(media, codec="auto").collect()}
+    stub = {r.media_id: (r.width, r.height, tuple(r.feature))
+            for r in multimodal.decode_media(media, codec="stub").collect()}
+    assert auto == stub
+
+    with pytest.raises(ValueError):
+        multimodal.decode_media(media, codec="jpeg")
+
+
+def test_codec_gate_routing_unit():
+    """Routing contract of the import-try gate, tested at the function
+    level (worker processes probe their own registry, so driver-side
+    monkeypatching cannot reach a forked worker — by design):
+    real decoder wins for its kind, reject-errors yield the (0, 0, [])
+    sentinel (never stub features masquerading as real), unregistered
+    kinds fall back to the stub."""
+
+    def fake_image_codec(payload: bytes):
+        if len(payload) % 7 == 0:
+            raise ValueError("corrupt")
+        return (123, 456, [float(len(payload) % 10)] * 8)
+
+    codecs = {"image": fake_image_codec}
+    ok = multimodal._decode_with_codecs(codecs, "image", b"x" * 8)
+    assert ok == (123, 456, [8.0] * 8)
+    bad = multimodal._decode_with_codecs(codecs, "image", b"x" * 7)
+    assert bad == (0, 0, [])
+    audio = multimodal._decode_with_codecs(codecs, "audio", b"x" * 8)
+    assert audio == multimodal._decode_payload("audio", b"x" * 8)
+    assert multimodal._decode_with_codecs(codecs, "image", None) == (
+        multimodal._decode_payload("image", None)
+    )
