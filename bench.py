@@ -62,6 +62,48 @@ def drive(df) -> None:
     df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
 
 
+def bench_streaming_upsert(spark, sf_dir: str) -> dict:
+    """Wall-clock for the foreachBatch keyed-MERGE sink: seed the
+    target with 75% of events, then merge 3 micro-batches of inserts +
+    re-deliveries (bumped version). Measures the per-batch MERGE cost
+    (bucketed dynamic partition overwrite) the streaming query pays —
+    the plumbing-free twin of tests/test_streaming.py's upsert test."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.sources.registry import load_tables
+    from aws_de_final_project_spark.streaming.upsert import merge_batch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmpd = tempfile.mkdtemp(prefix="bench_upsert_")
+    target = os.path.join(tmpd, "keyed")
+    try:
+        t0 = time.perf_counter()
+        merge_batch(spark, ev.filter(F.col("event_id") % 4 != 3), target,
+                    "event_id", "ts")
+        for i in range(3):
+            inserts = ev.filter(
+                (F.col("event_id") % 4 == 3) & (F.col("event_id") % 3 == i)
+            )
+            redeliveries = ev.filter(F.col("event_id") % 40 == i).withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+            )
+            merge_batch(spark, inserts.unionByName(redeliveries), target,
+                        "event_id", "ts")
+        elapsed = round(time.perf_counter() - t0, 3)
+        final = spark.read.parquet(target)
+        n_rows = final.count()
+        n_keys = final.select("event_id").distinct().count()
+        assert n_rows == n_keys, f"duplicate keys after merge: {n_rows} != {n_keys}"
+        return {"upsert_seed_plus_3_batches_sec": elapsed, "rows": n_rows}
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -87,6 +129,7 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
     total_warm = round(sum(warm.values()), 3)
     total_cold = round(sum(cold.values()), 3)
+    streaming = bench_streaming_upsert(spark, sf_dir)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -97,6 +140,7 @@ def main() -> None:
                 "queries": warm,
                 "queries_cold": cold,
                 "total_cold": total_cold,
+                "streaming": streaming,
                 "sf": float(sf) if sf else sf_dir,
             }
         )
