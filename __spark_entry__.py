@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_top_terms": X.ngram_top_terms,
         "stratified_sample_events": X.stratified_sample_events,
         "dedup_component_groups": X.dedup_component_groups,
+        "decontaminate_vs_benchmark": X.decontaminate_vs_benchmark,
+        "mixture_rebalance": X.mixture_rebalance,
         "dedup_component_groups_lsh": X.dedup_component_groups_lsh,
         "multimodal_byte_stats": X.multimodal_byte_stats,
         "multimodal_decode_features": X.multimodal_decode_features,
@@ -600,6 +602,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql() + " ORDER BY doc_a, doc_b",
         "dedup_minhash_portable": _minhash_portable_sql(),
+        "decontaminate_vs_benchmark": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 4, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 4, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            bh AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(u.s1), 1, 15))::BIGINT AS h
+                FROM (SELECT unnest(sh) AS s1 FROM s WHERE doc_id % 23 = 0) u
+            ),
+            dh AS (
+                SELECT u.doc_id,
+                       ('0x' || substr(md5(u.s1), 1, 15))::BIGINT AS h
+                FROM (
+                    SELECT doc_id, unnest(sh) AS s1 FROM s
+                    WHERE doc_id % 23 <> 0
+                ) u
+            ),
+            tot AS (
+                SELECT doc_id, count(*) AS n_shingles FROM dh GROUP BY doc_id
+            ),
+            hit AS (
+                SELECT doc_id, count(*) AS n_hits FROM dh
+                WHERE h IN (SELECT h FROM bh)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   t.n_shingles,
+                   coalesce(hit.n_hits, 0) AS n_hits,
+                   (floor((CAST(coalesce(hit.n_hits, 0) AS double)
+                           / CAST(t.n_shingles AS double)) * 10000.0 + 0.5)
+                    / 10000.0) AS hit_frac,
+                   coalesce(hit.n_hits, 0) > 0 AS contaminated
+            FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
+            ORDER BY t.doc_id
+        """,
+        "mixture_rebalance": """
+            WITH kept AS (
+                SELECT * FROM documents
+                WHERE (('0x' || substr(md5('mix1:' || doc_id), 1, 15))::BIGINT
+                       % 1000000)
+                      < CAST((CASE lang WHEN 'en' THEN 0.3
+                                        WHEN 'zh' THEN 0.8
+                                        ELSE 1.0 END) * 1000000 AS BIGINT)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM kept GROUP BY lang ORDER BY lang
+        """,
         "grouping_sets_order_stats": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,

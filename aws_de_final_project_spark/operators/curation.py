@@ -1,0 +1,134 @@
+"""Training-corpus curation operators: benchmark decontamination and
+deterministic mixture sampling.
+
+These are the two pipeline steps every LLM pretraining run does after
+dedup (reference scope: the AWS_DE_Final_Project pipeline stops at
+ingest->clean->aggregate; these extend the same documents table the
+dedup/quality operators already cover):
+
+* :func:`decontaminate` — flag documents sharing any word-n-gram with
+  a benchmark/eval set (the GPT-3/Llama "13-gram overlap" rule,
+  parameterized). Scale shape: shingles are md5-hashed to 8-byte ints
+  scan-side, the benchmark side is distinct-reduced and broadcast
+  (eval sets are small by definition), and the probe is one
+  broadcast-hash-join — the 100 TB corpus is never shuffled.
+* :func:`mixture_sample` — deterministic per-group sampling to target
+  mixture rates (e.g. downweight over-represented languages).
+  Keep/drop is a pure hash of (salt, doc_id) — no RNG state, no
+  ordering dependence, reproducible across runs/partitionings, and
+  portable (md5) so the oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+from aws_de_final_project_spark.operators.dedup import _shingle_sets
+from aws_de_final_project_spark.operators.util import spread
+
+
+def _md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — bit-identical
+    in DuckDB (('0x' || substr(md5(x),1,15))::BIGINT), unlike
+    xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+) -> DataFrame:
+    """Per-document benchmark-overlap report: how many of the doc's
+    distinct word-``ngram`` shingles appear anywhere in ``benchmark``.
+
+    Output: (id_col, n_shingles, n_hits, hit_frac 4dp,
+    contaminated = any hit). Shingling/normalization matches the
+    dedup operators (same normalized_text -> word split -> n-gram
+    slices), so "shares a 5-gram with the eval set" means the same
+    thing as "near-dup" does elsewhere in the engine.
+
+    Scale: doc shingles go md5->bigint while still scan-local (~8 B
+    each instead of ~40 B strings); the benchmark's distinct hash set
+    is broadcast; the count is a map-side broadcast join + partial
+    agg on id. No full-corpus shuffle, no cross join.
+    """
+    doc_sh = (
+        _shingle_sets(spread(docs), text_col, id_col, ngram)
+        .select("_id", F.explode("_words").alias("_sh"))
+        .select("_id", _md5_long(F.col("_sh")).alias("_h"))
+    )
+    bench_sh = F.broadcast(
+        _shingle_sets(benchmark, text_col, id_col, ngram)
+        .select(F.explode("_words").alias("_sh"))
+        .select(_md5_long(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh, "_h", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = doc_sh.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            rnd(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                4,
+            ).alias("hit_frac"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each row with probability
+    ``rates[group]`` (fallback ``default_rate``), decided by a pure
+    hash of (salt, id) — u = md5_60(salt ':' id) % 1e6 < rate * 1e6.
+
+    Rows, not RNG draws: the same (salt, id) always gets the same
+    verdict, independent of partitioning, task retries, or row order —
+    the property a 1000-executor sampling job needs for exactly-once
+    semantics under speculative execution. Changing ``salt`` redraws
+    the sample. ``rates`` ships as a literal CASE chain (groups are
+    few by construction: langs, sources, buckets).
+
+    A production run derives ``rates`` from a per-group token-count
+    aggregate vs the target mixture; that aggregate is one groupBy —
+    kept out of this operator so sampling stays a zero-job transform.
+    """
+    u = _md5_long(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) % 1_000_000
+    rate = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == g
+        rate = (
+            F.when(cond, F.lit(float(r)))
+            if rate is None
+            else rate.when(cond, F.lit(float(r)))
+        )
+    rate_col = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return docs.filter(u < (rate_col * 1_000_000).cast("long"))

@@ -513,3 +513,39 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_portable(
         t["documents"], "text", "doc_id", threshold=0.5
     ).orderBy("doc_a", "doc_b")
+
+
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 23rd document stands in for an
+    eval set; the rest are scored for 5-gram overlap against it
+    (operators/curation.py — hashed shingles, broadcast benchmark,
+    no corpus shuffle). Fully oracle-checked: the md5 shingle hashes
+    replay bit-identically in DuckDB."""
+    from aws_de_final_project_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    rest = docs.filter(F.col("doc_id") % 23 != 0)
+    return curation.decontaminate(rest, bench, ngram=5).orderBy("doc_id")
+
+
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: downweight over-represented
+    languages (en 0.3x, zh 0.8x, rest kept) via a pure (salt, doc_id)
+    md5 draw — reproducible under retries/repartitioning, replayed
+    exactly by the DuckDB oracle. Output: post-sample mixture."""
+    from aws_de_final_project_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    kept = curation.mixture_sample(
+        t["documents"], {"en": 0.3, "zh": 0.8}, group_col="lang"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,88 @@
+"""Curation operator tests: benchmark decontamination and
+deterministic mixture sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = _docs(
+        spark, [(100, "the quick brown fox jumps over the lazy dog", "en")]
+    )
+    docs = _docs(
+        spark,
+        [
+            # contains the benchmark 5-gram "the quick brown fox jumps"
+            (1, "intro text the quick brown fox jumps away today", "en"),
+            # shares words but no 5-gram
+            (2, "quick dog brown lazy fox the over jumps spread out", "en"),
+            (3, "completely unrelated sentence about spark engines", "en"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.decontaminate(docs, bench, ngram=5).collect()
+    }
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert not out[3].contaminated
+    for r in out.values():
+        assert r.n_shingles >= 1 and 0.0 <= r.hit_frac <= 1.0
+
+
+def test_decontaminate_short_doc_whole_shingle(spark):
+    """Docs shorter than the n-gram collapse to one whole-doc shingle
+    (same rule as the dedup shinglers) — an exact short match is
+    caught, a different short doc is not."""
+    bench = _docs(spark, [(100, "tiny doc", "en")])
+    docs = _docs(spark, [(1, "tiny doc", "en"), (2, "other doc", "en")])
+    out = {
+        r.doc_id: r
+        for r in curation.decontaminate(docs, bench, ngram=5).collect()
+    }
+    assert out[1].contaminated and out[1].n_shingles == 1
+    assert not out[2].contaminated
+
+
+def test_mixture_sample_deterministic_and_partition_invariant(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 0.25, "zh": 0.75}
+    kept1 = {r.doc_id for r in curation.mixture_sample(docs, rates).collect()}
+    kept2 = {
+        r.doc_id
+        for r in curation.mixture_sample(docs.repartition(13), rates).collect()
+    }
+    assert kept1 == kept2  # pure function of (salt, id) — no RNG state
+    # rates are approximately honored (hash is uniform-ish)
+    n_en = sum(1 for d in kept1 if d % 3 == 0)
+    n_zh = len(kept1) - n_en
+    assert 0.15 < n_en / (2000 / 3) < 0.35
+    assert 0.65 < n_zh / (2000 * 2 / 3) < 0.85
+    # a different salt redraws; a subset survives both draws
+    kept3 = {
+        r.doc_id
+        for r in curation.mixture_sample(docs, rates, salt="mix2").collect()
+    }
+    assert kept3 != kept1
+
+
+def test_mixture_sample_default_rate_keeps_unlisted_groups(spark):
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit("fr").alias("lang")
+    )
+    kept = curation.mixture_sample(docs, {"en": 0.1}).count()
+    assert kept == 300  # default_rate=1.0 -> unlisted groups untouched
+    none = curation.mixture_sample(
+        docs, {"en": 0.1}, default_rate=0.0
+    ).count()
+    assert none == 0
