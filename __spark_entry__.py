@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_blocked": X.dedup_embedding_cosine_blocked,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_minhash_portable": X.dedup_minhash_portable,
+        "dedup_simhash_portable": X.dedup_simhash_portable,
         "grouping_sets_order_stats": Q.grouping_sets_order_stats,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,
@@ -205,6 +206,71 @@ def _ngram_jaccard_sql() -> str:
             )
             SELECT doc_a, doc_b, jaccard FROM pairs
             WHERE jaccard >= 0.5
+    """
+
+
+def _simhash_portable_sql() -> str:
+    """DuckDB twin of dedup.simhash_near_pairs(hash_family='md5',
+    bits=60, chunks=4, max_hamming=3): identical shingle hashes, bit
+    sums, sign reassembly, pigeonhole banding, and popcount verify."""
+    bits, chunks, max_h = 60, 4, 3
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    bsums = ",\n                       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = "\n                         + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    chunk_list = ",".join(str(c) for c in range(chunks))
+    return f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 2, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 2, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            dh AS (
+                SELECT u.doc_id,
+                       ('0x' || substr(md5(u.s1), 1, 15))::BIGINT AS h
+                FROM (SELECT doc_id, unnest(sh) AS s1 FROM s) u
+            ),
+            bs AS (
+                SELECT doc_id,
+                       {bsums}
+                FROM dh GROUP BY doc_id
+            ),
+            sg AS (
+                SELECT doc_id,
+                       ({sig}) AS simhash
+                FROM bs
+            ),
+            banded AS (
+                SELECT doc_id, simhash, c.chunk,
+                       (simhash >> (c.chunk * {chunk_bits})) & {mask} AS key
+                FROM sg, (SELECT unnest([{chunk_list}]) AS chunk) c
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                                a.simhash AS sa, b.simhash AS sb
+                FROM banded a JOIN banded b
+                  ON a.chunk = b.chunk AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sa, sb)) <= {max_h}
+            ORDER BY doc_a, doc_b
     """
 
 
@@ -602,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql() + " ORDER BY doc_a, doc_b",
         "dedup_minhash_portable": _minhash_portable_sql(),
+        "dedup_simhash_portable": _simhash_portable_sql(),
         "decontaminate_vs_benchmark": f"""
             WITH w AS (
                 SELECT doc_id,

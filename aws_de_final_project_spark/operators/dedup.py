@@ -378,23 +378,51 @@ def winnow_fingerprints(
 
 
 def simhash(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64, ngram: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    ngram: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """id -> SimHash signature (bigint).
 
-    Per doc: hash every distinct word-``ngram`` shingle to 64 bits;
-    each output bit is the sign of the sum of (+1/-1) contributions
-    across shingles. Expressed as explode -> 64 conditional sums ->
-    bit reassembly; one shuffle on the doc id. Shingle features for
-    the same reason as minhash: unigram features over a shared
-    vocabulary put unrelated docs within small hamming distance.
+    Per doc: hash every distinct word-``ngram`` shingle to ``bits``
+    bits; each output bit is the sign of the sum of (+1/-1)
+    contributions across shingles. Expressed as explode -> ``bits``
+    conditional sums -> bit reassembly; one shuffle on the doc id.
+    Shingle features for the same reason as minhash: unigram features
+    over a shared vocabulary put unrelated docs within small hamming
+    distance.
+
+    ``hash_family``: "xxhash64" (fast path, 64 bits, Spark-internal)
+    or "md5" (first 60 bits of md5 — bit-identical in every engine,
+    so the signature has a DuckDB twin; pass ``bits<=60``).
     """
-    # explode_outer for the same inferred-filter-pushdown reason as in
-    # minhash_signature; shingle arrays are never empty.
-    exploded = (
-        _hashed_shingle_sets(df, text_col, id_col, ngram)
-        .select("_id", F.explode_outer("_words").alias("_h"))
-    )
+    if hash_family == "xxhash64":
+        # explode_outer for the same inferred-filter-pushdown reason
+        # as in minhash_signature; shingle arrays are never empty.
+        exploded = (
+            _hashed_shingle_sets(df, text_col, id_col, ngram)
+            .select("_id", F.explode_outer("_words").alias("_h"))
+        )
+    elif hash_family == "md5":
+        if bits > 60:
+            raise ValueError(
+                f"md5 family carries 60 portable bits, got bits={bits}"
+            )
+        exploded = (
+            _shingle_sets(df, text_col, id_col, ngram)
+            .select("_id", F.explode_outer("_words").alias("_sh"))
+            .select(
+                "_id",
+                F.conv(F.substring(F.md5("_sh"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("_h"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     bit_sums = exploded.groupBy("_id").agg(
         *[
             F.sum(
@@ -421,6 +449,8 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     ngram: int = 3,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -439,8 +469,12 @@ def simhash_near_pairs(
             "pigeonhole banding cannot guarantee recall — raise "
             "chunks or lower max_hamming"
         )
-    sigs = simhash(df, text_col, id_col, ngram=ngram)
-    chunk_bits = 64 // chunks
+    if bits % chunks != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by chunks ({chunks})")
+    sigs = simhash(
+        df, text_col, id_col, bits=bits, ngram=ngram, hash_family=hash_family
+    )
+    chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     banded = sigs.select(
         "_id",

@@ -549,3 +549,16 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5 hash family (60 portable
+    bits, 4 chunks of 15) — the oracle-checkable twin of
+    dedup_simhash_pairs: DuckDB computes the identical signatures,
+    pigeonhole bands, candidate join, and popcount verify, so the
+    driver hash-checks the full approximate pipeline."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.simhash_near_pairs(
+        t["documents"], "text", "doc_id", max_hamming=3,
+        chunks=4, bits=60, hash_family="md5",
+    ).orderBy("doc_a", "doc_b")

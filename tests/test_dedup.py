@@ -101,6 +101,28 @@ def test_simhash_near_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_simhash_portable_family_agrees_on_planted_pairs(docs):
+    """The md5/60-bit portable family must reproduce the xxhash64
+    family's planted-pair behavior (identical text -> hamming 0,
+    unrelated text -> no pair) and reject invalid bit widths."""
+    import pytest as _pytest
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_pairs(
+            docs, "text", "doc_id", 3, bits=60, hash_family="md5"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_pairs(
+            docs, "text", "doc_id", 3, bits=64, hash_family="md5"
+        )
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, "text", "doc_id", 3, bits=62)
+
+
 def test_connected_components_vs_union_find(spark):
     """Iterative min-label propagation must agree with a driver-side
     union-find on a random 200-node graph (including chain-shaped
