@@ -53,6 +53,30 @@ def _dot(a, b):
     )
 
 
+def _lit_array_sql(values) -> str:
+    """SQL text of a literal double array (same floats as
+    :func:`_lit_array` — repr round-trips float64 exactly)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+
+
+def _dot_lit_sql(vec_sql: str, values) -> str:
+    """SQL text of the SAME expression tree :func:`_dot` builds
+    against a literal array: parse it and you get bit-identical
+    arithmetic (zip_with + left-to-right aggregate, double init).
+
+    Why text: every :func:`_dot` call is ~10 py4j round trips; a
+    signature/centroid bank needs tables x planes of them and the
+    DRIVER-side build dominates the query (measured 1.9 s build for
+    8x4 planes vs 2.0 s execution). Concatenating strings is free;
+    ONE F.expr call parses the whole bank.
+    """
+    return (
+        f"aggregate(zip_with({vec_sql}, {_lit_array_sql(values)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
@@ -271,13 +295,11 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in C]
 
 
-def _nearest_centroid(vec_col, cents: list[list[float]]):
-    """Index (0-based) of the max-dot-product centroid."""
-    dots = F.array(
-        *[
-            _dot(vec_col, _lit_array(c))
-            for c in cents
-        ]
+def _nearest_centroid(vec_sql: str, cents: list[list[float]]):
+    """Index (0-based) of the max-dot-product centroid — the whole
+    centroid bank is ONE parsed SQL string (see :func:`_dot_lit_sql`)."""
+    dots = F.expr(
+        "array(" + ",".join(_dot_lit_sql(vec_sql, c) for c in cents) + ")"
     )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
@@ -318,18 +340,18 @@ def ivf_ann_topk(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
         _norm(F.col(vec_col)).alias("_cn"),
-        _nearest_centroid(F.col(vec_col), cents).alias("cell"),
+        _nearest_centroid(vec_col, cents).alias("cell"),
     )
-    # query side: top n_probe cells by centroid dot product
-    qdots = F.array(
-        *[
-            F.struct(
-                (-_dot(F.col("_qvec"), _lit_array(cc)))
-                .alias("nd"),
-                F.lit(i).cast("int").alias("i"),
-            )
+    # query side: top n_probe cells by centroid dot product — the
+    # whole (negated-dot, index) struct bank as ONE parsed string
+    qdots = F.expr(
+        "array("
+        + ",".join(
+            f"struct(-({_dot_lit_sql('_qvec', cc)}) AS nd, "
+            f"CAST({i} AS INT) AS i)"
             for i, cc in enumerate(cents)
-        ]
+        )
+        + ")"
     )
     q = (
         queries.select(
@@ -408,14 +430,14 @@ def cosine_dup_pairs(
             """(id, tbl, sig) — signatures computed scan-side, vector
             DROPPED before any shuffle: the bucket join and pair dedup
             move 16-byte id rows, not embeddings."""
-            sigs = F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_signature(F.col(vcol), planes).alias("sig"),
-                    )
+            sigs = F.expr(
+                "array("
+                + ",".join(
+                    f"struct(CAST({t} AS INT) AS tbl, "
+                    f"{lsh_signature_sql(vcol, planes)} AS sig)"
                     for t, planes in enumerate(tables)
-                ]
+                )
+                + ")"
             )
             return df.select(
                 F.col(idc), F.explode(sigs).alias("_ts")
@@ -475,7 +497,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec_col, planes: list[list[float]]):
-    """Sign-bit signature (bigint) of a vector against hyperplanes."""
+    """Sign-bit signature (bigint) of a vector against hyperplanes.
+
+    Pass the COLUMN NAME (str) when you can: the whole signature then
+    builds as one SQL string -> one py4j round trip -> one parse
+    (see :func:`_dot_lit_sql`); a Column falls back to per-plane
+    expression construction (identical result, slower build).
+    """
+    if isinstance(vec_col, str):
+        return F.expr(lsh_signature_sql(vec_col, planes))
     sig = None
     for i, plane in enumerate(planes):
         lit_plane = _lit_array(plane)
@@ -484,6 +514,21 @@ def lsh_signature(vec_col, planes: list[list[float]]):
         )
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of the same sign-bit signature expression tree."""
+    terms = [
+        "shiftleft(CASE WHEN "
+        + _dot_lit_sql(vec_sql, plane)
+        + " >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, "
+        + f"{i})"
+        for i, plane in enumerate(planes)
+    ]
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = f"({sig} | {t})"
     return sig
 
 
@@ -529,7 +574,7 @@ def lsh_ann_topk(
         sigs = df.select(
             F.col(idc),
             *[
-                lsh_signature(F.col(vec_col), planes).alias(f"_s{t}")
+                lsh_signature(vec_col, planes).alias(f"_s{t}")
                 for t, planes in enumerate(table_sets)
             ],
         )
