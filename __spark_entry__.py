@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_sessions": Q.range_join_event_sessions,
         "pivot_event_matrix": Q.pivot_event_matrix,
         "latest_event_per_user": Q.latest_event_per_user,
+        "user_value_intervals": Q.user_value_intervals,
+        "corr_qty_price_by_flag": Q.corr_qty_price_by_flag,
+        "order_value_deciles": Q.order_value_deciles,
         "skew_plain_join": Q.skew_plain_join,
         "skew_salted_join": Q.skew_salted_join,
         "cube_order_stats": Q.cube_order_stats,
@@ -640,6 +643,47 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1
             ORDER BY user_id
+        """,
+        "user_value_intervals": """
+            SELECT user_id, event_id, value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, valid_from, event_id
+        """,
+        "corr_qty_price_by_flag": """
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   (floor((stddev_samp(l_quantity)) * 10000.0 + 0.5)
+                    / 10000.0) AS std_qty,
+                   (floor((corr(l_quantity, l_extendedprice)) * 10000.0 + 0.5)
+                    / 10000.0) AS corr_qty_price,
+                   (floor((covar_samp(l_quantity, l_discount)) * 10000.0 + 0.5)
+                    / 10000.0) AS covar_qty_disc
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "order_value_deciles": """
+            SELECT decile,
+                   count(*) AS n_orders,
+                   (floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0)
+                       AS min_price,
+                   (floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0)
+                       AS max_price,
+                   (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0)
+                       AS sum_price
+            FROM (
+                SELECT o_totalprice,
+                       ntile(10) OVER (
+                           ORDER BY o_totalprice, o_orderkey
+                       ) AS decile
+                FROM orders
+            )
+            GROUP BY decile
+            ORDER BY decile
         """,
         "dedup_exact_groups": f"""
             SELECT md5({norm_text}) AS fingerprint,

@@ -725,3 +725,79 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderpriority ASC NULLS FIRST
         """
     )
+
+
+def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals from a change log: each event's
+    value is valid from its own timestamp until the user's next event
+    (NULL = current version). One window shuffle on user_id — the
+    standard temporal-table build a warehouse does for dimension
+    history, absent from the reference (its processed zone keeps every
+    version forever with no validity bounds)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            (F.lead("ts").over(w).isNull()).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: sample stddev of
+    quantity, quantity/price correlation and sample covariance — the
+    built-in one-pass JVM aggregates (no second scan, no UDF)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            rnd(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            rnd(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            rnd(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+                "covar_qty_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing of orders by total price (unique
+    o_orderkey tiebreak makes the ordering — hence the buckets —
+    deterministic), then per-decile stats.
+
+    Scale note: a global NTILE is a single-partition sort (Spark warns
+    on the unpartitioned window) — acceptable for bounded reporting
+    output, NOT for a 100 TB fact table; at scale, bucket by
+    percentile boundaries instead (exact percentiles distribute —
+    see median_value_by_type), trading exact equal-count buckets for
+    a fully parallel plan."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.min("o_totalprice"), 2).alias("min_price"),
+            rnd(F.max("o_totalprice"), 2).alias("max_price"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
