@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_matrix": Q.pivot_event_matrix,
         "latest_event_per_user": Q.latest_event_per_user,
         "user_value_intervals": Q.user_value_intervals,
+        "gap_fill_hourly_values": Q.gap_fill_hourly_values,
         "corr_qty_price_by_flag": Q.corr_qty_price_by_flag,
         "order_value_deciles": Q.order_value_deciles,
         "skew_plain_join": Q.skew_plain_join,
@@ -643,6 +644,36 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1
             ORDER BY user_id
+        """,
+        "gap_fill_hourly_values": """
+            WITH h AS (
+                SELECT user_id, date_trunc('hour', ts) AS hour,
+                       (floor((avg(value)) * 10000.0 + 0.5) / 10000.0) AS v
+                FROM events WHERE user_id < 20
+                GROUP BY user_id, date_trunc('hour', ts)
+            ),
+            b AS (
+                SELECT user_id, min(hour) AS mn, max(hour) AS mx
+                FROM h GROUP BY user_id
+            ),
+            spine AS (
+                SELECT user_id,
+                       unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                           AS hour
+                FROM b
+            ),
+            j AS (
+                SELECT s.user_id, s.hour, h.v
+                FROM spine s LEFT JOIN h USING (user_id, hour)
+            )
+            SELECT user_id, hour,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value_filled,
+                   v IS NULL AS is_gap
+            FROM j
+            ORDER BY user_id, hour
         """,
         "user_value_intervals": """
             SELECT user_id, event_id, value,

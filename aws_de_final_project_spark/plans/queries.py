@@ -801,3 +801,47 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill: per user, build the
+    dense hourly spine between their first and last event
+    (``sequence`` + explode — no driver loop, no cross join with a
+    global calendar) and carry the last observed hourly average across
+    gap hours (``last(ignorenulls)`` running window).
+
+    The spine explode is per-key bounded (a user's own time range) —
+    at 100 TB the row count is sum of per-key spans, not keys x global
+    calendar, and the fill is one window shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(rnd(F.avg("value"), 4).alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )

@@ -303,3 +303,30 @@ def load_tables(
         elif register_views:
             df.createOrReplaceTempView(name)
     return out
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_partitions: int = 8,
+) -> None:
+    """Persist ``df`` as parquet globally range-clustered on
+    ``sort_cols``: repartitionByRange assigns disjoint key ranges to
+    partitions (sampled range boundaries — one extra pass, no global
+    sort), sortWithinPartitions orders rows inside each file.
+
+    This is the poor-man's z-order for one key prefix: every file
+    covers a disjoint [min, max] slice of the leading sort column, so
+    parquet row-group/file min-max statistics let a range predicate
+    skip everything but the overlapping files (proof:
+    tests/test_plan_shapes.py asserts pairwise-disjoint file ranges
+    and a pruned scan). At 100 TB this is the difference between
+    scanning one file and scanning the table for time-range queries;
+    re-cluster periodically as data appends."""
+    (
+        df.repartitionByRange(n_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -129,3 +129,56 @@ def test_partial_aggregation_before_exchange(plans):
     p = plans("q1_pricing_summary")
     first_agg = p.index("HashAggregate")
     assert "partial_sum" in p or "Partial" in p[first_agg:]
+
+
+def test_range_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted must yield files whose [min, max] slices of
+    the leading sort column are pairwise disjoint — the property
+    parquet min/max stats need for a range predicate to skip all but
+    the overlapping files — and rows must be sorted inside each file."""
+    import pyarrow.parquet as pq
+
+    from aws_de_final_project_spark.sources.registry import (
+        load_tables,
+        write_range_sorted,
+    )
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    out = str(tmp_path / "events_sorted")
+    write_range_sorted(ev.select("event_id", "user_id", "value"), out,
+                       ["user_id", "event_id"], n_partitions=6)
+
+    ranges = []
+    import glob as _glob
+
+    for f in sorted(_glob.glob(out + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # user_id
+            assert col.path_in_schema == "user_id"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range partitioner actually spread the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # a point probe overlaps at most 2 files (1, or 2 when the probe
+    # key itself sits on a range boundary — tuple-range partitioning
+    # can split one user_id across adjacent files)
+    probe = ranges[2][0]
+    overlapping = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+    assert 1 <= overlapping <= 2 < len(ranges)
+
+    # read-back correctness + per-file sortedness
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    import pandas as pd
+
+    for f in _glob.glob(out + "/part-*.parquet"):
+        pdf = pq.read_table(f, columns=["user_id", "event_id"]).to_pandas()
+        assert pdf.sort_values(["user_id", "event_id"]).reset_index(
+            drop=True
+        ).equals(pdf.reset_index(drop=True))
