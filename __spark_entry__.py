@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": Q.latest_event_per_user,
         "user_value_intervals": Q.user_value_intervals,
         "gap_fill_hourly_values": Q.gap_fill_hourly_values,
+        "full_outer_nation_activity": Q.full_outer_nation_activity,
+        "above_customer_avg_orders": Q.above_customer_avg_orders,
         "corr_qty_price_by_flag": Q.corr_qty_price_by_flag,
         "order_value_deciles": Q.order_value_deciles,
         "skew_plain_join": Q.skew_plain_join,
@@ -644,6 +646,42 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1
             ORDER BY user_id
+        """,
+        "full_outer_nation_activity": """
+            WITH cust AS (
+                SELECT c_nationkey AS nationkey, count(*) AS n_customers
+                FROM customer GROUP BY c_nationkey
+            ),
+            supp AS (
+                SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+                FROM supplier WHERE s_acctbal > 9000
+                GROUP BY s_nationkey
+            )
+            SELECT coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+                   n.n_name,
+                   coalesce(n_customers, 0) AS n_customers,
+                   coalesce(n_rich_suppliers, 0) AS n_rich_suppliers
+            FROM cust FULL OUTER JOIN supp USING (nationkey)
+            LEFT JOIN nation n
+              ON coalesce(cust.nationkey, supp.nationkey) = n.n_nationkey
+            ORDER BY nationkey
+        """,
+        "above_customer_avg_orders": """
+            WITH flagged AS (
+                SELECT o_custkey, o_totalprice,
+                       o_totalprice > avg(o_totalprice) OVER (
+                           PARTITION BY o_custkey
+                       ) AS above
+                FROM orders
+            )
+            SELECT o_custkey,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(above AS INT)) AS BIGINT) AS n_above_avg,
+                   (floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0)
+                       AS avg_price
+            FROM flagged
+            GROUP BY o_custkey
+            ORDER BY o_custkey
         """,
         "gap_fill_hourly_values": """
             WITH h AS (

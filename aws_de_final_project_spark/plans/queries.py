@@ -845,3 +845,64 @@ def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with asymmetric key domains:
+    customer counts per nation vs counts of well-capitalized suppliers
+    (acctbal > 9000 — most nations drop off that side), coalesced to a
+    dense activity report. Completes the join-type surface (inner /
+    left / semi / anti are covered elsewhere). Both inputs are
+    post-aggregation ~25-row relations — the outer join is broadcast-
+    trivial at any corpus scale."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier", "nation"))
+    cust = (
+        t["customer"].groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        t["supplier"].filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(
+            "nationkey",
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics ("orders above this
+    customer's own average") expressed as a window aggregate — one
+    shuffle on the correlation key instead of a per-row subquery
+    re-scan; the decorrelation every optimizer hopes to reach,
+    written directly."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey")
+    flagged = t["orders"].select(
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_totalprice") > F.avg("o_totalprice").over(w)).alias("_above"),
+    )
+    return (
+        flagged.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("_above").cast("int")).alias("n_above_avg"),
+            rnd(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_custkey")
+    )
