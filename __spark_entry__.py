@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_stats": X.multimodal_resize_stats,
         "multimodal_feature_knn": X.multimodal_feature_knn,
         "multimodal_frame_sample": X.multimodal_frame_sample,
+        "line_dedup_docs": X.line_dedup_docs,
+        "chunk_text_windows": X.chunk_text_windows,
+        "pack_training_sequences": X.pack_training_sequences,
     }
 
 
@@ -1388,6 +1391,71 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (genuinely engine-hash/sketch dependent):
         #   dedup_minhash_lsh, dedup_simhash_pairs (Spark xxhash64 has
         #   no DuckDB twin), sketch_event_stats (HLL/KLL internals)
+        "line_dedup_docs": """
+            WITH lines AS (
+                SELECT doc_id, unnest(range(len(lines))) AS pos,
+                       unnest(lines) AS line
+                FROM (SELECT doc_id,
+                        list_transform(
+                            range(0, CAST(ceil(len(ws)/10.0) AS BIGINT)),
+                            k -> array_to_string(ws[k*10+1:k*10+10], ' ')
+                        ) AS lines
+                      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                            FROM documents))
+            ), first AS (
+                SELECT doc_id, pos, line FROM (
+                    SELECT doc_id, pos, line,
+                           row_number() OVER (PARTITION BY md5(line)
+                               ORDER BY doc_id, pos) AS rn
+                    FROM lines) WHERE rn = 1
+            ), kept AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+                FROM first GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   coalesce(k.text_dedup, '') AS text_dedup
+            FROM (SELECT doc_id, count(*) AS n_lines
+                  FROM lines GROUP BY doc_id) t
+            LEFT JOIN kept k USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "chunk_text_windows": """
+            SELECT doc_id, chunk_id,
+                   chunk_id*80 + 1 AS begin_char,
+                   least(chunk_id*80 + 120, length(text)) AS end_char,
+                   substr(text, chunk_id*80 + 1, 120) AS chunk
+            FROM (SELECT doc_id, text,
+                    unnest(range(0, greatest(1,
+                        CAST(ceil((length(text)-120)/80.0) AS BIGINT) + 1)
+                    )) AS chunk_id
+                  FROM documents)
+            ORDER BY doc_id, chunk_id
+        """,
+        "pack_training_sequences": """
+            WITH base AS (
+                SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents
+            ), offs AS (
+                SELECT *, CAST(coalesce(sum(n_tok) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS strt
+                FROM base
+            ), ex AS (
+                SELECT doc_id, shard, n_tok, strt,
+                       unnest(range(strt // 256,
+                                    (strt + n_tok - 1) // 256 + 1)) AS seq_id
+                FROM offs
+            )
+            SELECT doc_id, shard, seq_id, n_tok,
+                   greatest(seq_id * 256 - strt, 0) AS begin_tok,
+                   least((seq_id + 1) * 256, strt + n_tok) - strt AS end_tok
+            FROM ex
+            ORDER BY doc_id, shard, seq_id
+        """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the
     # HOF path, so it shares the oracle verbatim (4dp rounding absorbs

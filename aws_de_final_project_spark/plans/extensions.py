@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 
 from aws_de_final_project_spark.functions import text as TX
-from aws_de_final_project_spark.operators import dedup, multimodal, similarity
+from aws_de_final_project_spark.operators import (
+    dedup,
+    multimodal,
+    segments,
+    similarity,
+)
 from aws_de_final_project_spark.sources.registry import embedding_dim, load_tables
 
 
@@ -562,3 +567,40 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], "text", "doc_id", max_hamming=3,
         chunks=4, bits=60, hash_family="md5",
     ).orderBy("doc_a", "doc_b")
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global line dedup with document reassembly:
+    each 10-word pseudo-line is kept only at its smallest (doc_id,
+    pos) occurrence corpus-wide, and documents are rebuilt from their
+    surviving lines. One md5-keyed shuffle + one doc_id shuffle —
+    the canonical pretraining line-dedup pass at corpus scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return segments.line_dedup(
+        t["documents"], "text", "doc_id", words_per_line=10
+    ).orderBy("doc_id")
+
+
+def chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 120-char sliding windows with stride 80
+    (40-char overlap), tail-covering, with 1-based [begin, end]
+    character offsets. Pure narrow transform — sequence + posexplode
+    + substring, zero shuffles."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return segments.chunk_text(
+        t["documents"], "text", "doc_id", size=120, stride=80
+    ).orderBy("doc_id", "chunk_id")
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the documents table into
+    256-token training sequences across 4 shards: docs lie end-to-end
+    per shard in id order, cut every 256 whitespace tokens; a doc
+    crossing a cut appears once per overlapped sequence with the
+    half-open [begin_tok, end_tok) slice it contributes. The offset
+    window is partitioned by shard — no global-order single-task
+    window anywhere in the plan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return segments.pack_sequences(
+        t["documents"], "text", "doc_id", budget=256, n_shards=4
+    ).orderBy("doc_id", "shard", "seq_id")

@@ -1,0 +1,165 @@
+"""Segment-level operators: relineation, C4 line dedup, RAG chunking,
+concat-and-chunk sequence packing (operators/segments.py).
+
+Invariants tested here are the ones the DuckDB oracle can't see:
+idempotence, coverage/overlap algebra, and plan shape (no global
+single-partition window in pack_sequences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators import segments as S
+from aws_de_final_project_spark.sources.registry import load_tables
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def test_relineate_roundtrip(spark, sf_dir):
+    """Rejoining the pseudo-lines in pos order reproduces the text."""
+    docs = _docs(spark, sf_dir)
+    rebuilt = (
+        S.relineate(docs, words_per_line=10)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("re")
+        )
+    )
+    bad = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("re") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_line_dedup_first_doc_keeps_everything(spark, sf_dir):
+    """The corpus-wide first occurrence wins, so the smallest doc_id
+    can only lose a line to an EARLIER position of itself — its first
+    line always survives."""
+    out = S.line_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+    first = out.first()
+    assert first["n_kept"] >= 1
+    assert first["n_kept"] <= first["n_lines"]
+
+
+def test_line_dedup_idempotent(spark, sf_dir):
+    """Deduping the deduped corpus removes nothing further (every
+    surviving line is already globally unique)."""
+    once = S.line_dedup(_docs(spark, sf_dir)).filter(F.col("n_kept") > 0)
+    twice = S.line_dedup(
+        once.select("doc_id", F.col("text_dedup").alias("text")),
+        words_per_line=10**6,  # one line per (already deduped) text
+    )
+    lost = twice.filter(F.col("n_kept") < F.col("n_lines")).count()
+    assert lost == 0
+
+
+def test_line_dedup_removes_cross_doc_duplicates(spark):
+    spark_df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),
+            (3, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_kept"], r["text_dedup"])
+        for r in S.line_dedup(spark_df, words_per_line=10).collect()
+    }
+    assert out[1] == (1, "a b c")
+    assert out[2] == (0, "")
+    assert out[3] == (1, "x y z")
+
+
+def test_chunk_text_covers_and_overlaps(spark, sf_dir):
+    """Chunk algebra: chunk k starts at k*stride+1, consecutive chunks
+    overlap by size-stride chars, the union covers the whole text, and
+    every in-bounds chunk is exactly `size` chars."""
+    docs = _docs(spark, sf_dir)
+    chunks = S.chunk_text(docs, size=120, stride=80)
+    # full coverage: max end_char == doc length, min begin == 1
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.min("begin_char").alias("b"),
+            F.max("end_char").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .join(docs.select("doc_id", F.length("text").alias("len")), "doc_id")
+    )
+    assert agg.filter((F.col("b") != 1) | (F.col("e") != F.col("len"))).count() == 0
+    # every chunk's text really is substring(text, begin, 120)
+    bad = (
+        chunks.join(docs, "doc_id")
+        .filter(
+            F.col("chunk")
+            != F.expr("substring(text, begin_char, 120)")
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunk_text_short_text_single_chunk(spark):
+    df = spark.createDataFrame([(1, "tiny")], ["doc_id", "text"])
+    rows = S.chunk_text(df, size=120, stride=80).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk"] == "tiny"
+    assert rows[0]["begin_char"] == 1 and rows[0]["end_char"] == 4
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.chunk_text(df, size=10, stride=20)
+    with pytest.raises(ValueError):
+        S.chunk_text(df, size=0, stride=0)
+
+
+def test_pack_sequences_coverage_and_budget(spark, sf_dir):
+    """Every document's token span is exactly covered by its sequence
+    slices (no gap, no overlap), and no sequence holds more than
+    `budget` tokens."""
+    docs = _docs(spark, sf_dir)
+    packed = S.pack_sequences(docs, budget=256, n_shards=4)
+    per_doc = packed.groupBy("doc_id").agg(
+        F.sum(F.col("end_tok") - F.col("begin_tok")).alias("covered"),
+        F.first("n_tok").alias("n_tok"),
+    )
+    assert per_doc.filter(F.col("covered") != F.col("n_tok")).count() == 0
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum(F.col("end_tok") - F.col("begin_tok")).alias("toks")
+    )
+    assert per_seq.filter(F.col("toks") > 256).count() == 0
+    # all but the last sequence of each shard are packed FULL
+    w_max = per_seq.groupBy("shard").agg(F.max("seq_id").alias("last"))
+    short_full = (
+        per_seq.join(w_max, "shard")
+        .filter((F.col("seq_id") < F.col("last")) & (F.col("toks") != 256))
+        .count()
+    )
+    assert short_full == 0
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The offset window must be partitioned by shard — a plan with a
+    `Window [... ORDER BY ...]` and NO partition spec serializes the
+    corpus through one task. Assert the physical plan's exchange is
+    hashpartitioning, not SinglePartition."""
+    docs = _docs(spark, sf_dir)
+    plan = S.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
