@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": X.line_dedup_docs,
         "chunk_text_windows": X.chunk_text_windows,
         "pack_training_sequences": X.pack_training_sequences,
+        "dq_orders_suite": X.dq_orders_suite,
+        "dq_documents_suite": X.dq_documents_suite,
     }
 
 
@@ -1455,6 +1457,66 @@ def oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 256, strt + n_tok) - strt AS end_tok
             FROM ex
             ORDER BY doc_id, shard, seq_id
+        """,
+        "dq_orders_suite": """
+            SELECT check_name, violations, violations = 0 AS passed FROM (
+                SELECT 'not_null:o_custkey' AS check_name,
+                       count(*) FILTER (WHERE o_custkey IS NULL) AS violations
+                FROM orders
+                UNION ALL
+                SELECT 'unique:o_orderkey',
+                       count(*) - count(DISTINCT o_orderkey) FROM orders
+                UNION ALL
+                SELECT 'in_range:o_totalprice',
+                       count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0 OR o_totalprice > 400000))
+                FROM orders
+                UNION ALL
+                SELECT 'accepted_values:o_orderstatus',
+                       count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('O','F','P'))
+                FROM orders
+                UNION ALL
+                SELECT 'matches_regex:o_orderpriority',
+                       count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                           AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'))
+                FROM orders
+                UNION ALL
+                SELECT 'satisfies:date_in_epoch',
+                       count(*) FILTER (WHERE NOT coalesce(
+                           o_orderdate >= DATE '1992-01-01', FALSE))
+                FROM orders
+                UNION ALL
+                SELECT 'referential:o_custkey->c_custkey',
+                       count(*) FILTER (WHERE o_custkey IS NOT NULL
+                           AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+                FROM orders
+            ) ORDER BY check_name
+        """,
+        "dq_documents_suite": """
+            SELECT check_name, violations, violations = 0 AS passed FROM (
+                SELECT 'unique:doc_id' AS check_name,
+                       count(*) - count(DISTINCT doc_id) AS violations
+                FROM documents
+                UNION ALL
+                SELECT 'not_null:text',
+                       count(*) FILTER (WHERE text IS NULL) FROM documents
+                UNION ALL
+                SELECT 'satisfies:n_chars_consistent',
+                       count(*) FILTER (WHERE NOT coalesce(
+                           n_chars = length(text), FALSE))
+                FROM documents
+                UNION ALL
+                SELECT 'accepted_values:lang',
+                       count(*) FILTER (WHERE lang IS NOT NULL
+                           AND lang NOT IN ('en','de','es','fr'))
+                FROM documents
+                UNION ALL
+                SELECT 'matches_regex:source',
+                       count(*) FILTER (WHERE source IS NOT NULL
+                           AND NOT regexp_matches(source, '^src[0-9]+$'))
+                FROM documents
+            ) ORDER BY check_name
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

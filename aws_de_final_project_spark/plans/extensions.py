@@ -18,6 +18,7 @@ from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 from aws_de_final_project_spark.functions import text as TX
 from aws_de_final_project_spark.operators import (
     dedup,
+    dq,
     multimodal,
     segments,
     similarity,
@@ -604,3 +605,47 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segments.pack_sequences(
         t["documents"], "text", "doc_id", budget=256, n_shards=4
     ).orderBy("doc_id", "shard", "seq_id")
+
+
+def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite on orders: 5 expression checks +
+    a referential check against customer, all computed in a SINGLE
+    scan of the fact table (one hash-aggregate; the customer key set
+    is broadcast into the same pass). The 400k price ceiling is
+    deliberately tight so in_range reports real violations — a check
+    suite that can only ever return zeros proves nothing."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return dq.check_suite(
+        t["orders"],
+        [
+            dq.not_null("o_custkey"),
+            dq.unique("o_orderkey"),
+            dq.in_range("o_totalprice", 0.0, 400000.0),
+            dq.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            dq.matches_regex("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+            dq.satisfies(
+                "date_in_epoch", F.col("o_orderdate") >= F.lit("1992-01-01")
+            ),
+        ],
+        refs=[("o_custkey", t["customer"], "c_custkey")],
+    )
+
+
+def dq_documents_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ suite on documents: uniqueness, consistency between the
+    n_chars metadata column and the actual text length, and an
+    accepted-language list that deliberately omits 'zh' so the check
+    surfaces a real violation count."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dq.check_suite(
+        t["documents"],
+        [
+            dq.unique("doc_id"),
+            dq.not_null("text"),
+            dq.satisfies(
+                "n_chars_consistent", F.col("n_chars") == F.length("text")
+            ),
+            dq.accepted_values("lang", ["en", "de", "es", "fr"]),
+            dq.matches_regex("source", "^src[0-9]+$"),
+        ],
+    )

@@ -1,0 +1,78 @@
+"""Data-quality expectation suite (operators/dq.py).
+
+Every check type exercised on inline rows with KNOWN violation counts,
+plus plan-shape proof that an arbitrary suite costs one scan (single
+hash-aggregate) and that referential checks ride a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators import dq
+
+
+def _suite_map(df, checks, refs=()):
+    rows = dq.check_suite(df, checks, refs=refs).collect()
+    return {r["check_name"]: (r["violations"], r["passed"]) for r in rows}
+
+
+def test_all_check_types(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "OK"),
+            (2, None, 250.0, "OK"),       # null name, price over ceiling
+            (2, "c", -5.0, "BAD"),        # dup id, price under floor, bad status
+            (3, "d", None, "weird"),      # null price (not a range violation)
+        ],
+        "id int, name string, price double, status string",
+    )
+    got = _suite_map(
+        df,
+        [
+            dq.not_null("name"),
+            dq.unique("id"),
+            dq.in_range("price", 0.0, 100.0),
+            dq.accepted_values("status", ["OK", "BAD"]),
+            dq.matches_regex("status", "^[A-Z]+$"),
+            dq.satisfies("price_under_1k", F.col("price") < 1000),
+        ],
+    )
+    assert got["not_null:name"] == (1, False)
+    assert got["unique:id"] == (1, False)
+    assert got["in_range:price"] == (2, False)
+    assert got["accepted_values:status"] == (1, False)
+    assert got["matches_regex:status"] == (1, False)
+    # NULL price -> cond NULL -> counted as violation (unverifiable row)
+    assert got["satisfies:price_under_1k"] == (1, False)
+
+
+def test_referential_check(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+    )
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "k int")
+    got = _suite_map(
+        fact, [dq.not_null("fk")], refs=[("fk", dim, "k")]
+    )
+    # fk=99 is an orphan; NULL fk is NOT an orphan (it's a not_null hit)
+    assert got["referential:fk->k"] == (1, False)
+    assert got["not_null:fk"] == (1, False)
+
+
+def test_passing_suite(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    out = dq.check_suite(df, [dq.unique("id"), dq.not_null("s")])
+    assert all(r["passed"] and r["violations"] == 0 for r in out.collect())
+
+
+def test_single_scan_plan(spark, sf_dir):
+    """An N-check suite with a referential check must still be ONE scan
+    of the fact table: exactly one parquet scan of orders in the plan,
+    and the dimension side broadcast (no shuffle of the fact)."""
+    from aws_de_final_project_spark.plans.extensions import dq_orders_suite
+
+    plan = dq_orders_suite(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
