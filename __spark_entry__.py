@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text_windows": X.chunk_text_windows,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
+        "dedup_semantic_clustered": X.dedup_semantic_clustered,
         "dq_documents_suite": X.dq_documents_suite,
     }
 
@@ -1327,6 +1328,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS int) AS rank
             FROM ranked WHERE rnk <= 10
             ORDER BY query_id, rank
+        """,
+        "dedup_semantic_clustered": f"""
+            WITH cents AS (
+                SELECT * FROM (VALUES {_cents_values(16, 64)}) t(cid, cv)
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT c.vec_id, k.cid AS cell,
+                           row_number() OVER (
+                               PARTITION BY c.vec_id
+                               ORDER BY list_dot_product(c.e, k.cv) DESC,
+                                        k.cid ASC
+                           ) AS rn
+                    FROM corpus c CROSS JOIN cents k
+                ) WHERE rn <= 2
+            ),
+            pairs AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ),
+            scored AS (
+                SELECT p.id_a, p.id_b,
+                       (floor((
+                           list_dot_product(x.e, y.e) /
+                           (sqrt(list_dot_product(x.e, x.e))
+                            * sqrt(list_dot_product(y.e, y.e)))
+                       ) * 10000.0 + 0.5) / 10000.0) AS cos
+                FROM pairs p
+                JOIN corpus x ON x.vec_id = p.id_a
+                JOIN corpus y ON y.vec_id = p.id_b
+            )
+            SELECT id_a, id_b, cos FROM scored
+            WHERE cos >= 0.3
+            ORDER BY id_a, id_b
         """,
         "dedup_embedding_cosine_blocked": f"""
             WITH planes AS (

@@ -644,3 +644,88 @@ def lsh_ann_topk(
             "rank",
         )
     )
+
+
+def _top_cells_sql(vec_sql: str, cents: list[list[float]], n_assign: int) -> str:
+    """SQL text: array of the ``n_assign`` nearest-centroid ids
+    (dot desc, id asc — same tiebreak as :func:`_nearest_centroid`).
+    Like the signature banks, the whole centroid sweep is ONE string
+    -> one parse -> pure codegen arithmetic at runtime."""
+    dots = "array(" + ",".join(_dot_lit_sql(vec_sql, c) for c in cents) + ")"
+    return (
+        f"slice(transform(array_sort(zip_with({dots}, "
+        f"sequence(0, {len(cents) - 1}), "
+        "(d, i) -> named_struct('d', d, 'i', i)), "
+        "(l, r) -> CASE WHEN l.d > r.d THEN -1 WHEN l.d < r.d THEN 1 "
+        "WHEN l.i < r.i THEN -1 ELSE 1 END), "
+        f"s -> CAST(s.i AS INT)), 1, {n_assign})"
+    )
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style clustered semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by nearest centroid, then
+    find near-duplicate pairs WITHIN clusters only — the cross-cluster
+    pair space is never materialized, so cost drops from O(n^2) to
+    O(sum of cluster sizes squared) ~ O(n^2 / n_clusters).
+
+    ``n_assign > 1`` soft-assigns each vector to its top-p cells
+    (multi-assignment — the dedup analog of IVF probing): a pair
+    straddling a cell boundary is still caught when ANY assigned cell
+    is shared. Recall vs the exact path is asserted in
+    tests/test_similarity.py; with fixed deterministic centroids the
+    whole pipeline (assignment included) is oracle-checkable, unlike
+    hash-seeded LSH.
+
+    Scale shape: one scan tags cells (codegen arithmetic over literal
+    centroids — vectors never shuffle with their cells), candidates
+    come from an equi-join on cell, pair dedup happens on bare id
+    pairs BEFORE vectors re-attach for the exact-cosine verify.
+    ``centroids``: pass :func:`kmeans_centroids` output for trained
+    cells; default is the fixed-random quantizer.
+    """
+    cents = centroids if centroids is not None else _centroids(dim, n_clusters)
+    cells = F.explode(F.expr(_top_cells_sql(vec_col, cents, n_assign)))
+
+    a = corpus.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    tagged_a = corpus.select(F.col(id_col).alias("_ida"), cells.alias("cell"))
+    tagged_b = corpus.select(F.col(id_col).alias("_idb"), cells.alias("cell"))
+    pairs = (
+        tagged_a.join(tagged_b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .dropDuplicates(["_ida", "_idb"])
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    )
+    return (
+        pairs.join(a, "_ida")
+        .join(b, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            rnd(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                4,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -649,3 +649,20 @@ def dq_documents_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.matches_regex("source", "^src[0-9]+$"),
         ],
     )
+
+
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style clustered embedding dedup: 16 fixed centroids,
+    top-2 soft assignment, within-cell exact-cosine verify at 0.3.
+    Third point in the embedding-dedup design space alongside the
+    exact baseline (dedup_embedding_cosine) and hyperplane-LSH
+    blocking (dedup_embedding_cosine_blocked); fully oracle-checked
+    because the centroid bank is a deterministic driver-side literal."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.semantic_dup_pairs(
+        t["embeddings"],
+        dim=embedding_dim(sf_dir),
+        threshold=0.3,
+        n_clusters=16,
+        n_assign=2,
+    ).orderBy("id_a", "id_b")

@@ -182,3 +182,11 @@ def test_range_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
         assert pdf.sort_values(["user_id", "event_id"]).reset_index(
             drop=True
         ).equals(pdf.reset_index(drop=True))
+
+
+def test_semantic_dedup_no_cartesian(plans):
+    """The clustered SemDeDup path must be an equi-join on cell id —
+    the centroid sweep happens scan-side as codegen arithmetic."""
+    p = plans("dedup_semantic_clustered")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

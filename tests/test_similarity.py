@@ -248,3 +248,41 @@ def test_vectorized_topk_matches_hof_path(emb):
         "query_id", "neighbor_id", "cos", "rank"
     ]
     assert hof_rows == vec_rows
+
+
+def test_semantic_dup_pairs_recall_and_precision(spark):
+    """SemDeDup-style clustered dedup on planted near-duplicates
+    (cos ~0.97): precision 1 (exact cosine verify inside), and near-
+    identical vectors agree on their nearest centroid almost always —
+    top-2 soft assignment covers the cell-boundary stragglers."""
+    import numpy as np
+
+    from aws_de_final_project_spark.operators.similarity import (
+        cosine_dup_pairs,
+        semantic_dup_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(150):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        dup = base + rng.normal(scale=0.04, size=32)
+        dup /= np.linalg.norm(dup)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_dup_pairs(emb, threshold=0.9).collect()
+    }
+    clustered = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(
+            emb, dim=32, threshold=0.9, n_clusters=8, n_assign=2
+        ).collect()
+    }
+    assert clustered <= exact, "clustered path emitted a non-duplicate pair"
+    assert exact, "planted duplicates did not exceed the threshold"
+    recall = len(clustered) / len(exact)
+    assert recall >= 0.9, f"semantic dedup recall {recall:.2f}"
