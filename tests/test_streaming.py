@@ -364,3 +364,75 @@ def test_stateful_sessionize(spark, tmp_path):
     # by gap; most of the ground truth must have been emitted
     n_users = events.select("user_id").distinct().count()
     assert len(got) >= len(truth) - n_users
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract, both halves: a
+    duplicate key arriving WITHIN the horizon is suppressed; one
+    arriving after its state was evicted (watermark passed) is
+    re-emitted — which is why the layered design pairs this with an
+    idempotent MERGE sink (streaming/upsert.py) for the tail."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from aws_de_final_project_spark.streaming.dedup import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def land(name, rows, mtime_offset):
+        df = spark.createDataFrame(rows, schema)
+        d = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        dst = str(src / f"{name}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        now = time.time()
+        os.utime(dst, (now + mtime_offset, now + mtime_offset))
+
+    from datetime import datetime
+
+    h = lambda hh, mm: datetime(2024, 1, 1, hh, mm)  # noqa: E731
+    land("b1", [(h(1, 0), 1, 10.0), (h(1, 0), 2, 20.0)], 0)
+    # in-horizon redelivery of id 1 (the Socrata updated_on re-fetch
+    # shape) -> suppressed
+    land("b2", [(h(1, 10), 1, 10.0)], 20)
+    # advance event time far past 01:00 + 30min; the watermark the
+    # NEXT batch runs with becomes 09:30
+    land("b3", [(h(10, 0), 3, 30.0)], 40)
+    # state eviction is batch-granular and happens at batch END: this
+    # batch is the first to RUN with watermark 09:30, so id 1's state
+    # is dropped when it commits
+    land("b4", [(h(10, 10), 4, 40.0)], 60)
+    # post-eviction redelivery -> re-emitted
+    land("b5", [(h(10, 15), 1, 10.0)], 80)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = dedup_stream(stream, keys=("event_id",), watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_test").collect()
+    by_id = {}
+    for r in rows:
+        by_id[r.event_id] = by_id.get(r.event_id, 0) + 1
+    assert by_id[2] == 1 and by_id[3] == 1 and by_id[4] == 1
+    assert by_id[1] == 2, f"expected suppress-then-reemit, got {by_id}"
+    assert len(rows) == 5
