@@ -216,3 +216,34 @@ def redact_pii(col: Column | str) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Sentence count ~ runs of terminal punctuation, floored at 1
+    (a fragment with no terminator is one sentence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Syllable approximation: vowel groups (incl. y). The standard
+    cheap estimator — exact syllabification needs a dictionary; vowel
+    runs are within ~10% on English prose and deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+"))
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease (Flesch 1948): 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words). Higher = easier. All three
+    counts are single-pass regex expressions — the whole score stays
+    in whole-stage codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count(c).cast("double")
+    sents = sentence_count(c).cast("double")
+    sylls = syllable_count(c).cast("double")
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (sylls / words)
+    )

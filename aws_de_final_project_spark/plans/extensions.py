@@ -666,3 +666,26 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=16,
         n_assign=2,
     ).orderBy("id_a", "id_b")
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (vowel-group syllable
+    estimator) — the classic text-quality feature alongside the
+    Gopher-rule gate. Counts and score are pure regex/arithmetic
+    expressions: whole-stage codegen end to end, no UDF, and the
+    identical IEEE-double formula interpolates into the DuckDB twin
+    (3dp round absorbs nothing — op order is the same — but keeps the
+    contract explicit)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    return (
+        d.select(
+            "doc_id",
+            TX.token_count("text").alias("n_words"),
+            TX.sentence_count("text").alias("n_sentences"),
+            TX.syllable_count("text").alias("n_syllables"),
+            rnd(TX.flesch_reading_ease("text"), 3).alias("flesch"),
+        )
+        .filter(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )

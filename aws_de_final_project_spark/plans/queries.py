@@ -906,3 +906,48 @@ def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def funnel_user_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase) over the
+    events stream: a user counts for step N only if the step-N event
+    happened strictly AFTER their step-(N-1) entry time (first
+    qualifying event each). Classic product-analytics query the
+    reference's Athena views can't express without window gymnastics.
+
+    Plan shape: three aggregates on user_id. After the first shuffle
+    the grouping key is stable, so AQE/exchange-reuse keeps the later
+    joins co-partitioned — no re-shuffle of the events scan per step.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    steps = [
+        v.agg(F.lit("1_view").alias("step"), F.count(F.lit(1)).alias("users")),
+        c.agg(F.lit("2_click").alias("step"), F.count(F.lit(1)).alias("users")),
+        p.agg(
+            F.lit("3_purchase").alias("step"), F.count(F.lit(1)).alias("users")
+        ),
+    ]
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")
