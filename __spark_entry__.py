@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_nation_activity": Q.full_outer_nation_activity,
         "above_customer_avg_orders": Q.above_customer_avg_orders,
         "corr_qty_price_by_flag": Q.corr_qty_price_by_flag,
+        "funnel_user_steps": Q.funnel_user_steps,
+        "readability_scores": X.readability_scores,
         "order_value_deciles": Q.order_value_deciles,
         "skew_plain_join": Q.skew_plain_join,
         "skew_salted_join": Q.skew_salted_join,
@@ -1496,6 +1498,50 @@ def oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 256, strt + n_tok) - strt AS end_tok
             FROM ex
             ORDER BY doc_id, shard, seq_id
+        """,
+        "funnel_user_steps": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS v_ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS c_ts
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.v_ts
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+                GROUP BY e.user_id
+            )
+            SELECT step, users FROM (
+                SELECT '1_view' AS step, count(*) AS users FROM v
+                UNION ALL SELECT '2_click', count(*) FROM c
+                UNION ALL SELECT '3_purchase', count(*) FROM p
+            ) ORDER BY step
+        """,
+        "readability_scores": """
+            WITH counts AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_words,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS n_sentences,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   floor((206.835
+                          - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                          - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+                         * 1000.0 + 0.5) / 1000.0 AS flesch
+            FROM counts
+            WHERE n_words > 0
+            ORDER BY doc_id
         """,
         "dq_orders_suite": """
             SELECT check_name, violations, violations = 0 AS passed FROM (
