@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
+        "unigram_logprob_scores": X.unigram_logprob_scores,
         "dq_documents_suite": X.dq_documents_suite,
     }
 
@@ -1498,6 +1499,31 @@ def oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 256, strt + n_tok) - strt AS end_tok
             FROM ex
             ORDER BY doc_id, shard, seq_id
+        """,
+        "unigram_logprob_scores": """
+            WITH toks AS (
+                SELECT doc_id, tok
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS tok
+                    FROM documents
+                )
+                WHERE len(tok) > 0
+            ),
+            vocab AS (
+                SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+            ),
+            total AS (SELECT sum(tf) AS n FROM vocab)
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   floor(avg(ln(v.tf::DOUBLE / total.n::DOUBLE))
+                         * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+            FROM toks t
+            JOIN vocab v USING (tok)
+            CROSS JOIN total
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
         """,
         "funnel_user_steps": """
             WITH v AS (

@@ -689,3 +689,46 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_words") > 0)
         .orderBy("doc_id")
     )
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality model: score each document by the
+    mean natural-log unigram probability of its tokens under the
+    corpus's own empirical distribution (the cheap stand-in for a
+    KenLM-style fluency filter — outlier docs score far from the
+    corpus mode, gibberish scores low).
+
+    Two-pass shape that scales: pass 1 aggregates the vocabulary
+    (token -> count, vocab-sized output); pass 2 re-scans documents
+    and joins tokens to the BROADCAST vocabulary — the classic
+    hot-key join (stopwords dominate) is avoided entirely because the
+    small side ships to every executor and the fact side never
+    shuffles on token."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n")).select(
+        F.lit(1).alias("_one"), "n"
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(total), "_one")
+        .select(
+            "doc_id",
+            (F.log(F.col("tf").cast("double") / F.col("n").cast("double"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rnd(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

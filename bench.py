@@ -47,6 +47,9 @@ HEADLINE = [
     "dedup_component_groups_lsh",
     "skew_plain_join",
     "skew_salted_join",
+    "dedup_semantic_clustered",
+    "funnel_user_steps",
+    "dq_orders_suite",
 ]
 
 
