@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
         "unigram_logprob_scores": X.unigram_logprob_scores,
+        "spatial_near_customers": X.spatial_near_customers,
         "dq_documents_suite": X.dq_documents_suite,
     }
 
@@ -1499,6 +1500,28 @@ def oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 256, strt + n_tok) - strt AS end_tok
             FROM ex
             ORDER BY doc_id, shard, seq_id
+        """,
+        "spatial_near_customers": """
+            WITH pts AS (
+                SELECT c_custkey AS id,
+                       41.6 + (('0x' || substr(md5('lat:' || c_custkey), 1, 15))::BIGINT
+                               % 100000) / 100000.0 * 0.5 AS lat,
+                       -87.9 + (('0x' || substr(md5('lon:' || c_custkey), 1, 15))::BIGINT
+                               % 100000) / 100000.0 * 0.4 AS lon
+                FROM customer
+            )
+            SELECT id_a, id_b, dist_km FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       floor((12742.0176 * asin(sqrt(
+                           sin(radians(b.lat - a.lat) / 2)
+                             * sin(radians(b.lat - a.lat) / 2)
+                           + cos(radians(a.lat)) * cos(radians(b.lat))
+                             * sin(radians(b.lon - a.lon) / 2)
+                             * sin(radians(b.lon - a.lon) / 2)
+                       ))) * 10000.0 + 0.5) / 10000.0 AS dist_km
+                FROM pts a JOIN pts b ON a.id < b.id
+            ) WHERE dist_km <= 1.0
+            ORDER BY id_a, id_b
         """,
         "unigram_logprob_scores": """
             WITH toks AS (

@@ -22,6 +22,7 @@ from aws_de_final_project_spark.operators import (
     multimodal,
     segments,
     similarity,
+    spatial,
 )
 from aws_de_final_project_spark.sources.registry import embedding_dim, load_tables
 
@@ -732,3 +733,37 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def spatial_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join (1 km) over deterministic per-customer
+    coordinates in the Chicago band — the grid-bucketed spatial pair
+    finder whose DuckDB twin is the BRUTE-FORCE all-pairs join, so the
+    oracle match doubles as an exact-recall proof of the one-ring grid
+    cover (operators/spatial.py). Coordinates derive from md5 of the
+    customer key (same engine-portable trick as mixture_rebalance)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+
+    def coord(tag: str, base: float, span: float):
+        m = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + ":"), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.lit(base) + (m % 100000).cast("double") / F.lit(
+            100000.0
+        ) * F.lit(span)
+
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        coord("lat", 41.6, 0.5).alias("lat"),
+        coord("lon", -87.9, 0.4).alias("lon"),
+    )
+    return spatial.spatial_near_pairs(
+        pts, radius_km=1.0, band_max_abs_lat=42.1
+    ).orderBy("id_a", "id_b")

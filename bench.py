@@ -125,11 +125,17 @@ def main() -> None:
         t0 = time.perf_counter()
         drive(fn(spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
-        # run 2: warm/steady-state — codegen cached; what a resident
-        # engine (and a TPC-style power run) measures
-        t0 = time.perf_counter()
-        drive(fn(spark, sf_dir))
-        warm[name] = round(time.perf_counter() - t0, 3)
+        # runs 2-3: warm/steady-state — codegen cached; what a
+        # resident engine (and a TPC-style power run) measures. Min of
+        # two reps: single-rep numbers showed 2-3x GC-driven wobble on
+        # the heavier queries, and min-of-N is the standard
+        # steady-state estimator under one-sided noise.
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            drive(fn(spark, sf_dir))
+            reps.append(time.perf_counter() - t0)
+        warm[name] = round(min(reps), 3)
     total_warm = round(sum(warm.values()), 3)
     total_cold = round(sum(cold.values()), 3)
     streaming = bench_streaming_upsert(spark, sf_dir)

@@ -190,3 +190,29 @@ def test_semantic_dedup_no_cartesian(plans):
     p = plans("dedup_semantic_clustered")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_headline_set_has_no_accidental_cross_product(plans):
+    """Blanket guard over the ENTIRE bench headline: no query may plan
+    a CartesianProduct, and BroadcastNestedLoopJoin is allowed only in
+    the two intentional broadcast brute-force ANN baselines (small
+    query side x corpus scan — the correct exact-scoring shape).
+    Catching a regression here beats discovering it in BENCH_r{N}."""
+    import bench
+
+    BNLJ_OK = {"ann_cosine_topk", "ann_cosine_topk_vec"}
+    for name in bench.HEADLINE:
+        p = plans(name)
+        assert "CartesianProduct" not in p, f"{name} planned a cartesian"
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, (
+                f"{name} planned an unkeyed broadcast loop join"
+            )
+
+
+def test_spatial_pairs_no_cartesian(plans):
+    """The spatial radius join must be a grid-cell equi-join; the
+    brute-force all-pairs form lives only in the DuckDB oracle."""
+    p = plans("spatial_near_customers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1,0 +1,73 @@
+"""Incremental rollup maintenance == full recompute
+(operators/rollup_maint.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators.rollup_maint import (
+    maintain_rollup,
+    merge_aggs,
+    partial_aggs,
+)
+
+MEASURES = [
+    ("total_value", "value", "sum"),
+    ("n_events", "value", "count"),
+    ("min_value", "value", "min"),
+    ("max_value", "value", "max"),
+]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, value double")
+
+
+def test_merge_equals_recompute(spark):
+    d1 = _mk(spark, [(1, 10.0), (1, 20.0), (2, 5.0)])
+    d2 = _mk(spark, [(1, 1.0), (3, 7.0)])
+    d3 = _mk(spark, [(2, -4.0), (3, 100.0), (3, None)])
+
+    state = partial_aggs(d1, ["user_id"], MEASURES)
+    for d in (d2, d3):
+        state = merge_aggs(
+            state, partial_aggs(d, ["user_id"], MEASURES), ["user_id"], MEASURES
+        )
+
+    full = partial_aggs(
+        d1.unionByName(d2).unionByName(d3), ["user_id"], MEASURES
+    )
+    got = {tuple(r) for r in state.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
+    # count counted non-null values only
+    by_user = {r["user_id"]: r for r in state.collect()}
+    assert by_user[3]["n_events"] == 2
+    assert by_user[2]["min_value"] == -4.0
+
+
+def test_maintain_rollup_on_disk(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    deltas = [
+        _mk(spark, [(1, 10.0), (2, 5.0)]),
+        _mk(spark, [(1, 2.0), (3, 9.0)]),
+        _mk(spark, [(2, 1.0), (1, 4.0)]),
+    ]
+    for d in deltas:
+        state = maintain_rollup(spark, d, path, ["user_id"], MEASURES)
+
+    full = partial_aggs(
+        deltas[0].unionByName(deltas[1]).unionByName(deltas[2]),
+        ["user_id"],
+        MEASURES,
+    )
+    got = {tuple(r) for r in state.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
+    # derived avg at read time matches
+    avg = (
+        state.withColumn("avg_value", F.col("total_value") / F.col("n_events"))
+        .filter(F.col("user_id") == 1)
+        .collect()[0]["avg_value"]
+    )
+    assert abs(avg - (10.0 + 2.0 + 4.0) / 3) < 1e-12
