@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
         "unigram_logprob_scores": X.unigram_logprob_scores,
         "spatial_near_customers": X.spatial_near_customers,
+        "fuzzy_name_pairs": X.fuzzy_name_pairs,
+        "rollup_incremental_user_stats": X.rollup_incremental_user_stats,
         "dq_documents_suite": X.dq_documents_suite,
     }
 
@@ -1500,6 +1502,29 @@ def oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 256, strt + n_tok) - strt AS end_tok
             FROM ex
             ORDER BY doc_id, shard, seq_id
+        """,
+        "fuzzy_name_pairs": """
+            WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.name AS name_a, b.name AS name_b,
+                   levenshtein(a.name, b.name) AS dist
+            FROM n a JOIN n b ON a.id < b.id
+            WHERE levenshtein(a.name, b.name) <= 1
+            ORDER BY id_a, id_b
+        """,
+        "rollup_incremental_user_stats": """
+            SELECT user_id,
+                   (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS total_value,
+                   count(value) AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   (floor((CASE WHEN count(value) > 0
+                                THEN (floor((sum(value)) * 10000.0 + 0.5) / 10000.0)
+                                     / count(value) END)
+                          * 10000.0 + 0.5) / 10000.0) AS avg_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "spatial_near_customers": """
             WITH pts AS (

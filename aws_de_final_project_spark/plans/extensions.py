@@ -767,3 +767,67 @@ def spatial_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.spatial_near_pairs(
         pts, radius_km=1.0, band_max_abs_lat=42.1
     ).orderBy("id_a", "id_b")
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein-1 name matching over customer names via
+    symmetric-delete blocking (operators/fuzzy.py) — the DuckDB twin
+    is the brute-force all-pairs levenshtein join, so parity doubles
+    as an exact-recall proof of the delete-variant cover. Customer
+    names ('Customer#000000042') near-collide on single-digit edits,
+    a realistic entity-resolution workload."""
+    from aws_de_final_project_spark.operators import fuzzy
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    names = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return fuzzy.fuzzy_pairs(names).orderBy("id_a", "id_b")
+
+
+def rollup_incremental_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance == full recompute, as a
+    driver-checkable query: split events into 3 arrival deltas
+    (event_id mod 3), fold them through partial_aggs / merge_aggs
+    (operators/rollup_maint.py), and derive avg at READ time from the
+    stored sum/count. The DuckDB twin is the one-shot GROUP BY over
+    all events, so parity proves merge(state, partial(delta)) ==
+    recompute — the invariant that lets a 100 TB rollup refresh touch
+    only the day's delta instead of rescanning history."""
+    from aws_de_final_project_spark.operators import rollup_maint as RM
+
+    measures = [
+        ("total_value", "value", "sum"),
+        ("n_events", "value", "count"),
+        ("min_value", "value", "min"),
+        ("max_value", "value", "max"),
+    ]
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", "value"
+    )
+    state = None
+    for i in range(3):
+        part = RM.partial_aggs(
+            ev.filter(F.col("event_id") % 3 == i), ["user_id"], measures
+        )
+        state = (
+            part
+            if state is None
+            else RM.merge_aggs(state, part, ["user_id"], measures)
+        )
+    # avg derives from the ROUNDED total: the merged sum can differ
+    # from the one-shot sum in the last ulp (addition order), and a
+    # quotient landing exactly on the 4dp boundary would then round
+    # apart; dividing bit-identical rounded doubles cannot
+    total_r = rnd(F.col("total_value"), 4)
+    return state.select(
+        "user_id",
+        total_r.alias("total_value"),
+        "n_events",
+        F.col("min_value"),
+        F.col("max_value"),
+        rnd(
+            F.when(F.col("n_events") > 0, total_r / F.col("n_events")),
+            4,
+        ).alias("avg_value"),
+    ).orderBy("user_id")

@@ -216,3 +216,11 @@ def test_spatial_pairs_no_cartesian(plans):
     p = plans("spatial_near_customers")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fuzzy_pairs_no_cartesian(plans):
+    """The levenshtein-1 matcher must equi-join on the delete
+    variant; all-pairs levenshtein lives only in the DuckDB oracle."""
+    p = plans("fuzzy_name_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
