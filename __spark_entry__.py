@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_near_customers": X.spatial_near_customers,
         "fuzzy_name_pairs": X.fuzzy_name_pairs,
         "rollup_incremental_user_stats": X.rollup_incremental_user_stats,
+        "overlap_shipment_pairs": X.overlap_shipment_pairs,
+        "token_entropy_scores": X.token_entropy_scores,
+        "rolling_1h_user_value": X.rolling_1h_user_value,
         "dq_documents_suite": X.dq_documents_suite,
     }
 
@@ -1502,6 +1505,68 @@ def oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 256, strt + n_tok) - strt AS end_tok
             FROM ex
             ORDER BY doc_id, shard, seq_id
+        """,
+        "overlap_shipment_pairs": """
+            WITH li AS (
+                SELECT l_orderkey * 10 + l_linenumber AS li_id,
+                       l_suppkey, l_partkey,
+                       l_shipdate::DATE AS lo,
+                       l_shipdate::DATE + (l_quantity::INT % 20) AS hi
+                FROM lineitem
+            )
+            SELECT a.li_id AS id_a, b.li_id AS id_b,
+                   a.l_suppkey, a.l_partkey,
+                   (date_diff('day',
+                              greatest(a.lo, b.lo),
+                              least(a.hi, b.hi))
+                    + 1)::BIGINT AS overlap_days
+            FROM li a
+            JOIN li b
+              ON a.l_suppkey = b.l_suppkey
+             AND a.l_partkey = b.l_partkey
+             AND a.li_id < b.li_id
+            WHERE a.lo <= b.hi AND b.lo <= a.hi
+            ORDER BY id_a, id_b
+        """,
+        "token_entropy_scores": """
+            WITH toks AS (
+                SELECT doc_id, tok
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS tok
+                    FROM documents
+                )
+                WHERE len(tok) > 0
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM toks GROUP BY doc_id, tok
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       sum(c)::BIGINT AS n,
+                       count(*) AS n_distinct,
+                       sum(c::DOUBLE * ln(c::DOUBLE)) AS slc
+                FROM tf GROUP BY doc_id
+            )
+            SELECT doc_id, n AS n_tokens, n_distinct,
+                   floor((ln(n::DOUBLE) - slc / n::DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0 AS entropy_nats
+            FROM per_doc
+            ORDER BY doc_id
+        """,
+        "rolling_1h_user_value": """
+            SELECT user_id, event_id, ts,
+                   floor((sum(value) OVER w) * 10000.0 + 0.5) / 10000.0
+                       AS roll_sum_1h,
+                   count(*) OVER w AS n_1h
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY user_id, event_id
         """,
         "fuzzy_name_pairs": """
             WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer)

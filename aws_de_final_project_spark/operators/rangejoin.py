@@ -81,3 +81,82 @@ def range_join(
             if c != key_col
         ],
     )
+
+
+def overlap_pairs(
+    intervals: DataFrame,
+    keys: list[str],
+    lo_col: str,
+    hi_col: str,
+    id_col: str,
+    bin_days: int = 30,
+) -> DataFrame:
+    """Unordered pairs of same-key DATE intervals that overlap
+    (inclusive endpoints: ``a.lo <= b.hi AND b.lo <= a.hi``), via a
+    bin-bucketed equi-join — the interval×interval sibling of
+    :func:`range_join`, and the same trap: Spark plans the naive
+    overlap predicate as a key equi-join with the range post-filtered,
+    quadratic under a hot key.
+
+    Both sides explode to the ~span/width bins they cover and
+    equi-join on (keys, bin). A pair overlapping in dates shares every
+    bin in the intersection of its bin ranges, so to count it once we
+    keep only the FIRST shared bin — ``bin == greatest(lo_bin_a,
+    lo_bin_b)``, which lies in the intersection whenever the intervals
+    overlap. No distinct pass, no window.
+
+    Output: id_a, id_b, the key columns, overlap_days (inclusive).
+    """
+
+    def day(c: str):
+        return F.datediff(F.col(c), F.lit("1970-01-01"))
+
+    lob = F.floor(day(lo_col) / F.lit(bin_days)).cast("long")
+    hib = F.floor(day(hi_col) / F.lit(bin_days)).cast("long")
+    e = intervals.select(
+        F.col(id_col).alias("_id"),
+        *keys,
+        F.col(lo_col).alias("_lo"),
+        F.col(hi_col).alias("_hi"),
+        lob.alias("_lob"),
+        F.explode(F.sequence(lob, F.greatest(hib, lob))).alias("_bin"),
+    )
+    a = e.select(
+        F.col("_id").alias("id_a"),
+        *keys,
+        F.col("_lo").alias("_loa"),
+        F.col("_hi").alias("_hia"),
+        F.col("_lob").alias("_loba"),
+        "_bin",
+    )
+    b = e.select(
+        F.col("_id").alias("id_b"),
+        *keys,
+        F.col("_lo").alias("_lob_dt"),
+        F.col("_hi").alias("_hib_dt"),
+        F.col("_lob").alias("_lobb"),
+        "_bin",
+    )
+    return (
+        a.join(b, [*keys, "_bin"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_loa") <= F.col("_hib_dt"))
+            & (F.col("_lob_dt") <= F.col("_hia"))
+            & (F.col("_bin") == F.greatest("_loba", "_lobb"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            *keys,
+            (
+                F.datediff(
+                    F.least("_hia", "_hib_dt"),
+                    F.greatest("_loa", "_lob_dt"),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )

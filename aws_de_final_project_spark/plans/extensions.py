@@ -20,6 +20,7 @@ from aws_de_final_project_spark.operators import (
     dedup,
     dq,
     multimodal,
+    rangejoin,
     segments,
     similarity,
     spatial,
@@ -767,6 +768,98 @@ def spatial_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.spatial_near_pairs(
         pts, radius_km=1.0, band_max_abs_lat=42.1
     ).orderBy("id_a", "id_b")
+
+
+def overlap_shipment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: pairs of lineitems for the SAME
+    (supplier, part) whose shipping windows overlap — concurrent
+    shipments of one part from one supplier. The window is
+    [l_shipdate, l_shipdate + quantity%20 days] (the testdata schema
+    carries no receipt date, so the hold period derives from
+    quantity). Bin-bucketed equi-join (operators/rangejoin.py
+    overlap_pairs); the DuckDB twin is the brute-force keyed
+    theta-join, so parity proves the first-shared-bin dedup counts
+    every overlapping pair exactly once."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    iv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id"),
+        "l_suppkey",
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("lo"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            F.col("l_quantity").cast("int") % 20,
+        ).alias("hi"),
+    )
+    return rangejoin.overlap_pairs(
+        iv,
+        keys=["l_suppkey", "l_partkey"],
+        lo_col="lo",
+        hi_col="hi",
+        id_col="li_id",
+        bin_days=30,
+    ).orderBy("id_a", "id_b")
+
+
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-frequency Shannon entropy (nats) — the
+    repetition detector in a quality stack: spam/boilerplate repeats
+    tokens, driving entropy far below a natural-language document of
+    the same length. Uses H = ln(n) - sum(c·ln c)/n so one grouped
+    aggregate per doc computes it (no per-token probability join)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("_slc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        rnd(
+            F.log(F.col("n").cast("double"))
+            - F.col("_slc") / F.col("n").cast("double"),
+            4,
+        ).alias("entropy_nats"),
+    ).orderBy("doc_id")
+
+
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE sliding window (vs moving_avg_user_value's ROWS
+    frame): per user, the sum/count of event values in the trailing
+    hour — the frame is defined by event-time distance, so bursts
+    widen the row count instead of the time span. Ordering key is
+    epoch micros on both engines, making tie handling identical."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            rnd(F.sum("value").over(w), 4).alias("roll_sum_1h"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
 
 
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

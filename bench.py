@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_semantic_clustered",
     "funnel_user_steps",
     "dq_orders_suite",
+    "spatial_near_customers",
+    "fuzzy_name_pairs",
 ]
 
 

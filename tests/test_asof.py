@@ -125,3 +125,76 @@ def test_range_join_semantics(spark):
         range_join(
             points, intervals, "k", "pts", "lo", "hi", how="full"
         )
+
+
+def test_overlap_pairs_semantics(spark):
+    """Inclusive-endpoint overlap; a pair sharing many bins counts
+    once; key isolation; no self/reversed pairs."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators.rangejoin import overlap_pairs
+
+    iv = spark.createDataFrame(
+        [
+            # key 1: a overlaps b (touching endpoints), c disjoint
+            (1, 1, "2024-01-01", "2024-03-15"),   # 75-day span, many bins
+            (2, 1, "2024-03-15", "2024-03-20"),   # touches a's end -> overlap
+            (3, 1, "2024-06-01", "2024-06-10"),   # disjoint
+            # key 2: same dates as 1/2 but different key
+            (4, 2, "2024-01-01", "2024-03-15"),
+            (5, 2, "2024-05-01", "2024-05-02"),
+        ],
+        "id int, k int, lo string, hi string",
+    ).select(
+        "id", "k", F.to_date("lo").alias("lo"), F.to_date("hi").alias("hi")
+    )
+    out = overlap_pairs(iv, ["k"], "lo", "hi", "id", bin_days=7)
+    got = {(r.id_a, r.id_b): r.overlap_days for r in out.collect()}
+    assert got == {(1, 2): 1}  # touching endpoint day counts, once
+
+
+def test_overlap_pairs_equal_bruteforce(spark):
+    """Exact parity with the all-pairs theta-join on a random-ish
+    deterministic scatter across keys and bin widths."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators.rangejoin import overlap_pairs
+
+    base = spark.range(300).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 5).cast("int").alias("k"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            ((F.col("id") * 37) % 365).cast("int"),
+        ).alias("lo"),
+    ).withColumn(
+        "hi", F.date_add(F.col("lo"), ((F.col("id") * 13) % 45).cast("int"))
+    )
+    for width in (7, 30, 400):
+        got = {
+            (r.id_a, r.id_b, r.overlap_days)
+            for r in overlap_pairs(
+                base, ["k"], "lo", "hi", "id", bin_days=width
+            ).collect()
+        }
+        a = base.select(
+            F.col("id").alias("id_a"), "k",
+            F.col("lo").alias("loa"), F.col("hi").alias("hia"),
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("k").alias("kb"),
+            F.col("lo").alias("lob"), F.col("hi").alias("hib"),
+        )
+        brute = {
+            (r.id_a, r.id_b, r.od)
+            for r in a.join(b, (F.col("k") == F.col("kb")) & (F.col("id_a") < F.col("id_b")))
+            .filter((F.col("loa") <= F.col("hib")) & (F.col("lob") <= F.col("hia")))
+            .select(
+                "id_a", "id_b",
+                (F.datediff(F.least("hia", "hib"), F.greatest("loa", "lob")) + 1)
+                .cast("long").alias("od"),
+            )
+            .collect()
+        }
+        assert got == brute, f"bin_days={width}"
+        assert len(brute) > 100

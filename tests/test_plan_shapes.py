@@ -218,6 +218,14 @@ def test_spatial_pairs_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_overlap_pairs_no_cartesian(plans):
+    """The interval-overlap join must equi-join on (keys, bin); the
+    keyed theta-join lives only in the DuckDB oracle."""
+    p = plans("overlap_shipment_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_fuzzy_pairs_no_cartesian(plans):
     """The levenshtein-1 matcher must equi-join on the delete
     variant; all-pairs levenshtein lives only in the DuckDB oracle."""
