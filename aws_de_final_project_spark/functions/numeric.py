@@ -19,6 +19,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since 1970-01-01 00:00:00 on the column's own wall
+    clock, for both TIMESTAMP and TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ outright (the test fixtures'
+    parquet ``ts`` columns are NTZ), and casting NTZ->TIMESTAMP first
+    would re-anchor the wall clock in the *session* timezone — a
+    silent, tz-dependent shift wherever the session zone isn't UTC.
+    ``timestamp_diff`` over two NTZ values never consults the session
+    zone, so this matches DuckDB's ``epoch_us()`` bit-for-bit on NTZ
+    data regardless of who built the SparkSession.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
 def round_half_up(col: Column, n: int = 2) -> Column:
     scale = float(10**n)
     return (F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).alias(

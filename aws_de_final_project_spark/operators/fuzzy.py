@@ -44,6 +44,16 @@ def fuzzy_pairs(
 
     Output: id_a, id_b, name_a, name_b, dist — one row per pair (a
     pair sharing several variants is deduped before the verify).
+
+    Shuffle discipline (VERDICT r2 #2): the variant join and the
+    candidate-pair ``distinct`` move only ids — the variant string is
+    collapsed to a 64-bit xxhash (8-byte shuffle key instead of a
+    len(name)-wide string; a hash collision can only ADD a candidate,
+    and every candidate is re-verified by the exact ``levenshtein``
+    filter, so the brute-force-oracle parity is untouched) and the
+    names re-attach by id-equi-join only after the pair set is final.
+    At 100× the shuffled bytes are ~2 longs per candidate instead of
+    two full name strings.
     """
     var = F.array_distinct(
         F.concat(
@@ -59,23 +69,29 @@ def fuzzy_pairs(
             ),
         )
     )
-    a = names.select(
-        F.col(id_col).alias("id_a"),
-        F.col(name_col).alias("name_a"),
-        F.explode(var).alias("_v"),
+    sigs = names.select(
+        F.col(id_col).alias("_id"), F.explode(var).alias("_v")
+    ).select("_id", F.xxhash64("_v").alias("_h"))
+    a = sigs.select(F.col("_id").alias("id_a"), "_h")
+    b = sigs.select(F.col("_id").alias("id_b"), "_h")
+    pairs = (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = names.select(
-        F.col(id_col).alias("id_b"),
-        F.col(name_col).alias("name_b"),
-        F.explode(var).alias("_v"),
+    na = names.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a")
+    )
+    nb = names.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b")
     )
     return (
-        a.join(b, "_v")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .distinct()
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "dist", F.levenshtein("name_a", "name_b").cast("long")
         )
         .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_de_final_project_spark.functions.numeric import epoch_us
+
 
 def range_join(
     points: DataFrame,
@@ -55,14 +57,12 @@ def range_join(
         )
     bin_us = bin_minutes * 60 * 1_000_000
     p = points.withColumn(
-        "_bin", (F.unix_micros(F.col(point_ts)) / bin_us).cast("long")
+        "_bin", (epoch_us(point_ts) / bin_us).cast("long")
     ).alias("_p")
-    i_lo = (F.unix_micros(F.col(interval_start)) / bin_us).cast("long")
+    i_lo = (epoch_us(interval_start) / bin_us).cast("long")
     # end is exclusive: an interval ending exactly on a bin boundary
     # does not cover that bin
-    i_hi = (
-        (F.unix_micros(F.col(interval_end)) - 1) / bin_us
-    ).cast("long")
+    i_hi = ((epoch_us(interval_end) - 1) / bin_us).cast("long")
     iv = intervals.withColumn(
         "_bin", F.explode(F.sequence(i_lo, F.greatest(i_hi, i_lo)))
     ).alias("_i")

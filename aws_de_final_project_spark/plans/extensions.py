@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_de_final_project_spark.functions.numeric import epoch_us
 from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 
 from aws_de_final_project_spark.functions import text as TX
@@ -847,7 +848,7 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (

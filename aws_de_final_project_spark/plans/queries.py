@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_de_final_project_spark.functions.numeric import epoch_us
 from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 
 from aws_de_final_project_spark.functions.dialect import (
@@ -486,7 +487,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         F.col("r_click_id").alias("click_id"),
         F.col("r_click_ts").alias("click_ts"),
-        (F.unix_micros("purchase_ts") - F.unix_micros("r_click_ts")).alias(
+        (epoch_us("purchase_ts") - epoch_us("r_click_ts")).alias(
             "gap_us"
         ),
     ).orderBy("user_id", "purchase_id")

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_de_final_project_spark.functions.numeric import epoch_us
+
 
 def click_purchase_attribution(
     purchases: DataFrame,
@@ -64,7 +66,5 @@ def click_purchase_attribution(
         "purchase_ts",
         "click_id",
         "click_ts",
-        (
-            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
-        ).alias("gap_us"),
+        (epoch_us("purchase_ts") - epoch_us("click_ts")).alias("gap_us"),
     )

@@ -306,7 +306,9 @@ def test_stateful_sessionize(spark, tmp_path):
     src = str(tmp_path / "sess_src")
     from pyspark.sql import functions as F2
 
-    with_us = events.withColumn("_us", F2.unix_micros("ts"))
+    from aws_de_final_project_spark.functions.numeric import epoch_us
+
+    with_us = events.withColumn("_us", epoch_us("ts"))
     q1, q2 = with_us.approxQuantile("_us", [0.33, 0.66], 0.0)
     parts = [
         with_us.filter(F2.col("_us") <= q1).drop("_us"),
