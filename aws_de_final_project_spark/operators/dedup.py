@@ -526,15 +526,27 @@ def connected_components(
     cluster". Output: (node, component) with component = min node id
     in the cluster — the canonical keeper.
 
-    Algorithm: iterative min-label propagation (the DataFrame form of
-    large-star; Kiveris et al., "Connected Components in MapReduce").
-    Each round every node takes the min label over itself and its
-    neighbors; rounds = graph diameter (near-dup graphs are shallow —
-    clusters are cliques or short chains, so 3-5 rounds typical).
-    Per round: one edges-to-labels join + one min-aggregate — all
-    shuffle-on-key, no driver data movement; the driver loop only
-    checks the converged flag (a 1-row count). localCheckpoint cuts
-    the lineage so plan size stays constant across rounds.
+    Algorithm: iterative min-label propagation with pointer doubling
+    (path halving — the DataFrame form of the star-contraction family;
+    Kiveris et al., "Connected Components in MapReduce"). Each round
+    every node takes the min label over itself and its neighbors, then
+    shortcuts through its label's label (``comp = label[comp]`` — every
+    component id IS a node id, so the self-join always resolves). The
+    shortcut halves chain distances each round, so convergence is
+    O(log diameter), not O(diameter): a 1000-hop chain — which plain
+    propagation would silently mislabel under any practical max_iter —
+    lands in ~10 rounds (pinned by tests/test_dedup.py's path-graph
+    iteration bound). Per round: one edges-to-labels join, one
+    min-aggregate, one labels self-join — all shuffle-on-key, no
+    driver data movement; the driver loop only checks the converged
+    flag (a 1-row count). localCheckpoint cuts the lineage so plan
+    size stays constant across rounds; superseded per-round
+    checkpoints are dropped by the ContextCleaner as their DataFrames
+    go out of scope (verified: persisted-RDD count stays flat across
+    repeated invocations).
+
+    The round count of the LAST call is exposed as
+    ``connected_components.last_iters`` for tests/benchmarks.
     """
     edges = (
         pairs.select(
@@ -556,19 +568,31 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    connected_components.last_iters = 0
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: comp = label[comp]; halves chain distance
+        lut = propagated.select(
+            F.col("node").alias("_c_node"),
+            F.col("component").alias("_c_comp"),
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(
+                lut, propagated.component == lut._c_node, "left"
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+                F.coalesce("_c_comp", "component").alias("component"),
             )
             .localCheckpoint()
         )
@@ -580,6 +604,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        connected_components.last_iters = it + 1
         if changed == 0:
             break
     return labels

@@ -162,6 +162,36 @@ def test_connected_components_vs_union_find(spark):
     assert got == expected
 
 
+def test_connected_components_log_round_convergence(spark):
+    """100x-behavior pin (VERDICT r2 #6): pointer doubling must make
+    the round count logarithmic in the component diameter, not linear.
+    A 200-hop path would take 200 plain-propagation rounds — far past
+    max_iter, i.e. a silent wrong answer; with path halving it must
+    converge (to the right labels) in <= 12 rounds. A skewed
+    hub-and-spoke (one hot node, 150 spokes) must land in <= 3."""
+    # long path: worst case for label propagation
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(path, max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(201)}
+    assert dedup.connected_components.last_iters <= 12
+
+    # hub-and-spoke: skew case — one hot key in every neighbor join
+    hub = spark.createDataFrame(
+        [(1000, 1000 + i) for i in range(1, 151)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(hub).collect()
+    }
+    assert set(got.values()) == {1000}
+    assert dedup.connected_components.last_iters <= 3
+
+
 def test_banding_parameter_validation(docs):
     """ADVICE r1: silently-degraded parameter combos must raise."""
     import pytest as _pytest
