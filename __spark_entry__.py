@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_near_customers": X.spatial_near_customers,
         "fuzzy_name_pairs": X.fuzzy_name_pairs,
         "rollup_incremental_user_stats": X.rollup_incremental_user_stats,
+        "rollup_incremental_user_variance": X.rollup_incremental_user_variance,
         "overlap_shipment_pairs": X.overlap_shipment_pairs,
         "token_entropy_scores": X.token_entropy_scores,
         "rolling_1h_user_value": X.rolling_1h_user_value,
@@ -1587,6 +1588,22 @@ def oracle_sql() -> dict[str, str]:
                                 THEN (floor((sum(value)) * 10000.0 + 0.5) / 10000.0)
                                      / count(value) END)
                           * 10000.0 + 0.5) / 10000.0) AS avg_value
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "rollup_incremental_user_variance": """
+            SELECT user_id,
+                   (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value,
+                   count(value) AS n_events,
+                   (floor((CASE WHEN count(value) > 0 THEN
+                       (floor((sum(value * value)) * 10000.0 + 0.5) / 10000.0)
+                           / count(value)
+                       - ((floor((sum(value)) * 10000.0 + 0.5) / 10000.0)
+                           / count(value))
+                         * ((floor((sum(value)) * 10000.0 + 0.5) / 10000.0)
+                           / count(value)) END)
+                          * 10000.0 + 0.5) / 10000.0) AS var_value
             FROM events
             GROUP BY user_id
             ORDER BY user_id

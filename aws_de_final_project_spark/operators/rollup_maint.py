@@ -23,10 +23,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # measure spec: (output_col, source_col, kind) where kind in
-# {"sum", "count", "min", "max"}. count counts non-null source rows.
+# {"sum", "count", "min", "max", "sumsq", "hll"}. count counts
+# non-null source rows. sumsq stores sum(x^2), the extra moment that
+# makes variance/stddev derivable at READ time (var = sumsq/n -
+# (sum/n)^2) while staying sum-mergeable. hll stores a DataSketches
+# HLL binary sketch — the mergeable form of COUNT(DISTINCT), whose
+# union-merge is exactly associative (sketch(A) ∪ sketch(B) ==
+# sketch(A ∪ B), pinned in tests), estimate via hll_sketch_estimate
+# at read.
 Measure = tuple[str, str, str]
 
-_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "sumsq": F.sum,
+    "hll": F.hll_union_agg,
+}
 _PARTIAL = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
@@ -41,6 +55,10 @@ def partial_aggs(
             aggs.append(
                 F.count(F.col(src)).cast("long").alias(out)
             )
+        elif kind == "sumsq":
+            aggs.append(F.sum(F.col(src) * F.col(src)).alias(out))
+        elif kind == "hll":
+            aggs.append(F.hll_sketch_agg(F.col(src)).alias(out))
         else:
             aggs.append(_PARTIAL[kind](F.col(src)).alias(out))
     return delta.groupBy(*keys).agg(*aggs)

