@@ -395,6 +395,7 @@ def cosine_dup_pairs(
     block_planes: int = 0,
     dim: int | None = None,
     n_tables: int = 1,
+    sig_impl: str = "sql",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     ``cos(a,b) >= threshold``.
@@ -429,7 +430,13 @@ def cosine_dup_pairs(
         def signed(df: DataFrame, idc: str, vcol: str) -> DataFrame:
             """(id, tbl, sig) — signatures computed scan-side, vector
             DROPPED before any shuffle: the bucket join and pair dedup
-            move 16-byte id rows, not embeddings."""
+            move 16-byte id rows, not embeddings. ``sig_impl='arrow'``
+            swaps the SQL literal bank for the BLAS kernel
+            (:func:`signature_table_arrow`) — mandatory at real
+            embedding widths (dim >= ~256), where the interpreted HOF
+            dots dominate (see tools/measure_literal_banks.py)."""
+            if sig_impl == "arrow":
+                return signature_table_arrow(df, idc, vcol, tables)
             sigs = F.expr(
                 "array("
                 + ",".join(
@@ -500,6 +507,60 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def signature_table_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[float]]],
+) -> DataFrame:
+    """(id, tbl, sig) sign-bit signatures via one BLAS matmul per
+    Arrow batch — the wide-embedding twin of the SQL literal banks.
+
+    The literal-bank path (:func:`lsh_signature_sql`) evaluates an
+    INTERPRETED zip_with+aggregate dot per (row, plane): fine at
+    dim 64, but at dim 768 the per-row cost is planes x 768
+    interpreted ops — measured 67 s (ANN 12x4) / 349 s (blocked dedup
+    8x6) for a 20k-row corpus (tools/measure_literal_banks.py). Here
+    each batch does ``V @ P.T`` per table (float64 BLAS), packs the
+    sign bits, and ships (id, tbl, sig) — same output schema, ~40x
+    less CPU, and zero SQL-text bank (the planes ride the closure as
+    a numpy array, broadcast with the task).
+
+    Sign-bit caveat: BLAS sums in a different order than the
+    left-to-right SQL aggregate, so a dot product within ~1e-13 of
+    zero could flip a bit between the two paths. That cannot affect
+    recall guarantees (both are valid random-hyperplane signatures);
+    oracled queries keep the SQL path so DuckDB parity stays exact.
+    """
+    import numpy as np
+
+    P = [np.asarray(t, dtype=np.float64) for t in tables]
+    weights = [
+        (np.int64(1) << np.arange(p.shape[0], dtype=np.int64)) for p in P
+    ]
+
+    def sign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            outs = []
+            for t, (Pt, wt) in enumerate(zip(P, weights)):
+                bits = (V @ Pt.T) >= 0  # (B, planes)
+                sig = (bits.astype(np.int64) * wt).sum(axis=1)
+                outs.append(
+                    pd.DataFrame({id_col: ids, "tbl": t, "sig": sig})
+                )
+            yield pd.concat(outs)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sign, f"{id_col} long, tbl int, sig long"
+    )
+
+
 def lsh_signature(vec_col, planes: list[list[float]]):
     """Sign-bit signature (bigint) of a vector against hyperplanes.
 
@@ -547,6 +608,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    sig_impl: str = "sql",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
@@ -574,7 +636,25 @@ def lsh_ann_topk(
         struct copied the whole planes x dim literal tree per probe —
         (1+n_planes) x n_tables copies — and Catalyst analysis time,
         not execution, dominated the query (measured ~6s at 8x4x64).
+
+        ``sig_impl='arrow'`` replaces the literal bank with the BLAS
+        kernel; probe variants then XOR the materialized sig column —
+        the expansion itself is identical in both paths.
         """
+        if sig_impl == "arrow":
+            base = signature_table_arrow(df, idc, vec_col, table_sets)
+            if not probe:
+                return base
+            variants = F.array(
+                F.col("sig"),
+                *[
+                    F.col("sig").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+            return base.select(
+                F.col(idc), "tbl", F.explode(variants).alias("sig")
+            )
         sigs = df.select(
             F.col(idc),
             *[
