@@ -117,6 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy_scores": X.token_entropy_scores,
         "rolling_1h_user_value": X.rolling_1h_user_value,
         "dq_documents_suite": X.dq_documents_suite,
+        "semi_join_fast_parts": X.semi_join_fast_parts,
+        "unpivot_part_metrics": X.unpivot_part_metrics,
+        "repetition_top_bigram": X.repetition_top_bigram,
+        "pii_redact_names": X.pii_redact_names,
     }
 
 
@@ -1758,6 +1762,59 @@ def oracle_sql() -> dict[str, str]:
                            AND NOT regexp_matches(source, '^src[0-9]+$'))
                 FROM documents
             ) ORDER BY check_name
+        """,
+        "semi_join_fast_parts": """
+            SELECT p_partkey, p_name, p_size
+            FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey
+                            AND l.l_quantity >= 45)
+            ORDER BY p_partkey
+        """,
+        "unpivot_part_metrics": """
+            SELECT p_partkey, metric, value FROM (
+                SELECT p_partkey, 'p_size' AS metric,
+                       p_size::DOUBLE AS value FROM part
+                UNION ALL
+                SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+            ) ORDER BY p_partkey, metric
+        """,
+        "repetition_top_bigram": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ts)),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS bg
+                FROM toks
+                WHERE len(ts) >= 2
+            ),
+            per_bg AS (
+                SELECT doc_id, bg, count(*) AS c
+                FROM bg GROUP BY doc_id, bg
+            )
+            SELECT doc_id,
+                   sum(c) AS n_bigrams,
+                   max(c) AS top_count,
+                   (floor((max(c)::DOUBLE / sum(c)) * 10000.0 + 0.5)
+                    / 10000.0) AS top_frac
+            FROM per_bg
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "pii_redact_names": """
+            SELECT c_custkey,
+                   regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS redacted,
+                   len(regexp_extract_all(c_name, '[0-9]+')) AS n_runs,
+                   length(c_name)
+                     - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+                     AS digits_removed
+            FROM customer
+            ORDER BY c_custkey
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

@@ -972,3 +972,106 @@ def rollup_incremental_user_variance(
             4,
         ).alias("var_value"),
     ).orderBy("user_id")
+
+
+def semi_join_fast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the EXISTS shape the §2 set-op family lacked
+    (anti_join_idle_customers covers NOT EXISTS): parts that shipped
+    at quantity >= 45 at least once. Semi join keeps the probe side's
+    columns only and short-circuits on first match, so no dedup pass
+    and no row blowup however many lineitems match — at 100 TB that
+    beats the inner-join+distinct rewrite by the full fan-out factor.
+    Oracle: correlated EXISTS."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    big = t["lineitem"].filter(F.col("l_quantity") >= 45)
+    p = t["part"]
+    return (
+        p.join(big, p.p_partkey == big.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): part's numeric columns melted to
+    (metric, value) rows — the inverse of pivot_event_matrix, and the
+    shape feature stores / metric sinks ingest. Spark's unpivot is a
+    zero-shuffle Expand node (each input row emits k output rows in
+    the scan stage); the oracle is the UNION ALL rewrite."""
+    t = load_tables(spark, sf_dir, ("part",))
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per document, the fraction of
+    all word 2-grams taken by the single most frequent 2-gram (a
+    boilerplate/looping-text detector — docs above ~0.18 are
+    repetitive junk in the Gopher rules). Bigrams build scan-side
+    from the token array (transform over an index sequence — no
+    self-join of token positions), then one per-(doc, bigram) count
+    and one per-doc max/sum. Shuffle volume is distinct bigrams per
+    doc, not tokens squared."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)),
+    )
+    per_bg = (
+        t["documents"]
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_bg.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_count",
+            rnd(
+                F.col("top_count").cast("double") / F.col("n_bigrams"),
+                4,
+            ).alias("top_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pii_redact_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style regex redaction as a scan-stage transform: digit
+    runs in c_name replaced with '<NUM>', plus audit counts (runs
+    redacted, characters removed). Pure codegen regexp — the pattern
+    is deliberately RE2-compatible so the DuckDB oracle runs the
+    byte-identical regex; at 100 TB this is a free rider on the
+    ingest scan, not a separate pass."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    name = F.col("c_name")
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.regexp_replace(name, "[0-9]+", "<NUM>").alias("redacted"),
+            F.regexp_count(name, F.lit("[0-9]+")).alias("n_runs"),
+            (
+                F.length(name)
+                - F.length(F.regexp_replace(name, "[0-9]", ""))
+            ).alias("digits_removed"),
+        )
+        .orderBy("c_custkey")
+    )

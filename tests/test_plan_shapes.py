@@ -232,3 +232,23 @@ def test_fuzzy_pairs_no_cartesian(plans):
     p = plans("fuzzy_name_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semi_join_stays_semi(plans):
+    """EXISTS must plan as a true LeftSemi (no row blowup, no
+    distinct pass) with the filtered fact side built/broadcast —
+    never an inner join + dedup rewrite."""
+    p = plans("semi_join_fast_parts")
+    assert "LeftSemi" in p
+    assert "HashAggregate" not in p.split("Join")[0]  # no dedup before join
+
+
+def test_unpivot_is_expand_no_shuffle(plans):
+    """UNPIVOT must plan as an Expand in the scan stage — k output
+    rows per input row, zero exchanges (the orderBy is the query's
+    own presentation sort, allowed one)."""
+    p = plans("unpivot_part_metrics")
+    assert "Expand" in p
+    # only the final presentation sort may exchange
+    body = p.split("Sort")[-1]
+    assert "Exchange" not in body or "rangepartitioning" in body
