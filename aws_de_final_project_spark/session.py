@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime semi-join reduction: when a selective dim filter feeds
+        # a shuffle join, build a bloom filter on the build-side keys and
+        # push might_contain() into the fact scan — at 100 TB this skips
+        # fact row groups AQE alone cannot (pinned in
+        # tests/test_runtime_filters.py; thresholds are defaults, which
+        # trigger naturally at cluster scale).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -36,7 +36,11 @@ def dedup_stream(
     watermark horizon. Works on batch frames too (plain
     ``dropDuplicates`` — the batch twin for result comparison)."""
     if events.isStreaming:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            list(keys)
+        from aws_de_final_project_spark.streaming.evtime import ensure_event_time
+
+        return (
+            ensure_event_time(events, ts_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys))
         )
     return events.dropDuplicates(list(keys))

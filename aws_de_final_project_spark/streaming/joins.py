@@ -47,10 +47,16 @@ def click_purchase_attribution(
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
+    from aws_de_final_project_spark.streaming.evtime import ensure_event_time
+
     if purchases.isStreaming:
-        p = p.withWatermark("purchase_ts", purchase_watermark)
+        p = ensure_event_time(p, "purchase_ts").withWatermark(
+            "purchase_ts", purchase_watermark
+        )
     if clicks.isStreaming:
-        c = c.withWatermark("click_ts", click_watermark)
+        c = ensure_event_time(c, "click_ts").withWatermark(
+            "click_ts", click_watermark
+        )
     cond = (
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))

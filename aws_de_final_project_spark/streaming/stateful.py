@@ -117,8 +117,11 @@ def sessionize_stateful(
             ],
         )
 
+    from aws_de_final_project_spark.streaming.evtime import ensure_event_time
+
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,

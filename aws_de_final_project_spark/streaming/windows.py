@@ -29,7 +29,9 @@ def windowed_event_counts(
     and late rows beyond it dropped)."""
     df = events
     if watermark is not None and events.isStreaming:
-        df = events.withWatermark(ts_col, watermark)
+        from aws_de_final_project_spark.streaming.evtime import ensure_event_time
+
+        df = ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window_duration), "event_type")
         .agg(

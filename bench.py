@@ -52,6 +52,14 @@ HEADLINE = [
     "dq_orders_suite",
     "spatial_near_customers",
     "fuzzy_name_pairs",
+    # round 4 additions
+    "asof_click_attribution",
+    "range_join_event_sessions",
+    "semi_join_fast_parts",
+    "unpivot_part_metrics",
+    "repetition_top_bigram",
+    "pii_redact_names",
+    "rollup_incremental_user_variance",
 ]
 
 

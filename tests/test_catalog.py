@@ -44,14 +44,31 @@ def test_persistent_objects_survive_new_session(spark):
         # ...but catalog tables and views survive
         assert s2.table("region").count() == 5
         assert s2.table("_cat_probe").count() == 5
-        # the nanos->µs conversion is baked into the persistent view
+        # ts must read as a timestamp either way the fixture is encoded:
+        # TIMESTAMP(NANOS) parquet registers events as a converting VIEW
+        # over events_raw; µs/NTZ parquet registers a plain external
+        # table (no _raw). Assert the invariant, not the mechanism.
         assert dict(s2.table("events").dtypes)["ts"].startswith("timestamp")
-        assert s2.table("events").count() == s2.table("events_raw").count()
+        has_raw = any(
+            t.name == "events_raw" for t in s2.catalog.listTables()
+        )
+        if has_raw:
+            assert (
+                s2.table("events").count() == s2.table("events_raw").count()
+            )
     finally:
         spark.sql("DROP VIEW IF EXISTS _cat_probe")
-        spark.sql("DROP VIEW IF EXISTS events")
-        for t in ("region", "nation", "events_raw"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for stmt in (
+            "DROP VIEW IF EXISTS events",
+            "DROP TABLE IF EXISTS events",
+            "DROP TABLE IF EXISTS events_raw",
+            "DROP TABLE IF EXISTS region",
+            "DROP TABLE IF EXISTS nation",
+        ):
+            try:
+                spark.sql(stmt)
+            except Exception:
+                pass  # view/table form depends on the fixture encoding
 
 
 def test_catalog_survives_process_restart(tmp_path):

@@ -91,7 +91,11 @@ def test_session_window_stream_equals_batch(spark, events_parquet_dir):
         .option("maxFilesPerTrigger", 2)
         .parquet(events_parquet_dir)
     )
-    agg = session_stats(stream.withWatermark("ts", "0 seconds"))
+    from aws_de_final_project_spark.streaming.evtime import ensure_event_time
+
+    agg = session_stats(
+        ensure_event_time(stream, "ts").withWatermark("ts", "0 seconds")
+    )
     q = (
         agg.writeStream.format("memory")
         .queryName("sess_test")
