@@ -577,6 +577,7 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
@@ -586,24 +587,24 @@ def connected_components(
             F.col("node").alias("_c_node"),
             F.col("component").alias("_c_comp"),
         )
-        new_labels = (
+        # the convergence flag rides the checkpointed frame (computed
+        # against _old carried through the round) — checking it is a
+        # filter over cached blocks, NOT an extra old-vs-new join job
+        stepped = (
             propagated.join(
                 lut, propagated.component == lut._c_node, "left"
             )
             .select(
                 "node",
                 F.coalesce("_c_comp", "component").alias("component"),
+                (
+                    F.coalesce("_c_comp", "component") != F.col("_old")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("_chg").limit(1).count()
+        labels = stepped.drop("_chg")
         connected_components.last_iters = it + 1
         if changed == 0:
             break
