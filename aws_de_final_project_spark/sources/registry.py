@@ -330,3 +330,74 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> tuple[DataFrame, "F.Column"]:
+    """Morton (Z-order) key over ``cols``: each column is min-max
+    scaled to a ``bits``-bit integer and the bits are interleaved, so
+    rows close in EVERY dimension get close z-values. Returns
+    (df_with_bounds, zcol_expression).
+
+    The per-column min/max comes from one aggregate collected to the
+    driver — write-time metadata on par with repartitionByRange's own
+    sampling pass, not a data movement. The interleave itself is a
+    pure codegen expression (shift/or terms, no UDF)."""
+    stats = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    max_cell = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo = float(stats[f"_lo_{c}"])
+        hi = float(stats[f"_hi_{c}"])
+        span = (hi - lo) or 1.0
+        scaled = F.least(
+            F.lit(max_cell),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(lo))
+                / F.lit(span)
+                * F.lit(max_cell + 1)
+            ).cast("long"),
+        )
+        # place bit i of this column at interleaved position
+        # i * n_cols + ci
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + ci,
+                )
+            )
+    return df, z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_partitions: int = 8,
+    bits: int = 12,
+) -> None:
+    """Persist ``df`` parquet Z-order-clustered on ``cols``: rows are
+    range-partitioned and sorted by the Morton interleave of the
+    columns, so every file's min-max envelope is tight in ALL the
+    z-ordered dimensions — a narrow predicate on ANY of them skips
+    most files via parquet footer stats. The single-column
+    :func:`write_range_sorted` gives perfect skipping on its leading
+    key and none on the others; z-order trades a little of the first
+    dimension for skipping on every dimension (the Delta/Iceberg
+    OPTIMIZE ZORDER layout, done with plain Spark expressions —
+    proof: tests/test_zorder.py measures file-envelope coverage).
+    The z key is dropped before the write; it only steers layout."""
+    dfz, z = zorder_column(df, cols, bits)
+    (
+        dfz.withColumn("_z", z)
+        .repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
