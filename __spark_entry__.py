@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_part_metrics": X.unpivot_part_metrics,
         "repetition_top_bigram": X.repetition_top_bigram,
         "pii_redact_names": X.pii_redact_names,
+        "band_join_order_tiers": X.band_join_order_tiers,
+        "order_percentile_ranks": X.order_percentile_ranks,
     }
 
 
@@ -1762,6 +1764,34 @@ def oracle_sql() -> dict[str, str]:
                            AND NOT regexp_matches(source, '^src[0-9]+$'))
                 FROM documents
             ) ORDER BY check_name
+        """,
+        "band_join_order_tiers": """
+            WITH tiers(tier, lo, hi) AS (VALUES
+                ('bronze', 0.0, 50000.0),
+                ('silver', 50000.0, 150000.0),
+                ('gold', 150000.0, 300000.0),
+                ('platinum', 300000.0, 1e18))
+            SELECT tier,
+                   count(*) AS n_orders,
+                   (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0)
+                       AS sum_price
+            FROM orders JOIN tiers
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY tier
+            ORDER BY tier
+        """,
+        "order_percentile_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   (floor(o_totalprice * 100.0 + 0.5) / 100.0) AS price,
+                   (floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0)
+                       AS pct_rank,
+                   (floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0)
+                       AS cume
+            FROM orders
+            WHERE o_custkey < 100
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_custkey, o_orderkey
         """,
         "semi_join_fast_parts": """
             SELECT p_partkey, p_name, p_size

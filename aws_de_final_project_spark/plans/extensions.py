@@ -1083,3 +1083,62 @@ def pii_redact_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+def band_join_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band/theta) join done the only way it scales: the
+    tiny tier table is broadcast, so the inequality predicate runs as
+    a BroadcastNestedLoopJoin — |fact| x |tiers| comparisons streamed
+    map-side, zero shuffle of the fact. The same join WITHOUT a
+    broadcastable side is the O(n^2) trap the range-join operator
+    exists for (operators/rangejoin.py); this entry covers the
+    legitimate small-side case. Tiers are half-open [lo, hi) so
+    boundary prices land in exactly one tier."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    tiers = spark.createDataFrame(
+        [
+            ("bronze", 0.0, 50_000.0),
+            ("silver", 50_000.0, 150_000.0),
+            ("gold", 150_000.0, 300_000.0),
+            ("platinum", 300_000.0, 1e18),
+        ],
+        "tier string, lo double, hi double",
+    )
+    o = t["orders"]
+    joined = o.join(
+        F.broadcast(tiers),
+        (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("tier")
+    )
+
+
+def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist /
+    ntile were the §2.9 family's remaining gap): each order's price
+    standing within its customer's nation-agnostic history. Both
+    functions are rank arithmetic over the same sort — one window, one
+    shuffle; deterministic because the ORDER BY is tie-broken by the
+    unique key."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            rnd(F.col("o_totalprice"), 2).alias("price"),
+            rnd(F.percent_rank().over(w), 4).alias("pct_rank"),
+            rnd(F.cume_dist().over(w), 4).alias("cume"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -252,3 +252,12 @@ def test_unpivot_is_expand_no_shuffle(plans):
     # only the final presentation sort may exchange
     body = p.split("Sort")[-1]
     assert "Exchange" not in body or "rangepartitioning" in body
+
+
+def test_band_join_broadcasts_small_side(plans):
+    """The inequality tier join must run as a BroadcastNestedLoopJoin
+    (tiny side shipped to the fact) — never a cartesian exchange of
+    the fact side."""
+    p = plans("band_join_order_tiers")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
