@@ -295,6 +295,59 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def cell_assign_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    n_assign: int = 1,
+) -> DataFrame:
+    """(id, vec, _nrm, cell) top-``n_assign`` centroid cells per
+    vector via one BLAS matmul per Arrow batch — the wide-embedding
+    twin of the centroid literal bank (:func:`_top_cells_sql`), with
+    the same tiebreak (dot desc, index asc). The vector and its norm
+    ride the batch through, so downstream rerank joins need no
+    re-attach shuffle. Same regime note as
+    :func:`signature_table_arrow`: at dim 64 the literal bank is fine
+    and keeps DuckDB-oracle parity; at dim >= ~256 the interpreted
+    per-(row, centroid) dots dominate and this kernel is the path.
+    """
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(V, axis=1)
+            dots = V @ C.T  # (B, n_cents)
+            # argsort by (-dot, index): lexsort on (idx, -dot)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n_assign]
+            outs = []
+            for j in range(n_assign):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            vec_col: list(V),
+                            "_nrm": nrm,
+                            "cell": order[:, j].astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(outs)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign,
+        f"{id_col} long, {vec_col} array<double>, _nrm double, cell int",
+    )
+
+
 def _nearest_centroid(vec_sql: str, cents: list[list[float]]):
     """Index (0-based) of the max-dot-product centroid — the whole
     centroid bank is ONE parsed SQL string (see :func:`_dot_lit_sql`)."""
@@ -315,6 +368,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
+    assign_impl: str = "sql",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file)
     partitioning: every corpus vector is assigned to its nearest
@@ -336,12 +390,22 @@ def ivf_ann_topk(
         raise ValueError(
             f"centroids length {len(cents)} != n_centroids {n_centroids}"
         )
-    c = corpus.select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        _norm(F.col(vec_col)).alias("_cn"),
-        _nearest_centroid(vec_col, cents).alias("cell"),
-    )
+    if assign_impl == "arrow":
+        # wide-dim path: cell + norm from one BLAS pass, vector rides
+        # the Arrow batch — no literal bank, no interpreted dots
+        c = cell_assign_arrow(corpus, id_col, vec_col, cents).select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            F.col("_nrm").alias("_cn"),
+            "cell",
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+            _norm(F.col(vec_col)).alias("_cn"),
+            _nearest_centroid(vec_col, cents).alias("cell"),
+        )
     # query side: top n_probe cells by centroid dot product — the
     # whole (negated-dot, index) struct bank as ONE parsed string
     qdots = F.expr(
@@ -755,6 +819,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    assign_impl: str = "sql",
 ) -> DataFrame:
     """SemDeDup-style clustered semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by nearest centroid, then
@@ -778,7 +843,6 @@ def semantic_dup_pairs(
     cells; default is the fixed-random quantizer.
     """
     cents = centroids if centroids is not None else _centroids(dim, n_clusters)
-    cells = F.explode(F.expr(_top_cells_sql(vec_col, cents, n_assign)))
 
     a = corpus.select(
         F.col(id_col).alias("_ida"),
@@ -790,8 +854,21 @@ def semantic_dup_pairs(
         F.col(vec_col).alias("_vb"),
         _norm(F.col(vec_col)).alias("_nb"),
     )
-    tagged_a = corpus.select(F.col(id_col).alias("_ida"), cells.alias("cell"))
-    tagged_b = corpus.select(F.col(id_col).alias("_idb"), cells.alias("cell"))
+    if assign_impl == "arrow":
+        # wide-dim path: cells from the BLAS kernel, ids only
+        tagged = cell_assign_arrow(
+            corpus, id_col, vec_col, cents, n_assign=n_assign
+        ).select(id_col, "cell")
+        tagged_a = tagged.select(F.col(id_col).alias("_ida"), "cell")
+        tagged_b = tagged.select(F.col(id_col).alias("_idb"), "cell")
+    else:
+        cells = F.explode(F.expr(_top_cells_sql(vec_col, cents, n_assign)))
+        tagged_a = corpus.select(
+            F.col(id_col).alias("_ida"), cells.alias("cell")
+        )
+        tagged_b = corpus.select(
+            F.col(id_col).alias("_idb"), cells.alias("cell")
+        )
     pairs = (
         tagged_a.join(tagged_b, "cell")
         .filter(F.col("_ida") < F.col("_idb"))

@@ -352,3 +352,63 @@ def test_blocked_dedup_arrow_wide_dim_recall(spark):
     }
     assert planted <= got
     # every extra pair is a genuine >= threshold pair (exact verify)
+
+
+def test_arrow_cell_assignment_matches_sql_bank(emb):
+    """cell_assign_arrow must assign every vector the same top-2 cells
+    (same order) as the SQL centroid bank — same centroids, same
+    (dot desc, index asc) tiebreak via stable argsort."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators import similarity as S
+
+    dim = len(emb.select("embedding").first()[0])
+    cents = S._centroids(dim, 8)
+
+    sql_rows = emb.select(
+        "vec_id",
+        F.expr(S._top_cells_sql("embedding", cents, 2)).alias("cells"),
+    ).collect()
+    sql = {(r.vec_id, i, c) for r in sql_rows for i, c in enumerate(r.cells)}
+
+    arrow_df = S.cell_assign_arrow(emb, "vec_id", "embedding", cents, 2)
+    # kernel emits n_assign blocks in rank order: recover rank by
+    # re-ranking each id's cells via the dot products
+    import numpy as np
+
+    C = np.asarray(cents)
+    by_id = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        d = np.asarray(r.embedding, dtype=np.float64) @ C.T
+        order = np.argsort(-d, kind="stable")[:2]
+        by_id[r.vec_id] = list(order)
+    arrow = set()
+    for r in arrow_df.select("vec_id", "cell").collect():
+        rank = by_id[r.vec_id].index(r.cell)
+        arrow.add((r.vec_id, rank, r.cell))
+    assert arrow == sql
+
+
+def test_ivf_and_semantic_arrow_match_sql_results(emb):
+    """End-to-end: the arrow assignment path must produce the exact
+    same IVF top-k and SemDeDup pair set as the literal-bank path at
+    dim 64 (bit-equal cells -> identical candidates -> identical
+    4dp-rounded outputs)."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators import similarity as S
+
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = S.ivf_ann_topk(emb, queries, dim=dim, k=5, n_centroids=8, n_probe=3)
+    b = S.ivf_ann_topk(
+        emb, queries, dim=dim, k=5, n_centroids=8, n_probe=3,
+        assign_impl="arrow",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    pa = S.semantic_dup_pairs(emb, dim=dim, threshold=0.3)
+    pb = S.semantic_dup_pairs(emb, dim=dim, threshold=0.3, assign_impl="arrow")
+    assert sorted(map(tuple, pa.collect())) == sorted(map(tuple, pb.collect()))
