@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Scaling-slope probe: do the event-time operators scale linearly?
+
+The driver benches at sf0.1 (100k events). The 100 TB question is the
+SLOPE, not the intercept: synthesize a 10x events table (each copy
+id-shifted and time-shifted by the full span, so per-user session
+structure and window cardinalities scale linearly, not degenerately)
+and time the event-family queries at sf0.01 / sf0.1 / sf0.1x10.
+
+A query whose warm time grows ~10x from sf0.1 to x10 (minus the fixed
+~0.3 s action overhead, see SURVEY §6) is linear — shuffle-on-key with
+no quadratic stage. Superlinear growth flags a hidden blowup.
+
+Usage: python tools/scale_probe.py   # prints one JSON line per query
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+X10_DIR = "/tmp/scale_probe_x10"
+
+QUERIES = [
+    "hourly_event_stats",
+    "user_sessions",
+    "latest_event_per_user",
+    "json_extract_events",
+    "rolling_1h_user_value",
+    "asof_click_attribution",
+    "range_join_event_sessions",
+    "funnel_user_steps",
+]
+
+
+def build_x10(spark, src_sf: str) -> None:
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    ev = load_tables(spark, src_sf, ("events",), register_views=False)[
+        "events"
+    ]
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_us = int((hi - lo).total_seconds() * 1_000_000) + 3_600_000_000
+    n_ids = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n_ids)).alias("event_id"),
+            (
+                F.col("ts")
+                + F.expr(f"INTERVAL {i * span_us} MICROSECONDS")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(10)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    os.makedirs(X10_DIR, exist_ok=True)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(X10_DIR, "events.parquet")
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from aws_de_final_project_spark.session import get_spark
+
+    spark = get_spark()
+    spark.range(10).count()
+    if not os.path.exists(os.path.join(X10_DIR, "events.parquet")):
+        build_x10(spark, "/root/testdata/sf0.1")
+
+    def drive(df):
+        df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
+
+    Q = E.queries()
+    tiers = {
+        "sf0.01": "/root/testdata/sf0.01",
+        "sf0.1": "/root/testdata/sf0.1",
+        "x10": X10_DIR,
+    }
+    for name in QUERIES:
+        row = {"query": name}
+        for tier, d in tiers.items():
+            drive(Q[name](spark, d))  # cold/warmup
+            t0 = time.perf_counter()
+            drive(Q[name](spark, d))
+            row[tier] = round(time.perf_counter() - t0, 3)
+        # slope net of the fixed ~0.3s action overhead at both tiers
+        fixed = 0.3
+        num = max(row["x10"] - fixed, 1e-3)
+        den = max(row["sf0.1"] - fixed, 1e-3)
+        row["slope_x10_vs_sf0.1"] = round(num / den, 2)
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
