@@ -36,6 +36,52 @@ QUERIES = [
     "funnel_user_steps",
 ]
 
+# dedup/text family runs against the documents x10 tier. Each copy
+# gets a DIFFERENT vowel rotation (translate — cheap codegen), so
+# within-copy dup/near-dup structure is preserved exactly while
+# cross-copy texts share no shingles: output pair counts scale
+# linearly instead of forming 10-cliques per document.
+DOC_QUERIES = [
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "doc_winnow_fingerprints",
+    "repetition_top_bigram",
+    "text_stats_by_lang",
+    "quality_filter_flags",
+    "dedup_component_groups_lsh",
+]
+
+_VOWS = "aeiou"
+
+
+def build_docs_x10(spark, src_sf: str) -> None:
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, src_sf, ("documents",), register_views=False)[
+        "documents"
+    ]
+    n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = []
+    for i in range(10):
+        rot = _VOWS[i % 5:] + _VOWS[: i % 5]
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_ids)).alias("doc_id"),
+                F.translate("text", _VOWS, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(X10_DIR, "documents.parquet")
+    )
+
 
 def build_x10(spark, src_sf: str) -> None:
     from pyspark.sql import functions as F
@@ -81,6 +127,8 @@ def main() -> None:
     spark.range(10).count()
     if not os.path.exists(os.path.join(X10_DIR, "events.parquet")):
         build_x10(spark, "/root/testdata/sf0.1")
+    if not os.path.exists(os.path.join(X10_DIR, "documents.parquet")):
+        build_docs_x10(spark, "/root/testdata/sf0.1")
 
     def drive(df):
         df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
@@ -91,7 +139,7 @@ def main() -> None:
         "sf0.1": "/root/testdata/sf0.1",
         "x10": X10_DIR,
     }
-    for name in QUERIES:
+    for name in QUERIES + DOC_QUERIES:
         row = {"query": name}
         for tier, d in tiers.items():
             drive(Q[name](spark, d))  # cold/warmup
