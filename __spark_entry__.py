@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_names": X.pii_redact_names,
         "band_join_order_tiers": X.band_join_order_tiers,
         "order_percentile_ranks": X.order_percentile_ranks,
+        "recursive_org_depth": X.recursive_org_depth,
     }
 
 
@@ -1764,6 +1765,18 @@ def oracle_sql() -> dict[str, str]:
                            AND NOT regexp_matches(source, '^src[0-9]+$'))
                 FROM documents
             ) ORDER BY check_name
+        """,
+        "recursive_org_depth": """
+            WITH RECURSIVE chain(custkey, depth) AS (
+                SELECT c_custkey::BIGINT, 0
+                FROM customer WHERE c_custkey = 0
+                UNION ALL
+                SELECT c.c_custkey, ch.depth + 1
+                FROM customer c JOIN chain ch
+                  ON (c.c_custkey // 10) = ch.custkey
+                WHERE c.c_custkey > 0
+            )
+            SELECT custkey, depth FROM chain ORDER BY custkey
         """,
         "band_join_order_tiers": """
             WITH tiers(tier, lo, hi) AS (VALUES

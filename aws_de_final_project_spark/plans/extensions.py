@@ -1142,3 +1142,29 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+def recursive_org_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x) — transitive closure
+    over a derived hierarchy: parent(c) = c DIV 10 makes every custkey
+    a node in a tree rooted at 0, and the recursion walks root-to-leaf
+    computing each node's depth. Iterative self-union under the hood
+    (same execution family as the components loop, but expressed in
+    pure SQL); terminates because parent < child everywhere. DuckDB
+    runs the identical recursion (// is its integer division)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    t["customer"].createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, depth) AS (
+            SELECT CAST(c_custkey AS BIGINT), 0
+            FROM customer WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, ch.depth + 1
+            FROM customer c JOIN chain ch
+              ON (c.c_custkey DIV 10) = ch.custkey
+            WHERE c.c_custkey > 0
+        )
+        SELECT custkey, depth FROM chain ORDER BY custkey
+        """
+    )
