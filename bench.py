@@ -117,6 +117,53 @@ def bench_streaming_upsert(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmpd, ignore_errors=True)
 
 
+def bench_streaming_window(spark, sf_dir: str) -> dict:
+    """Wall-clock for the watermarked tumbling-window aggregation over
+    the whole events table delivered as 4 micro-batches
+    (AvailableNow + maxFilesPerTrigger): the per-event cost of the
+    stateful windowed-agg path, complementing the upsert sink number."""
+    import shutil
+    import tempfile
+
+    from aws_de_final_project_spark.sources.registry import load_tables
+    from aws_de_final_project_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",), register_views=False)[
+        "events"
+    ].select("event_id", "ts", "user_id", "event_type", "value")
+    tmpd = tempfile.mkdtemp(prefix="bench_stream_win_")
+    src = os.path.join(tmpd, "src")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        n_in = ev.count()
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = windowed_event_counts(stream, watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_win")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        elapsed = round(time.perf_counter() - t0, 3)
+        n_windows = spark.table("bench_win").count()
+        return {
+            "windowed_agg_4_batches_sec": elapsed,
+            "events": n_in,
+            "windows": n_windows,
+        }
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -149,6 +196,7 @@ def main() -> None:
     total_warm = round(sum(warm.values()), 3)
     total_cold = round(sum(cold.values()), 3)
     streaming = bench_streaming_upsert(spark, sf_dir)
+    streaming.update(bench_streaming_window(spark, sf_dir))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
