@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_order_tiers": X.band_join_order_tiers,
         "order_percentile_ranks": X.order_percentile_ranks,
         "recursive_org_depth": X.recursive_org_depth,
+        "histogram_order_values": X.histogram_order_values,
     }
 
 
@@ -1765,6 +1766,18 @@ def oracle_sql() -> dict[str, str]:
                            AND NOT regexp_matches(source, '^src[0-9]+$'))
                 FROM documents
             ) ORDER BY check_name
+        """,
+        "histogram_order_values": """
+            SELECT o_orderstatus,
+                   CAST(least(19, greatest(0,
+                       floor((o_totalprice - 0.0) / 20000.0))) AS INT)
+                       AS bin,
+                   count(*) AS n,
+                   (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0)
+                       AS sum_price
+            FROM orders
+            GROUP BY 1, 2
+            ORDER BY o_orderstatus, bin
         """,
         "recursive_org_depth": """
             WITH RECURSIVE chain(custkey, depth) AS (

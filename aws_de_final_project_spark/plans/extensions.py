@@ -1168,3 +1168,27 @@ def recursive_org_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT custkey, depth FROM chain ORDER BY custkey
         """
     )
+
+
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram per order status — the aggregation shape
+    behind every dashboard distribution plot. Binning is plain floor
+    arithmetic over a fixed [0, 400k) domain (no width_bucket, no
+    percentile pass), so the whole histogram is ONE hash aggregate
+    with map-side partials — at 100 TB the shuffle is
+    |statuses| x |bins| rows, independent of order count. Out-of-range
+    values clamp into the edge bins to keep the bin count fixed."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    lo, hi, nbins = 0.0, 400_000.0, 20
+    w = (hi - lo) / nbins
+    b = F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(w))
+    bin_id = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), b)).cast("int")
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus", bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "bin")
+    )
