@@ -29,9 +29,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # — relational parity (SURVEY.md §2) —
-        "q1_pricing_summary": Q.q1_pricing_summary,
+        # Flagship first; then the 30 entries never sampled by the
+        # driver in rounds 1-4 (the sample is a deterministic prefix-
+        # weighted subset of dict order), so CORRECTNESS_r05 covers
+        # them; previously-sampled entries follow in original order.
         "return_pct_by_nation": Q.return_pct_by_nation,
+        "ann_cosine_topk_vec": X.ann_cosine_topk_vec,
+        "quality_filter_flags": X.quality_filter_flags,
+        "ngram_top_terms": X.ngram_top_terms,
+        "stratified_sample_events": X.stratified_sample_events,
+        "dedup_component_groups": X.dedup_component_groups,
+        "decontaminate_vs_benchmark": X.decontaminate_vs_benchmark,
+        "mixture_rebalance": X.mixture_rebalance,
+        "dedup_component_groups_lsh": X.dedup_component_groups_lsh,
+        "line_dedup_docs": X.line_dedup_docs,
+        "chunk_text_windows": X.chunk_text_windows,
+        "pack_training_sequences": X.pack_training_sequences,
+        "dq_orders_suite": X.dq_orders_suite,
+        "dedup_semantic_clustered": X.dedup_semantic_clustered,
+        "unigram_logprob_scores": X.unigram_logprob_scores,
+        "spatial_near_customers": X.spatial_near_customers,
+        "fuzzy_name_pairs": X.fuzzy_name_pairs,
+        "rollup_incremental_user_stats": X.rollup_incremental_user_stats,
+        "rollup_incremental_user_variance": X.rollup_incremental_user_variance,
+        "overlap_shipment_pairs": X.overlap_shipment_pairs,
+        "token_entropy_scores": X.token_entropy_scores,
+        "rolling_1h_user_value": X.rolling_1h_user_value,
+        "dq_documents_suite": X.dq_documents_suite,
+        "semi_join_fast_parts": X.semi_join_fast_parts,
+        "unpivot_part_metrics": X.unpivot_part_metrics,
+        "repetition_top_bigram": X.repetition_top_bigram,
+        "pii_redact_names": X.pii_redact_names,
+        "band_join_order_tiers": X.band_join_order_tiers,
+        "order_percentile_ranks": X.order_percentile_ranks,
+        "recursive_org_depth": X.recursive_org_depth,
+        "histogram_order_values": X.histogram_order_values,
+        "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
         "weekday_features": Q.weekday_features,
@@ -70,7 +103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_type": Q.median_value_by_type,
         "label_centroids": X.label_centroids,
         "tfidf_top_terms": X.tfidf_top_terms,
-        # — north-star extensions —
         "dedup_exact_groups": X.dedup_exact_groups,
         "dedup_jaccard_pairs": X.dedup_jaccard_pairs,
         "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
@@ -82,7 +114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_order_stats": Q.grouping_sets_order_stats,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,
-        "ann_cosine_topk_vec": X.ann_cosine_topk_vec,
         "ann_lsh_topk": X.ann_lsh_topk,
         "ann_ivf_topk": X.ann_ivf_topk,
         "text_stats_by_lang": X.text_stats_by_lang,
@@ -91,40 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": X.doc_fingerprints,
         "doc_winnow_fingerprints": X.doc_winnow_fingerprints,
         "lang_id_heuristic": X.lang_id_heuristic,
-        "quality_filter_flags": X.quality_filter_flags,
-        "ngram_top_terms": X.ngram_top_terms,
-        "stratified_sample_events": X.stratified_sample_events,
-        "dedup_component_groups": X.dedup_component_groups,
-        "decontaminate_vs_benchmark": X.decontaminate_vs_benchmark,
-        "mixture_rebalance": X.mixture_rebalance,
-        "dedup_component_groups_lsh": X.dedup_component_groups_lsh,
         "multimodal_byte_stats": X.multimodal_byte_stats,
         "multimodal_decode_features": X.multimodal_decode_features,
         "multimodal_resize_stats": X.multimodal_resize_stats,
         "multimodal_feature_knn": X.multimodal_feature_knn,
         "multimodal_frame_sample": X.multimodal_frame_sample,
-        "line_dedup_docs": X.line_dedup_docs,
-        "chunk_text_windows": X.chunk_text_windows,
-        "pack_training_sequences": X.pack_training_sequences,
-        "dq_orders_suite": X.dq_orders_suite,
-        "dedup_semantic_clustered": X.dedup_semantic_clustered,
-        "unigram_logprob_scores": X.unigram_logprob_scores,
-        "spatial_near_customers": X.spatial_near_customers,
-        "fuzzy_name_pairs": X.fuzzy_name_pairs,
-        "rollup_incremental_user_stats": X.rollup_incremental_user_stats,
-        "rollup_incremental_user_variance": X.rollup_incremental_user_variance,
-        "overlap_shipment_pairs": X.overlap_shipment_pairs,
-        "token_entropy_scores": X.token_entropy_scores,
-        "rolling_1h_user_value": X.rolling_1h_user_value,
-        "dq_documents_suite": X.dq_documents_suite,
-        "semi_join_fast_parts": X.semi_join_fast_parts,
-        "unpivot_part_metrics": X.unpivot_part_metrics,
-        "repetition_top_bigram": X.repetition_top_bigram,
-        "pii_redact_names": X.pii_redact_names,
-        "band_join_order_tiers": X.band_join_order_tiers,
-        "order_percentile_ranks": X.order_percentile_ranks,
-        "recursive_org_depth": X.recursive_org_depth,
-        "histogram_order_values": X.histogram_order_values,
     }
 
 
