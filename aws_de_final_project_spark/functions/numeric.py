@@ -30,6 +30,15 @@ def epoch_us(col: Column | str) -> Column:
     ``timestamp_diff`` over two NTZ values never consults the session
     zone, so this matches DuckDB's ``epoch_us()`` bit-for-bit on NTZ
     data regardless of who built the SparkSession.
+
+    LTZ caveat: a TIMESTAMP (with local tz) input is rendered to NTZ
+    through the *session* zone, so a DIFFERENCE of two LTZ values
+    (e.g. ``gap_us`` in streaming/joins.py) is offset-invariant only
+    while the zone's offset is constant between the two instants — a
+    non-UTC session straddling a DST transition shifts one side by
+    the DST delta. All in-repo callers read the NTZ parquet fixtures
+    (no session-zone dependence); callers feeding LTZ columns should
+    difference ``F.unix_micros`` (true instant micros) instead.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.timestamp_diff(

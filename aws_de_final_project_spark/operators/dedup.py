@@ -521,6 +521,17 @@ def connected_components(
     id_b: str = "doc_b",
     max_iter: int = 20,
 ) -> DataFrame:
+    """Labels-only form of :func:`connected_components_iters`."""
+    labels, _ = connected_components_iters(pairs, id_a, id_b, max_iter)
+    return labels
+
+
+def connected_components_iters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> tuple[DataFrame, int]:
     """Connected components over a near-duplicate pair list: the step
     that turns "these documents are similar" into "keep one per
     cluster". Output: (node, component) with component = min node id
@@ -545,8 +556,9 @@ def connected_components(
     go out of scope (verified: persisted-RDD count stays flat across
     repeated invocations).
 
-    The round count of the LAST call is exposed as
-    ``connected_components.last_iters`` for tests/benchmarks.
+    Returns ``(labels, n_rounds)`` — the round count rides the return
+    value (no shared mutable function-attribute, so concurrent calls
+    on one driver can't race each other's counters).
     """
     edges = (
         pairs.select(
@@ -568,19 +580,27 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
-    connected_components.last_iters = 0
+    iters = 0
     for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        propagated = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.col("component").alias("_old"),
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
+        # checkpointed: propagated feeds BOTH sides of the pointer-
+        # doubling self-join below — without the cut, the edges-to-
+        # labels join and min-aggregate above replay twice per round
+        propagated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
         )
         # pointer doubling: comp = label[comp]; halves chain distance
         lut = propagated.select(
@@ -605,10 +625,10 @@ def connected_components(
         )
         changed = stepped.filter("_chg").limit(1).count()
         labels = stepped.drop("_chg")
-        connected_components.last_iters = it + 1
+        iters = it + 1
         if changed == 0:
             break
-    return labels
+    return labels, iters
 
 
 def dedup_components(

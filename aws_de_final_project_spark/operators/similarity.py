@@ -314,6 +314,10 @@ def cell_assign_arrow(
     """
     import numpy as np
 
+    if n_assign > len(cents):
+        raise ValueError(
+            f"n_assign={n_assign} exceeds centroid count {len(cents)}"
+        )
     C = np.asarray(cents, dtype=np.float64)
 
     def assign(batches):

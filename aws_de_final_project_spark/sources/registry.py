@@ -351,16 +351,27 @@ def zorder_column(
     max_cell = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        lo = float(stats[f"_lo_{c}"])
-        hi = float(stats[f"_hi_{c}"])
+        lo_raw, hi_raw = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+        if lo_raw is None or hi_raw is None:
+            # all-NULL column: no spread to encode — contribute 0 bits
+            # rather than TypeError on float(None)
+            continue
+        lo = float(lo_raw)
+        hi = float(hi_raw)
         span = (hi - lo) or 1.0
-        scaled = F.least(
-            F.lit(max_cell),
-            F.floor(
-                (F.col(c).cast("double") - F.lit(lo))
-                / F.lit(span)
-                * F.lit(max_cell + 1)
-            ).cast("long"),
+        scaled = F.coalesce(
+            F.least(
+                F.lit(max_cell),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(max_cell + 1)
+                ).cast("long"),
+            ),
+            # NULL values sort with the low end instead of poisoning
+            # the whole interleaved key to NULL (which would scatter
+            # those rows arbitrarily under repartitionByRange)
+            F.lit(0).cast("long"),
         )
         # place bit i of this column at interleaved position
         # i * n_cols + ci

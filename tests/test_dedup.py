@@ -173,23 +173,19 @@ def test_connected_components_log_round_convergence(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
     )
-    got = {
-        r.node: r.component
-        for r in dedup.connected_components(path, max_iter=15).collect()
-    }
+    labels, iters = dedup.connected_components_iters(path, max_iter=15)
+    got = {r.node: r.component for r in labels.collect()}
     assert got == {i: 0 for i in range(201)}
-    assert dedup.connected_components.last_iters <= 12
+    assert iters <= 12
 
     # hub-and-spoke: skew case — one hot key in every neighbor join
     hub = spark.createDataFrame(
         [(1000, 1000 + i) for i in range(1, 151)], ["doc_a", "doc_b"]
     )
-    got = {
-        r.node: r.component
-        for r in dedup.connected_components(hub).collect()
-    }
+    labels, iters = dedup.connected_components_iters(hub)
+    got = {r.node: r.component for r in labels.collect()}
     assert set(got.values()) == {1000}
-    assert dedup.connected_components.last_iters <= 3
+    assert iters <= 3
 
 
 def test_banding_parameter_validation(docs):
