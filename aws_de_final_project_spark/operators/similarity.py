@@ -28,6 +28,27 @@ from pyspark.sql.window import Window
 
 from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 
+# measured crossover (tools/measure_literal_banks.py): below this the
+# SQL literal bank is fine and keeps DuckDB-oracle parity; at and
+# above it the interpreted per-(row, plane/centroid) dots dominate and
+# the Arrow BLAS kernels win 10-60x (270s -> 4.6s at dim 768)
+ARROW_AUTO_DIM = 256
+
+
+def _resolve_impl(impl: str, dim: int, param: str) -> str:
+    """``'auto'`` -> ``'arrow'`` at real embedding widths
+    (dim >= ARROW_AUTO_DIM), ``'sql'`` at oracle-fixture widths; a
+    caller who never reads the docstring now gets the measured-fast
+    plan by default, while the oracled entries pin ``'sql'``
+    explicitly so DuckDB parity never depends on this heuristic."""
+    if impl == "auto":
+        return "arrow" if dim >= ARROW_AUTO_DIM else "sql"
+    if impl not in ("sql", "arrow"):
+        raise ValueError(
+            f"{param} must be 'auto', 'sql' or 'arrow', got {impl!r}"
+        )
+    return impl
+
 
 def _lit_array(values) -> "F.Column":
     """Literal double-array column built from ONE parsed SQL string.
@@ -372,7 +393,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[list[float]] | None = None,
-    assign_impl: str = "sql",
+    assign_impl: str = "auto",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file)
     partitioning: every corpus vector is assigned to its nearest
@@ -394,6 +415,7 @@ def ivf_ann_topk(
         raise ValueError(
             f"centroids length {len(cents)} != n_centroids {n_centroids}"
         )
+    assign_impl = _resolve_impl(assign_impl, dim, "assign_impl")
     if assign_impl == "arrow":
         # wide-dim path: cell + norm from one BLAS pass, vector rides
         # the Arrow batch — no literal bank, no interpreted dots
@@ -463,7 +485,7 @@ def cosine_dup_pairs(
     block_planes: int = 0,
     dim: int | None = None,
     n_tables: int = 1,
-    sig_impl: str = "sql",
+    sig_impl: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     ``cos(a,b) >= threshold``.
@@ -490,6 +512,7 @@ def cosine_dup_pairs(
     if block_planes > 0:
         if dim is None:
             raise ValueError("dim is required when block_planes > 0")
+        sig_impl = _resolve_impl(sig_impl, dim, "sig_impl")
         tables = [
             _hyperplanes(dim, block_planes, seed=42 + 1000 * t)
             for t in range(n_tables)
@@ -676,7 +699,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    sig_impl: str = "sql",
+    sig_impl: str = "auto",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
@@ -690,6 +713,7 @@ def lsh_ann_topk(
     signed once (one narrow projection, one shuffle on the join key)
     — no broadcast of the corpus, no cross product, no index.
     """
+    sig_impl = _resolve_impl(sig_impl, dim, "sig_impl")
     table_sets = [
         _hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
     ]
@@ -823,7 +847,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
-    assign_impl: str = "sql",
+    assign_impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style clustered semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by nearest centroid, then
@@ -847,6 +871,7 @@ def semantic_dup_pairs(
     cells; default is the fixed-random quantizer.
     """
     cents = centroids if centroids is not None else _centroids(dim, n_clusters)
+    assign_impl = _resolve_impl(assign_impl, dim, "assign_impl")
 
     a = corpus.select(
         F.col(id_col).alias("_ida"),

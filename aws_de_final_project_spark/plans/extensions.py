@@ -95,6 +95,9 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         block_planes=4,
         dim=embedding_dim(sf_dir),
         n_tables=8,
+        # oracled entry: pin the literal-bank path — parity must not
+        # ride the dim>=256 arrow auto-dispatch heuristic
+        sig_impl="sql",
     ).orderBy("id_a", "id_b")
 
 
@@ -151,7 +154,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = embedding_dim(sf_dir)
     return similarity.lsh_ann_topk(
-        emb, queries, dim=dim, k=10, n_planes=4, n_tables=8
+        emb, queries, dim=dim, k=10, n_planes=4, n_tables=8,
+        sig_impl="sql",  # oracled: pin vs the arrow auto-dispatch
     ).orderBy("query_id", "rank")
 
 
@@ -167,7 +171,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = embedding_dim(sf_dir)
     return similarity.ivf_ann_topk(
-        emb, queries, dim=dim, k=10, n_centroids=8, n_probe=4
+        emb, queries, dim=dim, k=10, n_centroids=8, n_probe=4,
+        assign_impl="sql",  # oracled: pin vs the arrow auto-dispatch
     ).orderBy("query_id", "rank")
 
 
@@ -668,6 +673,9 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         n_clusters=16,
         n_assign=2,
+        # oracled entry: pin the centroid literal bank — parity must
+        # not ride the dim>=256 arrow auto-dispatch heuristic
+        assign_impl="sql",
     ).orderBy("id_a", "id_b")
 
 
