@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted subset of dict order), so CORRECTNESS_r05 covers
         # them; previously-sampled entries follow in original order.
         "return_pct_by_nation": Q.return_pct_by_nation,
+        "zorder_pruned_scan": X.zorder_pruned_scan,
         "ann_cosine_topk_vec": X.ann_cosine_topk_vec,
         "quality_filter_flags": X.quality_filter_flags,
         "ngram_top_terms": X.ngram_top_terms,
@@ -403,6 +404,17 @@ def oracle_sql() -> dict[str, str]:
             FROM tot INNER JOIN ret ON tot.n_name = ret.n_name
             ORDER BY tot_lineitems DESC, tot.n_name ASC
             LIMIT 15
+        """,
+        # layout-invariant twin: the Spark side answers over the
+        # z-order-clustered COPY of events; same rows either way
+        "zorder_pruned_scan": """
+            SELECT user_id, count(*) AS n_events,
+                   (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS sum_value
+            FROM events
+            WHERE user_id >= 10 AND user_id < 40
+              AND value >= 50.0 AND value < 150.0
+            GROUP BY user_id
+            ORDER BY user_id
         """,
         "filter_disjunctive": """
             SELECT * FROM part

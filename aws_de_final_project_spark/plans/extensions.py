@@ -1200,3 +1200,48 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "bin")
     )
+
+
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow 2-D band query over a Z-order-clustered copy of events —
+    the query-visible face of :func:`...sources.registry.write_zordered`
+    (VERDICT r4 #4: the skipping win was proven only inside
+    tests/test_zorder.py; this makes it an oracled entry).
+
+    The entry writes events (event_id, user_id, value) z-ordered on
+    (user_id, value), reads it back and answers a tight box predicate
+    on BOTH clustered dimensions. Correctness is layout-invariant, so
+    the DuckDB twin runs the same filter+agg on the raw table; the
+    file-skipping claim is pinned separately in tests/test_zorder.py
+    (footer envelopes of THIS dataset vs THIS predicate box) and the
+    PushedFilters plan pin in tests/test_plan_shapes.py. At 100 TB
+    the clustered write is the one-off layout job (Delta/Iceberg
+    OPTIMIZE ZORDER); every band query after it touches the few files
+    whose envelopes intersect the box instead of the whole table."""
+    import os
+    import tempfile
+
+    from aws_de_final_project_spark.sources.registry import write_zordered
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "user_id", "value")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zorder_events_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_zordered(ev, path, ["user_id", "value"], n_partitions=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("user_id") >= 10)
+            & (F.col("user_id") < 40)
+            & (F.col("value") >= 50.0)
+            & (F.col("value") < 150.0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

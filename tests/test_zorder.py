@@ -89,3 +89,43 @@ def test_zorder_skips_files_on_both_dims(spark, tmp_path):
     a = spark.read.parquet(linear).agg(F.sum("id")).collect()[0][0]
     b = spark.read.parquet(zpath).agg(F.sum("id")).collect()[0][0]
     assert a == b
+
+
+def test_zorder_pruned_scan_entry_skips_files(spark):
+    """VERDICT r4 #4: the clustered-layout win, pinned on the REGISTERED
+    query (plans/extensions.py::zorder_pruned_scan), not just a synthetic
+    frame. After the entry writes its z-ordered copy of events, (a) the
+    box predicate's file-envelope intersection must cover a minority of
+    the written files — the fraction any footer-stats reader (Spark's
+    row-group pruning included) actually reads — and (b) the predicate
+    must reach the parquet scan as PushedFilters, so the skipping isn't
+    undone by a post-scan filter."""
+    import os
+    import tempfile
+
+    from aws_de_final_project_spark.plans import extensions as X
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = X.zorder_pruned_scan(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zorder_events_{os.path.basename(sf_dir)}",
+    )
+    envs = _envelopes(path, ["user_id", "value"])
+    n_written = len(envs)
+    assert n_written >= 8  # the writer actually fanned out
+    hit = sum(
+        1
+        for e in envs
+        if e["user_id"][0] < 40 and e["user_id"][1] >= 10
+        and e["value"][0] < 150.0 and e["value"][1] >= 50.0
+    )
+    # fewer files read than written — the point of the layout
+    assert hit < n_written / 2, (hit, n_written)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(user_id,10)" in plan
