@@ -175,6 +175,90 @@ def _decode_payload(kind: str, payload: bytes) -> tuple[int, int, list[float]]:
     return (width, height, feature)
 
 
+def _parse_png_gray8(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL (restricted-profile) PNG decode with stdlib only: 8-bit
+    grayscale, non-interlaced, filter-0 scanlines — the profile the
+    CI fixture writes. Chunk walk + zlib inflate is the actual PNG
+    container format, not a fake; anything outside the profile raises
+    (-> the (0,0,[]) sentinel upstream). Feature math is IDENTICAL to
+    the PIL codec path (256-bin histogram collapsed to 8 bands), so
+    when PIL is importable both decoders agree bit-for-bit on this
+    profile — pinned in tests/test_multimodal.py."""
+    import struct
+    import zlib
+
+    if bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    pos, idat = 8, b""
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or depth != 8 or color != 0 or interlace != 0:
+        raise ValueError("unsupported png profile")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    hist = [0] * 256
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("unsupported scanline filter")
+        for p in row[1:]:
+            hist[p] += 1
+    total = float(w * h) or 1.0
+    feature = [sum(hist[32 * i : 32 * (i + 1)]) / total for i in range(8)]
+    return (int(w), int(h), feature)
+
+
+def _parse_wav_pcm(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL PCM WAV decode with the stdlib ``wave`` parser. Samples
+    normalize by the int range (int16 -> /32768), mono-mix across
+    channels, then the same 8-chunk RMS feature as the soundfile
+    codec — so both real paths agree on PCM input."""
+    import io
+    import wave as _wave
+
+    import numpy as _np
+
+    with _wave.open(io.BytesIO(bytes(payload))) as wv:
+        rate = wv.getframerate()
+        nch = wv.getnchannels()
+        sw = wv.getsampwidth()
+        raw = wv.readframes(wv.getnframes())
+    dtype = {2: _np.int16, 4: _np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError("unsupported sample width")
+    arr = _np.frombuffer(raw, dtype=dtype).astype(_np.float64) / float(
+        2 ** (8 * sw - 1)
+    )
+    mono = arr.reshape(-1, nch).mean(axis=1)
+    chunks = _np.array_split(mono, 8)
+    feature = [
+        float(_np.sqrt((c**2).mean())) if len(c) else 0.0 for c in chunks
+    ]
+    return (len(mono), int(rate), feature)
+
+
+def _stdlib_codecs() -> dict:
+    """The always-available real-decoder registry: stdlib parsers for
+    the restricted PNG profile and PCM WAV. Explicit opt-in
+    (``codec='stdlib'``) rather than part of ``auto`` so the
+    environment-dependent auto path keeps its exact contract
+    (PIL/soundfile or stub — never a third behavior appearing
+    mid-fleet on a heterogeneous cluster)."""
+    return {"image": _parse_png_gray8, "audio": _parse_wav_pcm}
+
+
 def decode_media(media: DataFrame, codec: str = "auto") -> DataFrame:
     """Arrow-batched decode/feature-extract over a media table.
 
@@ -189,13 +273,23 @@ def decode_media(media: DataFrame, codec: str = "auto") -> DataFrame:
     rejects yields the (0, 0, []) sentinel rather than silently
     substituting stub features for real ones. ``codec="stub"`` forces
     the stub everywhere — what the oracle-checked queries pin, so
-    their results are environment-independent.
+    their results are environment-independent. ``codec="stdlib"``
+    forces the stdlib real parsers (restricted-PNG + PCM-WAV) — the
+    CI path that exercises genuine decoding in containers without
+    PIL/soundfile.
     """
-    if codec not in ("auto", "stub"):
-        raise ValueError(f"codec must be 'auto' or 'stub', got {codec!r}")
+    if codec not in ("auto", "stub", "stdlib"):
+        raise ValueError(
+            f"codec must be 'auto', 'stub' or 'stdlib', got {codec!r}"
+        )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codecs = available_codecs() if codec == "auto" else {}
+        if codec == "auto":
+            codecs = available_codecs()
+        elif codec == "stdlib":
+            codecs = _stdlib_codecs()
+        else:
+            codecs = {}
         for pdf in batches:
             decoded = [
                 _decode_with_codecs(codecs, k, p)
