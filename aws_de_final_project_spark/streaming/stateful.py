@@ -107,8 +107,19 @@ def sessionize_stateful(
                     total += v
             if start is not None:
                 state.update((start, last, n, total))
-                # close the open session once event time passes last+gap
-                state.setTimeoutTimestamp((last + gap_us) // 1000)
+                # close the open session once event time passes
+                # last+gap — clamped strictly past the current
+                # watermark: a batch whose rows are already behind the
+                # watermark (late-but-admitted data) would otherwise
+                # request a timeout in the past, which Spark rejects
+                # (INVALID_TIMEOUT_TIMESTAMP) and kills the query; the
+                # clamp closes such sessions at the next micro-batch
+                state.setTimeoutTimestamp(
+                    max(
+                        (last + gap_us) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
         yield pd.DataFrame(
             out,
             columns=[

@@ -53,6 +53,57 @@ DOC_QUERIES = [
 
 _VOWS = "aeiou"
 
+# x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
+# x10 (4.3x / 3.2x) — push those families one more decade so
+# superlinearity can't hide between decades. 1.5M docs fits the
+# 128 GiB envelope.
+X30_DIR = "/tmp/scale_probe_docs_x30"
+X30_QUERIES = [
+    "doc_winnow_fingerprints",
+    "quality_filter_flags",
+    "dedup_minhash_lsh",
+    "dedup_component_groups_lsh",
+]
+
+_ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def build_docs_xn(spark, src_sf: str, n: int, out_dir: str) -> None:
+    """n id-shifted copies, each under a DIFFERENT Caesar cipher over
+    [a-z0-9] (translate — pure codegen). A bijective per-copy cipher
+    preserves within-copy dup/near-dup structure EXACTLY (equality and
+    shingle identity are invariant under a character bijection that
+    fixes separators) while cross-copy texts share essentially no
+    shingles — so output pair counts scale linearly in n with no
+    cross-copy cliques. Preferred over the x10 vowel rotation (only 5
+    distinct rotations -> exact cross-copy twins at copy i, i+5)."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    docs = load_tables(spark, src_sf, ("documents",), register_views=False)[
+        "documents"
+    ]
+    n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = []
+    for i in range(n):
+        rot = _ALNUM[i % 36:] + _ALNUM[: i % 36]
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_ids)).alias("doc_id"),
+                F.translate("text", _ALNUM, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
 
 def build_docs_x10(spark, src_sf: str) -> None:
     from pyspark.sql import functions as F
@@ -139,6 +190,10 @@ def main() -> None:
         "sf0.1": "/root/testdata/sf0.1",
         "x10": X10_DIR,
     }
+    from bench import measure_action_overhead
+
+    fixed = measure_action_overhead(spark)
+    rows = []
     for name in QUERIES + DOC_QUERIES:
         row = {"query": name}
         for tier, d in tiers.items():
@@ -146,12 +201,52 @@ def main() -> None:
             t0 = time.perf_counter()
             drive(Q[name](spark, d))
             row[tier] = round(time.perf_counter() - t0, 3)
-        # slope net of the fixed ~0.3s action overhead at both tiers
-        fixed = 0.3
+        # slope net of the measured fixed action overhead
         num = max(row["x10"] - fixed, 1e-3)
         den = max(row["sf0.1"] - fixed, 1e-3)
         row["slope_x10_vs_sf0.1"] = round(num / den, 2)
         print(json.dumps(row))
+        rows.append(row)
+
+    # one more decade for the fastest-growing doc families: x30 vs
+    # x10 is 3x data, so the linear expectation is
+    # t30 ~= 3 * (t10 - fixed) + fixed; ratio_vs_linear > 1.2 means
+    # superlinear growth was hiding between decades
+    if not os.path.exists(os.path.join(X30_DIR, "documents.parquet")):
+        build_docs_xn(spark, "/root/testdata/sf0.1", 30, X30_DIR)
+    by_name = {r["query"]: r for r in rows}
+    for name in X30_QUERIES:
+        row = by_name[name]
+        drive(Q[name](spark, X30_DIR))  # cold/warmup
+        t0 = time.perf_counter()
+        drive(Q[name](spark, X30_DIR))
+        row["x30"] = round(time.perf_counter() - t0, 3)
+        linear = 3.0 * max(row["x10"] - fixed, 1e-3)
+        row["x30_ratio_vs_linear"] = round(
+            max(row["x30"] - fixed, 1e-3) / linear, 2
+        )
+        print(json.dumps({k: row[k] for k in
+                          ("query", "x10", "x30", "x30_ratio_vs_linear")}))
+
+    artifact = {
+        "note": (
+            "warm wall-clock (s) at each tier; x10 = events/documents "
+            "replicated 10x (vowel rotation, r3 builder), x30 = "
+            "documents replicated 30x (per-copy [a-z0-9] Caesar "
+            "cipher — bijective, so within-copy dup structure is "
+            "exact and cross-copy overlap is nil); slopes are net of "
+            "the measured fixed action overhead"
+        ),
+        "action_overhead_sec": fixed,
+        "queries": by_name,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_PROBE.json",
+    )
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
