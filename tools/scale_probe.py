@@ -36,11 +36,9 @@ QUERIES = [
     "funnel_user_steps",
 ]
 
-# dedup/text family runs against the documents x10 tier. Each copy
-# gets a DIFFERENT vowel rotation (translate — cheap codegen), so
-# within-copy dup/near-dup structure is preserved exactly while
-# cross-copy texts share no shingles: output pair counts scale
-# linearly instead of forming 10-cliques per document.
+# dedup/text family runs against the documents x10/x30 tiers built by
+# build_docs_xn (per-copy cipher — see its docstring for why pair
+# counts scale linearly in copies).
 DOC_QUERIES = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
@@ -51,13 +49,12 @@ DOC_QUERIES = [
     "dedup_component_groups_lsh",
 ]
 
-_VOWS = "aeiou"
-
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
 # x10 (4.3x / 3.2x) — push those families one more decade so
 # superlinearity can't hide between decades. 1.5M docs fits the
 # 128 GiB envelope.
 X30_DIR = "/tmp/scale_probe_docs_x30"
+DOCS_X10_DIR = "/tmp/scale_probe_docs_x10"
 X30_QUERIES = [
     "doc_winnow_fingerprints",
     "quality_filter_flags",
@@ -105,35 +102,6 @@ def build_docs_xn(spark, src_sf: str, n: int, out_dir: str) -> None:
     )
 
 
-def build_docs_x10(spark, src_sf: str) -> None:
-    from pyspark.sql import functions as F
-
-    from aws_de_final_project_spark.sources.registry import load_tables
-
-    docs = load_tables(spark, src_sf, ("documents",), register_views=False)[
-        "documents"
-    ]
-    n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    copies = []
-    for i in range(10):
-        rot = _VOWS[i % 5:] + _VOWS[: i % 5]
-        copies.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(i * n_ids)).alias("doc_id"),
-                F.translate("text", _VOWS, rot).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(X10_DIR, "documents.parquet")
-    )
-
-
 def build_x10(spark, src_sf: str) -> None:
     from pyspark.sql import functions as F
 
@@ -178,29 +146,41 @@ def main() -> None:
     spark.range(10).count()
     if not os.path.exists(os.path.join(X10_DIR, "events.parquet")):
         build_x10(spark, "/root/testdata/sf0.1")
-    if not os.path.exists(os.path.join(X10_DIR, "documents.parquet")):
-        build_docs_x10(spark, "/root/testdata/sf0.1")
+    # docs x10 uses the SAME cipher builder as x30 — the old vowel
+    # rotation had only 5 distinct rotations, so copies i and i+5 were
+    # exact cross-copy twins: 30k pairs over 50k docs vs the clean
+    # 7.7k over 150k, which made decade-over-decade slopes compare
+    # structurally different graphs
+    if not os.path.exists(os.path.join(DOCS_X10_DIR, "documents.parquet")):
+        build_docs_xn(spark, "/root/testdata/sf0.1", 10, DOCS_X10_DIR)
 
     def drive(df):
         df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
 
     Q = E.queries()
-    tiers = {
-        "sf0.01": "/root/testdata/sf0.01",
-        "sf0.1": "/root/testdata/sf0.1",
-        "x10": X10_DIR,
-    }
     from bench import measure_action_overhead
 
     fixed = measure_action_overhead(spark)
     rows = []
     for name in QUERIES + DOC_QUERIES:
+        big = X10_DIR if name in QUERIES else DOCS_X10_DIR
+        tiers = {
+            "sf0.01": "/root/testdata/sf0.01",
+            "sf0.1": "/root/testdata/sf0.1",
+            "x10": big,
+        }
         row = {"query": name}
         for tier, d in tiers.items():
             drive(Q[name](spark, d))  # cold/warmup
-            t0 = time.perf_counter()
-            drive(Q[name](spark, d))
-            row[tier] = round(time.perf_counter() - t0, 3)
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                drive(Q[name](spark, d))
+                reps.append(time.perf_counter() - t0)
+            # min-of-N: single-rep numbers swing 1.5-2x under GC /
+            # page-cache noise at the big tiers (measured), which is
+            # enough to fake a superlinear slope
+            row[tier] = round(min(reps), 3)
         # slope net of the measured fixed action overhead
         num = max(row["x10"] - fixed, 1e-3)
         den = max(row["sf0.1"] - fixed, 1e-3)
@@ -218,9 +198,12 @@ def main() -> None:
     for name in X30_QUERIES:
         row = by_name[name]
         drive(Q[name](spark, X30_DIR))  # cold/warmup
-        t0 = time.perf_counter()
-        drive(Q[name](spark, X30_DIR))
-        row["x30"] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            drive(Q[name](spark, X30_DIR))
+            reps.append(time.perf_counter() - t0)
+        row["x30"] = round(min(reps), 3)
         linear = 3.0 * max(row["x10"] - fixed, 1e-3)
         row["x30_ratio_vs_linear"] = round(
             max(row["x30"] - fixed, 1e-3) / linear, 2
@@ -230,12 +213,13 @@ def main() -> None:
 
     artifact = {
         "note": (
-            "warm wall-clock (s) at each tier; x10 = events/documents "
-            "replicated 10x (vowel rotation, r3 builder), x30 = "
-            "documents replicated 30x (per-copy [a-z0-9] Caesar "
-            "cipher — bijective, so within-copy dup structure is "
-            "exact and cross-copy overlap is nil); slopes are net of "
-            "the measured fixed action overhead"
+            "warm wall-clock (s) at each tier; x10 events = 10 "
+            "id+time-shifted copies; x10/x30 documents = 10/30 "
+            "id-shifted copies each under a distinct [a-z0-9] Caesar "
+            "cipher (bijective: within-copy dup structure exact, "
+            "cross-copy shingle overlap nil, so pair counts scale "
+            "linearly in copies); slopes are net of the measured "
+            "fixed action overhead"
         ),
         "action_overhead_sec": fixed,
         "queries": by_name,
