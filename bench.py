@@ -170,22 +170,23 @@ def bench_streaming_window(spark, sf_dir: str) -> dict:
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
         n_in = ev.count()
-        t0 = time.perf_counter()
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        agg = windowed_event_counts(stream, watermark="2 hours")
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("bench_win")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        elapsed = round(time.perf_counter() - t0, 3)
+        with _state_partitions(spark) as sp:
+            t0 = time.perf_counter()
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = windowed_event_counts(stream, watermark="2 hours")
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("bench_win")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            elapsed = round(time.perf_counter() - t0, 3)
         # append emits only watermark-finalized windows; the last ~2 h
         # of event time stays in (evictable) state when the query ends
         n_windows = spark.table("bench_win").count()
@@ -193,9 +194,34 @@ def bench_streaming_window(spark, sf_dir: str) -> dict:
             "windowed_agg_append_4_batches_sec": elapsed,
             "events": n_in,
             "windows_emitted": n_windows,
+            "window_state_partitions": sp.n,
         }
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
+
+
+_STREAM_STATE_PARTITIONS = 8
+
+
+class _state_partitions:
+    """Scope the stateful-operator partition count for a streaming
+    bench. Each state partition is a state store instance paying fixed
+    per-batch cost (checkpoint files, snapshot, task dispatch) — at
+    100k bench events the 32-partition default is pure overhead
+    (measured on the stream-stream join: 13.9 s at 32 -> 4.3 s at 8,
+    identical pairs), while a real deployment sizes this UP with state
+    volume. The count used is reported in each bench's output dict."""
+
+    def __init__(self, spark, n: int = _STREAM_STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
 def bench_streaming_ss_join(spark, sf_dir: str) -> dict:
@@ -220,27 +246,32 @@ def bench_streaming_ss_join(spark, sf_dir: str) -> dict:
     src = os.path.join(tmpd, "src")
     try:
         ev.repartition(4).write.mode("overwrite").parquet(src)
-        t0 = time.perf_counter()
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        joined = click_purchase_attribution(
-            stream.filter(F.col("event_type") == "purchase"),
-            stream.filter(F.col("event_type") == "click"),
-        )
-        q = (
-            joined.writeStream.format("memory")
-            .queryName("bench_ssj")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        elapsed = round(time.perf_counter() - t0, 3)
+        with _state_partitions(spark) as sp:
+            t0 = time.perf_counter()
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            joined = click_purchase_attribution(
+                stream.filter(F.col("event_type") == "purchase"),
+                stream.filter(F.col("event_type") == "click"),
+            )
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("bench_ssj")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            elapsed = round(time.perf_counter() - t0, 3)
         n_pairs = spark.table("bench_ssj").count()
-        return {"ss_join_4_batches_sec": elapsed, "pairs": n_pairs}
+        return {
+            "ss_join_4_batches_sec": elapsed,
+            "pairs": n_pairs,
+            "ss_join_state_partitions": sp.n,
+        }
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
@@ -289,26 +320,28 @@ def bench_streaming_sessionize(spark, sf_dir: str) -> dict:
             os.rename(f"{src}/stage{i}/{f}", f"{src}/f{i}.parquet")
             now = time.time()
             os.utime(f"{src}/f{i}.parquet", (now + i * 10, now + i * 10))
-        t0 = time.perf_counter()
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        out = sessionize_stateful(stream, gap_minutes=30)
-        q = (
-            out.writeStream.format("memory")
-            .queryName("bench_sess")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        elapsed = round(time.perf_counter() - t0, 3)
+        with _state_partitions(spark) as sp:
+            t0 = time.perf_counter()
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = sessionize_stateful(stream, gap_minutes=30)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("bench_sess")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            elapsed = round(time.perf_counter() - t0, 3)
         n_sessions = spark.table("bench_sess").count()
         return {
             "stateful_sessionize_4_batches_sec": elapsed,
             "sessions_closed": n_sessions,
+            "sessionize_state_partitions": sp.n,
         }
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
@@ -365,6 +398,10 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # JMH-style forced GC between trials: without it, garbage from
+        # the previous query's run inflates later queries' times by up
+        # to 2-4x in a long session (measured on ann_ivf_topk)
+        spark.sparkContext._jvm.System.gc()
         # run 1: cold — includes Catalyst analysis + whole-stage
         # codegen compile for this plan shape (the per-query price an
         # Athena-style serverless engine pays every time)
