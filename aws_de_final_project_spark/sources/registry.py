@@ -359,19 +359,22 @@ def zorder_column(
         lo = float(lo_raw)
         hi = float(hi_raw)
         span = (hi - lo) or 1.0
-        scaled = F.coalesce(
-            F.least(
-                F.lit(max_cell),
+        # NULL values sort with the low end instead of poisoning the
+        # whole interleaved key to NULL (which would scatter those
+        # rows arbitrarily under repartitionByRange). The coalesce
+        # must sit INSIDE the least: least() skips NULL operands, so
+        # least(max_cell, NULL) would silently park NULLs at the HIGH
+        # end instead.
+        scaled = F.least(
+            F.lit(max_cell),
+            F.coalesce(
                 F.floor(
                     (F.col(c).cast("double") - F.lit(lo))
                     / F.lit(span)
                     * F.lit(max_cell + 1)
                 ).cast("long"),
+                F.lit(0).cast("long"),
             ),
-            # NULL values sort with the low end instead of poisoning
-            # the whole interleaved key to NULL (which would scatter
-            # those rows arbitrarily under repartitionByRange)
-            F.lit(0).cast("long"),
         )
         # place bit i of this column at interleaved position
         # i * n_cols + ci

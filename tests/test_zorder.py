@@ -129,3 +129,36 @@ def test_zorder_pruned_scan_entry_skips_files(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(user_id,10)" in plan
+
+
+def test_zorder_null_keys_and_all_null_column(spark, tmp_path):
+    """ADVICE r4: zorder_column must not TypeError on an all-NULL
+    z-column (it contributes no bits) and NULL values in a z-column
+    must cluster at the low end instead of poisoning the interleaved
+    key to NULL (which scatters those rows under repartitionByRange)."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.sources.registry import (
+        write_zordered,
+        zorder_column,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 97)
+        .alias("x"),
+        F.lit(None).cast("double").alias("dead"),
+    )
+    # all-NULL column: no crash, z-key still built from x alone
+    _, z = zorder_column(df, ["x", "dead"])
+    rows = df.withColumn("_z", z).select("id", "x", "_z").collect()
+    assert all(r._z is not None for r in rows)  # NULL x -> 0, not NULL
+    null_z = {r._z for r in rows if r.x is None}
+    min_nonnull = min(r._z for r in rows if r.x is not None)
+    assert null_z == {0} and min_nonnull >= 0
+
+    # end-to-end write survives, row count preserved
+    out = str(tmp_path / "z_with_nulls")
+    write_zordered(df, out, ["x", "dead"], n_partitions=4)
+    assert spark.read.parquet(out).count() == 1000
