@@ -224,11 +224,40 @@ class _state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+def _write_time_ordered_files(ev, src: str, ts_col: str = "ts") -> None:
+    """Land ``ev`` as 4 event-time-quantile files with increasing
+    mtimes so the file stream delivers ordered micro-batches — the
+    realistic arrival pattern for event-time pipelines, and the one
+    that makes watermark-based lateness (and therefore the benched
+    output) DETERMINISTIC: with shuffled files, which rows count as
+    late depends on file pickup order and the result varies run to
+    run."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.functions.numeric import epoch_us
+
+    os.makedirs(src)
+    with_us = ev.withColumn("_us", epoch_us(ts_col))
+    qs = with_us.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = with_us.filter(
+            (F.col("_us") > bounds[i]) & (F.col("_us") <= bounds[i + 1])
+        ).drop("_us")
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/stage{i}")
+        f = [x for x in os.listdir(f"{src}/stage{i}")
+             if x.endswith(".parquet")][0]
+        os.rename(f"{src}/stage{i}/{f}", f"{src}/f{i}.parquet")
+        now = time.time()
+        os.utime(f"{src}/f{i}.parquet", (now + i * 10, now + i * 10))
+
+
 def bench_streaming_ss_join(spark, sf_dir: str) -> dict:
     """Wall-clock for the watermarked stream-stream interval join
     (purchase <- preceding clicks within 60 min) over the events table
-    delivered as 4 micro-batches — the buffered-state join path whose
-    per-batch cost was previously untracked (VERDICT r4 #6)."""
+    delivered as 4 event-time-ordered micro-batches — the
+    buffered-state join path whose per-batch cost was previously
+    untracked (VERDICT r4 #6)."""
     import shutil
     import tempfile
 
@@ -245,7 +274,7 @@ def bench_streaming_ss_join(spark, sf_dir: str) -> dict:
     tmpd = tempfile.mkdtemp(prefix="bench_stream_ssj_")
     src = os.path.join(tmpd, "src")
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        _write_time_ordered_files(ev, src)
         with _state_partitions(spark) as sp:
             t0 = time.perf_counter()
             stream = (
@@ -290,36 +319,16 @@ def bench_streaming_sessionize(spark, sf_dir: str) -> dict:
         sessionize_stateful,
     )
 
-    from pyspark.sql import functions as F
-
-    from aws_de_final_project_spark.functions.numeric import epoch_us
-
     ev = load_tables(spark, sf_dir, ("events",), register_views=False)[
         "events"
     ].select("user_id", "ts", "value")
     tmpd = tempfile.mkdtemp(prefix="bench_stream_sess_")
     src = os.path.join(tmpd, "src")
     try:
-        # deliver in event-time order (quantile-split files, increasing
-        # mtimes) — the realistic arrival pattern for a sessionizer; a
-        # 0-second watermark over shuffled files would just drop most
-        # rows as late and bench nothing
-        os.makedirs(src)
-        with_us = ev.withColumn("_us", epoch_us("ts"))
-        qs = with_us.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
-        bounds = [float("-inf"), *qs, float("inf")]
-        for i in range(4):
-            part = with_us.filter(
-                (F.col("_us") > bounds[i]) & (F.col("_us") <= bounds[i + 1])
-            ).drop("_us")
-            part.coalesce(1).write.mode("overwrite").parquet(
-                f"{src}/stage{i}"
-            )
-            f = [x for x in os.listdir(f"{src}/stage{i}")
-                 if x.endswith(".parquet")][0]
-            os.rename(f"{src}/stage{i}/{f}", f"{src}/f{i}.parquet")
-            now = time.time()
-            os.utime(f"{src}/f{i}.parquet", (now + i * 10, now + i * 10))
+        # ordered delivery (see _write_time_ordered_files): a 0-second
+        # watermark over shuffled files would drop most rows as late
+        # and bench nothing
+        _write_time_ordered_files(ev, src)
         with _state_partitions(spark) as sp:
             t0 = time.perf_counter()
             stream = (
