@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them; previously-sampled entries follow in original order.
         "return_pct_by_nation": Q.return_pct_by_nation,
         "zorder_pruned_scan": X.zorder_pruned_scan,
+        "dedup_incremental_fold": X.dedup_incremental_fold,
+        "quality_topq_by_source": X.quality_topq_by_source,
         "ann_cosine_topk_vec": X.ann_cosine_topk_vec,
         "quality_filter_flags": X.quality_filter_flags,
         "ngram_top_terms": X.ngram_top_terms,
@@ -404,6 +406,49 @@ def oracle_sql() -> dict[str, str]:
             FROM tot INNER JOIN ret ON tot.n_name = ret.n_name
             ORDER BY tot_lineitems DESC, tot.n_name ASC
             LIMIT 15
+        """,
+        # fold over 3 arrival batches == one-shot arrival-order dedup
+        "dedup_incremental_fold": f"""
+            WITH fps AS (
+                SELECT doc_id,
+                       md5({_NORM.format(c="text")}) AS fingerprint
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, fingerprint,
+                       row_number() OVER (
+                           PARTITION BY fingerprint
+                           ORDER BY doc_id % 3, doc_id
+                       ) AS rn
+                FROM fps
+            )
+            SELECT doc_id, fingerprint FROM ranked
+            WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        # threshold = exact per-source median of the 4dp quality score
+        "quality_topq_by_source": """
+            WITH scored AS (
+                SELECT doc_id, source,
+                       (floor((greatest(0.0,
+                           least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                                  END AS double) / 100.0, 1.0)
+                           * (1 - CASE WHEN length(text) > 0
+                                  THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS double)
+                                       / CAST(length(text) AS double)
+                                  ELSE 0.0 END)
+                       )) * 10000.0 + 0.5) / 10000.0) AS quality
+                FROM documents
+            ),
+            thr AS (
+                SELECT source, quantile_cont(quality, 0.5) AS _thr
+                FROM scored GROUP BY source
+            )
+            SELECT s.doc_id, s.source, s.quality
+            FROM scored s JOIN thr t ON s.source = t.source
+            WHERE s.quality >= t._thr
+            ORDER BY s.doc_id
         """,
         # layout-invariant twin: the Spark side answers over the
         # z-order-clustered COPY of events; same rows either way

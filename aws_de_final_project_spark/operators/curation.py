@@ -132,3 +132,46 @@ def mixture_sample(
         else F.lit(float(default_rate))
     )
     return docs.filter(u < (rate_col * 1_000_000).cast("long"))
+
+
+def quantile_quality_filter(
+    docs: DataFrame,
+    group_col: str = "source",
+    q: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep each group's top-(1-q) fraction of documents by quality
+    score — the per-source percentile gate every curation pipeline
+    runs after scoring (e.g. "drop the worst half of each crawl").
+
+    Scale shape: the threshold comes from ONE per-group exact
+    ``percentile`` aggregate (|groups| rows — tiny), broadcast-joined
+    back, then a scan-stage filter. The tempting alternative — a
+    ``percent_rank`` window partitioned by group — would funnel each
+    group's entire 100 TB share through a single partition; the
+    aggregate+broadcast form keeps the big side embarrassingly
+    parallel. Both engines interpolate percentiles identically
+    (Spark ``percentile`` / DuckDB ``quantile_cont``), and the score
+    itself is 4dp-rounded before comparison, so the boundary is
+    hash-stable cross-engine.
+
+    Ref parity note: the reference has no curation stage at all
+    (its Glue job only derives date parts —
+    ``Glue Script/process_crime_data.py:19-41``); this belongs to the
+    training-data extension surface.
+    """
+    from aws_de_final_project_spark.functions.text import quality_score
+
+    scored = spread(docs).select(
+        F.col("doc_id"),
+        F.col(group_col),
+        quality_score(text_col).alias("quality"),
+    )
+    thresholds = scored.groupBy(group_col).agg(
+        F.percentile("quality", F.lit(float(q))).alias("_thr")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col)
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", group_col, "quality")
+    )

@@ -743,3 +743,41 @@ def minhash_lsh_pairs_portable(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_against_state(
+    new_docs: DataFrame,
+    state: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup against a persisted fingerprint
+    registry — the daily-batch form of :func:`exact_dedup`. At 100 TB
+    the historical corpus is NEVER rescanned: the registry holds one
+    compact (fp, keeper_id) row per distinct content ever admitted,
+    the new batch reduces to its per-fingerprint first row (min id —
+    one batch-sized hash aggregate) and anti-joins the registry on the
+    16-byte fingerprint, so shuffle volume is batch-sized + |registry
+    keys touched|, independent of history depth.
+
+    Returns ``(kept, new_state)``: ``kept`` = (id_col, fp) rows of the
+    batch that survive (content never seen before, first-in-batch
+    wins); ``new_state`` = registry plus the kept fingerprints. First
+    arrival wins across batches — the durable-registry analog of
+    streaming ``dropDuplicatesWithinWatermark``, without a watermark
+    bound because the registry persists. Production folds write
+    ``new_state`` to parquet between batches (same staged-swap
+    pattern as operators/rollup_maint.py); the oracle entry folds
+    in-memory and proves fold == one-shot arrival-order dedup.
+    """
+    fps = _spread(new_docs).select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    )
+    batch_first = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    kept = batch_first.join(
+        state.select("fp"), "fp", "left_anti"
+    ).select(id_col, "fp")
+    new_state = state.unionByName(
+        kept.select("fp", F.col(id_col).alias("keeper_id"))
+    )
+    return kept, new_state

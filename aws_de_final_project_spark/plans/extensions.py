@@ -1245,3 +1245,46 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def dedup_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup == one-shot arrival-order dedup, as a
+    driver-checkable query: split documents into 3 arrival batches
+    (doc_id mod 3), fold them through
+    operators/dedup.dedup_against_state with an initially-empty
+    fingerprint registry, and return every admitted (doc_id,
+    fingerprint). The DuckDB twin ranks all docs per fingerprint by
+    (arrival batch, doc_id) and keeps rank 1 — parity proves the fold
+    admits exactly the first-arrival copy of every distinct content,
+    the invariant that lets a daily 100 TB ingest dedup against
+    history by anti-joining a compact registry instead of rescanning
+    the corpus."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "text")
+    state = spark.createDataFrame([], "fp string, keeper_id long")
+    kept_all = None
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i)
+        kept, state = dedup.dedup_against_state(batch, state, "text", "doc_id")
+        kept_all = kept if kept_all is None else kept_all.unionByName(kept)
+    return kept_all.select(
+        "doc_id", F.col("fp").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source median-quality gate (keep each source's top half by
+    quality score) via operators/curation.quantile_quality_filter —
+    threshold from one exact-percentile aggregate broadcast back, not
+    a per-source window (which would funnel each source's whole corpus
+    share through one partition). The 4dp score quantization keeps the
+    exact percentile a ~10k-distinct-value count-map: map-side
+    combinable, independent of corpus size."""
+    from aws_de_final_project_spark.operators.curation import (
+        quantile_quality_filter,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return quantile_quality_filter(
+        t["documents"], group_col="source", q=0.5
+    ).orderBy("doc_id")

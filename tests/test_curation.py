@@ -86,3 +86,43 @@ def test_mixture_sample_default_rate_keeps_unlisted_groups(spark):
         docs, {"en": 0.1}, default_rate=0.0
     ).count()
     assert none == 0
+
+
+def test_quantile_quality_filter_semantics_and_broadcast(spark):
+    """Per-source median gate: every kept doc's quality >= its
+    source's median; every source keeps at least half its docs
+    (>= on an interpolated median can't drop more than half); and the
+    threshold attaches via a BROADCAST join — the scale posture (no
+    per-source window funneling a source's whole share through one
+    partition)."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators.curation import (
+        quantile_quality_filter,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = quantile_quality_filter(docs, group_col="source", q=0.5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    from aws_de_final_project_spark.functions.text import quality_score
+
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("q")
+    )
+    med = {
+        r.source: r.m
+        for r in scored.groupBy("source")
+        .agg(F.percentile("q", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    n_by_src = {r.source: r.n for r in scored.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_rows = kept.collect()
+    assert all(r.quality >= med[r.source] for r in kept_rows)
+    kept_by_src = {}
+    for r in kept_rows:
+        kept_by_src[r.source] = kept_by_src.get(r.source, 0) + 1
+    for src, n in n_by_src.items():
+        assert kept_by_src.get(src, 0) >= n // 2, (src, kept_by_src.get(src), n)

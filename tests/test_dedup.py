@@ -219,3 +219,40 @@ def test_winnow_fingerprints(docs):
     assert {(r.doc_id, r.fp) for r in rows2} == {
         (r.doc_id, r.fp) for r in rows
     }
+
+
+def test_dedup_against_state_fold(spark):
+    """Incremental registry dedup: first arrival wins across batches,
+    within-batch min id wins, and the registry grows by exactly the
+    admitted fingerprints."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta"),     # batch 1 (1%3)
+        (2, "gamma delta"),    # batch 2
+        (3, "alpha beta"),     # batch 0 — arrives FIRST, beats doc 1
+        (4, "epsilon"),        # batch 1
+        (5, "gamma delta"),    # batch 2 — same batch as 2, 2 wins
+        (6, "zeta"),           # batch 0
+        (7, "epsilon"),        # batch 1 — same batch as 4, 4 wins
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    state = spark.createDataFrame([], "fp string, keeper_id long")
+    admitted = []
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i)
+        kept, state = dedup.dedup_against_state(batch, state, "text", "doc_id")
+        admitted.extend(r.doc_id for r in kept.collect())
+    # batch 0: docs 3, 6; batch 1: 4 (1 loses to 3's content, 7 to 4);
+    # batch 2: 2 (5 loses in-batch)
+    assert sorted(admitted) == [2, 3, 4, 6]
+    st = state.collect()
+    assert len(st) == 4
+    assert {r.keeper_id for r in st} == {2, 3, 4, 6}
+
+    # a later batch consisting entirely of seen content admits nothing
+    rerun, state2 = dedup.dedup_against_state(
+        docs.filter(F.col("doc_id").isin(1, 5, 7)), state, "text", "doc_id"
+    )
+    assert rerun.count() == 0
+    assert state2.count() == 4
