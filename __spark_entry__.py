@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_percentile_ranks": X.order_percentile_ranks,
         "recursive_org_depth": X.recursive_org_depth,
         "histogram_order_values": X.histogram_order_values,
+        # round-5 session additions (also never sampled -> keep inside
+        # the driver's prefix-weighted window)
+        "dedup_exact_spans": X.dedup_exact_spans,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -449,6 +452,54 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s JOIN thr t ON s.source = t.source
             WHERE s.quality >= t._thr
             ORDER BY s.doc_id
+        """,
+        # exact shared-substring pairs: identical md5 k-gram anchors,
+        # doc-frequency guard, and gaps-and-islands diagonal runs on
+        # both engines (k=8 tokens, span >= 12, anchor df <= 50)
+        "dedup_exact_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS t
+                FROM documents
+                WHERE len(string_split({norm_text}, ' ')) >= 8
+            ),
+            wins AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+                FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+            ),
+            rare AS (
+                SELECT * FROM wins WHERE h IN (
+                    SELECT h FROM wins
+                    GROUP BY h HAVING count(DISTINCT doc_id) <= 50)
+            ),
+            hits AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pa, b.pos AS pb, a.h
+                FROM rare a JOIN rare b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+            ),
+            runs AS (
+                SELECT doc_a, doc_b, pa - pb AS diag, pa,
+                       pa - row_number() OVER (
+                           PARTITION BY doc_a, doc_b, pa - pb
+                           ORDER BY pa) AS grp
+                FROM hits
+            ),
+            spans AS (
+                SELECT doc_a, doc_b, max(run + 7) AS max_span_tokens
+                FROM (SELECT doc_a, doc_b, diag, grp, count(*) AS run
+                      FROM runs GROUP BY ALL)
+                GROUP BY doc_a, doc_b
+            ),
+            sw AS (
+                SELECT doc_a, doc_b, count(*) AS shared_windows
+                FROM (SELECT DISTINCT doc_a, doc_b, h FROM hits)
+                GROUP BY doc_a, doc_b
+            )
+            SELECT s.doc_a, s.doc_b, shared_windows, max_span_tokens
+            FROM spans s JOIN sw USING (doc_a, doc_b)
+            WHERE max_span_tokens >= 12
+            ORDER BY doc_a, doc_b
         """,
         # layout-invariant twin: the Spark side answers over the
         # z-order-clustered COPY of events; same rows either way

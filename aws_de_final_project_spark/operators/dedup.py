@@ -781,3 +781,103 @@ def dedup_against_state(
         kept.select("fp", F.col(id_col).alias("keeper_id"))
     )
     return kept, new_state
+
+
+def exact_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_span_tokens: int = 12,
+    max_anchor_docs: int = 50,
+) -> DataFrame:
+    """Exact shared-substring dedup pairs — the relational shape of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): find document pairs that
+    share a verbatim run of >= ``min_span_tokens`` normalized tokens,
+    and report the longest shared run per pair.
+
+    This catches a duplication mode the set-similarity family
+    (jaccard/minhash/simhash) misses by construction: a long copied
+    passage inside two otherwise-different documents moves set Jaccard
+    barely at all but is exactly the thing substring dedup exists to
+    remove from LLM training data.
+
+    Plan shape (all codegen + one equi-join, no O(n^2) stage):
+      1. every ``k``-token window of the normalized text -> md5 anchor
+         (rows ~= total token count — linear in corpus size);
+      2. drop anchors present in > ``max_anchor_docs`` documents
+         (boilerplate guard: a ubiquitous phrase would otherwise make
+         the self-join quadratic in its document frequency — same
+         motivation as stop-anchor lists in the paper's implementation);
+      3. self-equi-join on the anchor hash (doc_a < doc_b) — candidate
+         volume is bounded by anchor collisions, not corpus size^2;
+      4. shared windows at consecutive positions on one (doc_a, doc_b,
+         pos_a - pos_b) diagonal form a single longer run: classic
+         gaps-and-islands (pos - row_number grouping) turns each
+         diagonal's consecutive stretch into run_len + k - 1 tokens.
+
+    Output: (doc_a, doc_b, shared_windows, max_span_tokens), one row
+    per pair whose longest shared run >= ``min_span_tokens``.
+
+    100 TB posture: shuffles are (a) one hash agg on anchor for the
+    document-frequency guard, (b) the anchor equi-join, (c) one window
+    on (doc_a, doc_b, diag) whose partitions are per-pair-diagonal
+    (small by the anchor guard). Anchor skew is capped by construction
+    in step 2.
+    """
+    from pyspark.sql.window import Window
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    ).filter(F.size("_toks") >= k)
+    idx = F.sequence(F.lit(1), F.size("_toks") - (k - 1))
+    windows = toks.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i, k))
+                ),
+            )
+        ).alias("_pos", "_h"),
+    )
+    # Boilerplate guard: document frequency per anchor, computed once.
+    anchor_df = windows.groupBy("_h").agg(
+        F.countDistinct("_id").alias("_docs")
+    )
+    rare = windows.join(
+        anchor_df.filter(F.col("_docs") <= max_anchor_docs).select("_h"),
+        "_h",
+    )
+    a = rare.select(
+        F.col("_id").alias("doc_a"), F.col("_pos").alias("_pa"), "_h"
+    )
+    b = rare.select(
+        F.col("_id").alias("doc_b"), F.col("_pos").alias("_pb"), "_h"
+    )
+    hits = a.join(b, "_h").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("_pa") - F.col("_pb")).alias("_diag")
+    w_run = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
+    runs = (
+        hits.select("doc_a", "doc_b", diag, "_pa", "_h")
+        .withColumn("_grp", F.col("_pa") - F.row_number().over(w_run))
+        .groupBy("doc_a", "doc_b", "_diag", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    per_pair_span = runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("_run") + F.lit(k - 1)).alias("max_span_tokens")
+    )
+    per_pair_windows = (
+        hits.select("doc_a", "doc_b", "_h")
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    return (
+        per_pair_span.join(per_pair_windows, ["doc_a", "doc_b"])
+        .filter(F.col("max_span_tokens") >= min_span_tokens)
+        .select("doc_a", "doc_b", "shared_windows", "max_span_tokens")
+    )

@@ -1288,3 +1288,17 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_quality_filter(
         t["documents"], group_col="source", q=0.5
     ).orderBy("doc_id")
+
+
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring pairs (suffix-array-style substring
+    dedup re-expressed relationally): document pairs sharing a
+    verbatim run of >= 12 normalized tokens, with the longest run
+    length. Catches copied passages that set-similarity dedup
+    (jaccard/minhash) under-scores by construction. Fully
+    oracle-checkable — anchors are md5, runs are gaps-and-islands
+    windows, both engine-portable."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.exact_span_pairs(
+        t["documents"], "text", "doc_id", k=8, min_span_tokens=12
+    ).orderBy("doc_a", "doc_b")

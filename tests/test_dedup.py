@@ -256,3 +256,56 @@ def test_dedup_against_state_fold(spark):
     )
     assert rerun.count() == 0
     assert state2.count() == 4
+
+
+def test_exact_span_pairs_catches_copied_passage(spark):
+    """A 16-token passage copied into two otherwise-different docs:
+    word-set Jaccard stays below the usual 0.5 near-dup bar (the
+    blind spot substring dedup exists for) while exact_span_pairs
+    reports the pair with the exact run length."""
+    passage = (
+        "in a hole in the ground there lived a hobbit "
+        "not a nasty dirty wet hole"
+    )  # 16 tokens
+    filler_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    filler_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(12))
+    rows = [
+        (1, filler_a + " " + passage + " " + filler_a),
+        (2, filler_b + " " + passage + " " + filler_b),
+        (3, filler_a + " " + filler_a),  # shares filler with 1 only
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", 0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # set similarity under-scores the copy
+
+    spans = {
+        (r.doc_a, r.doc_b): r.max_span_tokens
+        for r in dedup.exact_span_pairs(
+            docs, "text", "doc_id", k=8, min_span_tokens=12
+        ).collect()
+    }
+    assert spans[(1, 2)] == 16  # the copied passage, exact length
+    assert (1, 3) in spans  # repeated filler_a run inside doc 3
+    assert (2, 3) not in spans  # nothing shared
+
+
+def test_exact_span_pairs_anchor_guard_drops_boilerplate(spark):
+    """An anchor present in more documents than max_anchor_docs is
+    excluded before the self-join — the quadratic-blowup guard."""
+    boiler = "this footer text is identical across every page of the site"
+    rows = [(i, f"unique{i} " * 8 + boiler) for i in range(1, 7)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # guard admits it: all 15 pairs share the boilerplate run
+    loose = dedup.exact_span_pairs(
+        docs, "text", "doc_id", k=8, min_span_tokens=8, max_anchor_docs=10
+    )
+    assert loose.count() == 15
+    # guard at 3 drops the ubiquitous anchors entirely
+    tight = dedup.exact_span_pairs(
+        docs, "text", "doc_id", k=8, min_span_tokens=8, max_anchor_docs=3
+    )
+    assert tight.count() == 0
