@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session additions (also never sampled -> keep inside
         # the driver's prefix-weighted window)
         "dedup_exact_spans": X.dedup_exact_spans,
+        "pca_embedding_projection": X.pca_embedding_projection,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -204,6 +205,91 @@ def _cents_values(n_centroids: int, dim: int) -> str:
     return ",\n".join(
         f"({i}, {_sql_vec(c)})" for i, c in enumerate(_centroids(dim, n_centroids))
     )
+
+
+def _pca_oracle_sql(dim: int = 64, n_iter: int = 8) -> str:
+    """Unrolled power-iteration PCA twin of
+    operators/embedlin.pca_project (2 components): identical
+    covariance relation, identical rational start vector, the same
+    ``n_iter`` matvec steps per component with Rayleigh-quotient
+    deflation between them. Reused CTEs are MATERIALIZED — without it
+    DuckDB inlines cov0/cov1 into every unrolled step and the
+    expression tree grows exponentially (measured: minutes -> 0.2 s).
+    Float noise between engines is ~1e-12 after normalization, far
+    inside the 4dp floor-rounding both sides apply."""
+    parts = [f"""
+        WITH elems AS MATERIALIZED (
+            SELECT vec_id AS id, i, embedding[i] AS x
+            FROM embeddings, unnest(generate_series(1, {dim})) AS g(i)
+        ),
+        nr AS (SELECT count(*) AS n FROM embeddings),
+        means AS MATERIALIZED (
+            SELECT i, sum(x) / (SELECT n FROM nr) AS m
+            FROM elems GROUP BY i
+        ),
+        gram AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxx
+            FROM elems a JOIN elems b ON a.id = b.id GROUP BY 1, 2
+        ),
+        cov0 AS MATERIALIZED (
+            SELECT g.i, g.j,
+                   g.sxx / (SELECT n FROM nr) - ma.m * mb.m AS v
+            FROM gram g
+            JOIN means ma ON g.i = ma.i JOIN means mb ON g.j = mb.i
+        ),
+        c1v0 AS MATERIALIZED (
+            SELECT i, 1.0 + ((i * 37) % 97) / 97.0 AS v FROM means
+        )"""]
+    prev = "c1v0"
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+        c1v{k} AS MATERIALIZED (
+            SELECT c.i, sum(c.v * p.v) AS v
+            FROM cov0 c JOIN {prev} p ON c.j = p.i GROUP BY c.i
+        )""")
+        prev = f"c1v{k}"
+    parts.append(f""",
+        p1 AS MATERIALIZED (
+            SELECT i, v / (SELECT sqrt(sum(v * v)) FROM {prev}) AS v
+            FROM {prev}
+        ),
+        lam1 AS MATERIALIZED (
+            SELECT sum(c.v * a.v * b.v) AS l
+            FROM cov0 c JOIN p1 a ON c.i = a.i JOIN p1 b ON c.j = b.i
+        ),
+        cov1 AS MATERIALIZED (
+            SELECT c.i, c.j,
+                   c.v - (SELECT l FROM lam1) * a.v * b.v AS v
+            FROM cov0 c JOIN p1 a ON c.i = a.i JOIN p1 b ON c.j = b.i
+        ),
+        c2v0 AS MATERIALIZED (
+            SELECT i, 1.0 + ((i * 37) % 97) / 97.0 AS v FROM means
+        )""")
+    prev = "c2v0"
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+        c2v{k} AS MATERIALIZED (
+            SELECT c.i, sum(c.v * p.v) AS v
+            FROM cov1 c JOIN {prev} p ON c.j = p.i GROUP BY c.i
+        )""")
+        prev = f"c2v{k}"
+    parts.append(f""",
+        p2 AS MATERIALIZED (
+            SELECT i, v / (SELECT sqrt(sum(v * v)) FROM {prev}) AS v
+            FROM {prev}
+        ),
+        cent AS MATERIALIZED (
+            SELECT e.id, e.i, e.x - m.m AS xc
+            FROM elems e JOIN means m ON e.i = m.i
+        )
+        SELECT c.id AS vec_id,
+               (floor((sum(c.xc * a.v)) * 10000.0 + 0.5) / 10000.0) AS pc1,
+               (floor((sum(c.xc * b.v)) * 10000.0 + 0.5) / 10000.0) AS pc2
+        FROM cent c JOIN p1 a ON c.i = a.i JOIN p2 b ON c.i = b.i
+        GROUP BY c.id
+        ORDER BY vec_id
+    """)
+    return "".join(parts)
 
 
 # LSH signature per (vector, table): sum of sign bits — identical to
@@ -453,6 +539,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.quality >= t._thr
             ORDER BY s.doc_id
         """,
+        # power-iteration PCA: identical deterministic program on
+        # both engines (generated unrolled CTE chain)
+        "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # exact shared-substring pairs: identical md5 k-gram anchors,
         # doc-frequency guard, and gaps-and-islands diagonal runs on
         # both engines (k=8 tokens, span >= 12, anchor df <= 50)

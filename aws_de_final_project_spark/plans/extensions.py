@@ -1290,6 +1290,23 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component PCA projection of the embeddings table via
+    operators/embedlin.pca_project — covariance as a relation, eight
+    unrolled power-iteration matvecs per component (deflation between
+    them), projection broadcast back. impl='sql' pinned so the DuckDB
+    twin replays the identical arithmetic; the wide-dim default is the
+    Arrow partial-Gram kernel (auto-dispatch at dim >= 256)."""
+    from aws_de_final_project_spark.operators import embedlin
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    dim = embedding_dim(sf_dir)
+    return embedlin.pca_project(
+        t["embeddings"], "embedding", "vec_id", dim,
+        n_components=2, n_iter=8, impl="sql",
+    ).orderBy("vec_id")
+
+
 def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shared-substring pairs (suffix-array-style substring
     dedup re-expressed relationally): document pairs sharing a

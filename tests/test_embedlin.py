@@ -1,0 +1,98 @@
+"""Distributed PCA (operators/embedlin): numpy ground truth on
+planted anisotropic data, Arrow-vs-SQL Gram kernel agreement, and
+end-to-end impl equivalence. Oracle parity for the registered entry
+lives in tests/test_oracle_parity.py like every other entry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aws_de_final_project_spark.operators import embedlin
+
+
+def _planted(n=400, dim=8, seed=7):
+    """Anisotropic Gaussian: variance 25 along a fixed direction u1,
+    variance 4 along u2, unit elsewhere — a decisive eigengap so a
+    truncated power iteration lands on the true components."""
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    scales = np.ones(dim)
+    scales[0], scales[1] = 5.0, 2.0
+    x = rng.normal(size=(n, dim)) * scales
+    return (x @ q.T), q.T  # rows, true component matrix (columns)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    x, q = _planted()
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, x, q
+
+
+def test_pca_matches_numpy_ground_truth(planted):
+    df, x, _ = planted
+    out = (
+        embedlin.pca_project(
+            df, "embedding", "vec_id", dim=8, n_components=2,
+            n_iter=30, impl="sql",
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    xc = x - x.mean(axis=0)
+    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    ref1, ref2 = xc @ vt[0], xc @ vt[1]
+    got1 = np.array([r.pc1 for r in out])
+    got2 = np.array([r.pc2 for r in out])
+    # eigenvector sign is arbitrary -> compare up to sign via |corr|
+    c1 = abs(np.corrcoef(got1, ref1)[0, 1])
+    c2 = abs(np.corrcoef(got2, ref2)[0, 1])
+    assert c1 > 0.9999, c1
+    assert c2 > 0.999, c2
+
+
+def test_gram_arrow_matches_sql(planted):
+    df, _, _ = planted
+    sql_g = {
+        (r.i, r.j): r.sxx
+        for r in embedlin.gram_entries(
+            df, "embedding", "vec_id", dim=8, impl="sql"
+        ).collect()
+    }
+    arrow_g = {
+        (r.i, r.j): r.sxx
+        for r in embedlin.gram_entries(
+            df, "embedding", "vec_id", dim=8, impl="arrow"
+        ).collect()
+    }
+    assert set(sql_g) == set(arrow_g) and len(sql_g) == 64
+    for k in sql_g:
+        assert sql_g[k] == pytest.approx(arrow_g[k], rel=1e-12)
+
+
+def test_pca_impl_equivalence_after_rounding(planted):
+    df, _, _ = planted
+    a = embedlin.pca_project(
+        df, "embedding", "vec_id", dim=8, n_components=2,
+        n_iter=12, impl="sql",
+    ).orderBy("vec_id").collect()
+    b = embedlin.pca_project(
+        df, "embedding", "vec_id", dim=8, n_components=2,
+        n_iter=12, impl="arrow",
+    ).orderBy("vec_id").collect()
+    # 4dp rounding absorbs partial-sum order noise between kernels on
+    # well-conditioned data; allow one ulp-of-rounding slack
+    for ra, rb in zip(a, b):
+        assert ra.vec_id == rb.vec_id
+        assert abs(ra.pc1 - rb.pc1) <= 1e-4 + 1e-12
+        assert abs(ra.pc2 - rb.pc2) <= 1e-4 + 1e-12
+
+
+def test_pca_validates_components(planted):
+    df, _, _ = planted
+    with pytest.raises(ValueError):
+        embedlin.pca_project(
+            df, "embedding", "vec_id", dim=8, n_components=0
+        )
