@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver's prefix-weighted window)
         "dedup_exact_spans": X.dedup_exact_spans,
         "pca_embedding_projection": X.pca_embedding_projection,
+        "hard_negatives_contrastive": X.hard_negatives_contrastive,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -542,6 +543,42 @@ def oracle_sql() -> dict[str, str]:
         # power-iteration PCA: identical deterministic program on
         # both engines (generated unrolled CTE chain)
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
+        # hard negatives: same exact-cosine ranking as ann_cosine_topk
+        # with the different-label predicate
+        "hard_negatives_contrastive": """
+            WITH a AS (
+                SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv,
+                       label AS qlabel
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+                       label AS clabel
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT anchor_id, cid,
+                       list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                           AS cos_raw
+                FROM c CROSS JOIN a
+                WHERE clabel <> qlabel
+            ),
+            ranked AS (
+                SELECT anchor_id, cid AS negative_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY anchor_id
+                           ORDER BY cos_raw DESC, cid ASC
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT anchor_id, negative_id,
+                   (floor((cos_raw) * 10000.0 + 0.5) / 10000.0) AS cos,
+                   CAST(rnk AS int) AS rank
+            FROM ranked
+            WHERE rnk <= 5
+            ORDER BY anchor_id, rank
+        """,
         # exact shared-substring pairs: identical md5 k-gram anchors,
         # doc-frequency guard, and gaps-and-islands diagonal runs on
         # both engines (k=8 tokens, span >= 12, anchor df <= 50)

@@ -161,6 +161,70 @@ def cosine_topk(
     )
 
 
+def hard_negatives_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the ``k`` most cosine-similar corpus vectors with a
+    DIFFERENT label — the "looks alike, isn't" examples that carry
+    the gradient signal in triplet/InfoNCE losses.
+
+    ``anchors`` must carry (anchor_id_col, vec_col, label_col) and is
+    the small side by contract (a per-class sample of the training
+    set), so it broadcasts: the corpus is scanned exactly once with
+    no shuffle, norms hoisted out of the pair loop exactly like
+    :func:`cosine_topk`. Output: anchor_id, negative_id, cos (4dp),
+    rank — deterministic via (cos desc, id asc).
+
+    At anchor counts past broadcast size, compose the blocked path
+    instead (hyperplane signatures -> bucket join -> this ranking
+    within candidates); the scoring/ranking contract stays identical.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(anchor_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            F.col(label_col).alias("_qlabel"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.col(label_col).alias("_clabel"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(a)
+        .filter(F.col("_clabel") != F.col("_qlabel"))
+        .select(
+            "_qid",
+            "_cid",
+            (
+                _dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("anchor_id"),
+            F.col("_cid").alias("negative_id"),
+            rnd(F.col("_cos"), 4).alias("cos"),
+            "rank",
+        )
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

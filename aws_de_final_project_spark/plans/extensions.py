@@ -1290,6 +1290,22 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def hard_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the embeddings table: every 50th
+    vector anchors a top-5 search for the most-similar vectors of a
+    DIFFERENT label (similarity.hard_negatives_topk — broadcast
+    anchors, one corpus scan, no shuffle before the per-anchor
+    ranking)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    return similarity.hard_negatives_topk(
+        emb, anchors, k=5
+    ).orderBy("anchor_id", "rank")
+
+
 def pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-component PCA projection of the embeddings table via
     operators/embedlin.pca_project — covariance as a relation, eight

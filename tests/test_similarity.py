@@ -456,3 +456,27 @@ def test_impl_auto_dispatch(spark):
     # signature kernel MapInPandas(sign) appears only under arrow
     assert "MapInPandas sign" not in p_narrow
     assert "MapInPandas sign" in p_wide
+
+
+def test_hard_negatives_topk_planted(spark):
+    """Two tight clusters with different labels plus one same-label
+    distractor: the top hard negative must be the nearest
+    OTHER-label vector, and no same-label vector may ever appear."""
+    rows = [
+        # label 0 cluster near +x
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0], 0),   # same-label near-dup: must be excluded
+        # label 1 cluster: one near +x (hard), one far (easy)
+        (3, [0.95, 0.3, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    anchors = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    out = similarity.hard_negatives_topk(emb, anchors, k=2).collect()
+    assert [r.negative_id for r in out] == [3, 4]  # hard first
+    assert all(r.negative_id != 2 for r in out)  # same label never
+    assert out[0].cos > out[1].cos
