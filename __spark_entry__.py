@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_spans": X.dedup_exact_spans,
         "pca_embedding_projection": X.pca_embedding_projection,
         "hard_negatives_contrastive": X.hard_negatives_contrastive,
+        "weighted_sample_docs": X.weighted_sample_docs,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -543,6 +544,30 @@ def oracle_sql() -> dict[str, str]:
         # power-iteration PCA: identical deterministic program on
         # both engines (generated unrolled CTE chain)
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
+        # A-ES weighted sampling: identical md5-derived uniform and
+        # ln(u)/w key on both engines (key ordering robust to ulp-
+        # level libm differences; the key is not output)
+        "weighted_sample_docs": """
+            WITH keyed AS (
+                SELECT source, doc_id, n_chars,
+                       ln((('0x' || substring(
+                               md5('aes1' || CAST(doc_id AS VARCHAR)),
+                               1, 13))::BIGINT + 0.5)
+                          / 4503599627370496.0)
+                       / CAST(n_chars AS DOUBLE) AS key
+                FROM documents
+            ),
+            ranked AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY key DESC, doc_id ASC) AS rk
+                FROM keyed
+            )
+            SELECT source, doc_id, n_chars FROM ranked
+            WHERE rk <= 10
+            ORDER BY source, doc_id
+        """,
         # hard negatives: same exact-cosine ranking as ann_cosine_topk
         # with the different-label predicate
         "hard_negatives_contrastive": """

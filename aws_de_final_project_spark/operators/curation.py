@@ -175,3 +175,67 @@ def quantile_quality_filter(
         .filter(F.col("quality") >= F.col("_thr"))
         .select("doc_id", group_col, "quality")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "aes1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): keep the ``k`` items per stratum with
+    the largest key u^(1/w), where u is a uniform derived from the
+    md5 of (salt, id). Inclusion probability is proportional to
+    weight, the selection is reproducible across engines, runs, and
+    partitionings (no RNG state), and changing ``salt`` redraws the
+    sample.
+
+    Ranking uses the monotone-equivalent key ln(u)/w (u in (0,1) so
+    ln(u) < 0; larger weight pulls the key toward 0): one window per
+    stratum, no global sort. ln may differ by an ulp between engines,
+    but keys of distinct items differ by ~1/n -- ordering is stable,
+    which is why the key itself is not part of the output contract.
+
+    Scale: one shuffle on the stratum key. A stratum's candidate set
+    streams through its window partition; for very hot strata compose
+    with a pre-filter (e.g. per-partition local top-(k + slack) via
+    the same key) before the global window -- top-k is an associative
+    selection so the composition is lossless.
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(1 << 52))
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    from pyspark.sql.window import Window
+
+    part = [stratum_col] if stratum_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        F.desc("_aes_key"), F.asc(id_col)
+    )
+    out_cols = ([stratum_col] if stratum_col else []) + [id_col, weight_col]
+    return (
+        spread(df)
+        .withColumn("_aes_key", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*out_cols)
+    )

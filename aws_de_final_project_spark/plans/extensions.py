@@ -1290,6 +1290,19 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample, 10 docs per source, via
+    operators/curation.weighted_sample (Efraimidis-Spirakis keys from
+    md5 uniforms — reproducible across engines/partitionings, no RNG
+    state; inclusion probability proportional to n_chars)."""
+    from aws_de_final_project_spark.operators.curation import weighted_sample
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return weighted_sample(
+        t["documents"], "n_chars", k=10, stratum_col="source"
+    ).orderBy("source", "doc_id")
+
+
 def hard_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining over the embeddings table: every 50th
     vector anchors a top-5 search for the most-similar vectors of a

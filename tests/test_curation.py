@@ -126,3 +126,40 @@ def test_quantile_quality_filter_semantics_and_broadcast(spark):
         kept_by_src[r.source] = kept_by_src.get(r.source, 0) + 1
     for src, n in n_by_src.items():
         assert kept_by_src.get(src, 0) >= n // 2, (src, kept_by_src.get(src), n)
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from aws_de_final_project_spark.operators.curation import weighted_sample
+
+    rows = [(i, "s%d" % (i % 3), float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    a = weighted_sample(
+        df.repartition(1), "w", k=5, stratum_col="source"
+    ).collect()
+    b = weighted_sample(
+        df.repartition(17, "doc_id"), "w", k=5, stratum_col="source"
+    ).collect()
+    sa = sorted((r.source, r.doc_id) for r in a)
+    sb = sorted((r.source, r.doc_id) for r in b)
+    assert sa == sb and len(sa) == 15
+
+
+def test_weighted_sample_prefers_heavy_items(spark):
+    """Inclusion frequency tracks weight: over many salts, an item
+    with 20x the weight of the rest is selected far more often."""
+    from aws_de_final_project_spark.operators.curation import weighted_sample
+
+    rows = [(i, 20.0 if i == 0 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = 0
+    n_salts = 12
+    for s in range(n_salts):
+        got = {
+            r.doc_id
+            for r in weighted_sample(df, "w", k=4, salt=f"t{s}").collect()
+        }
+        assert len(got) == 4
+        hits += 0 in got
+    # P(select doc0 | uniform) = 0.1; with w=20 vs 39 unit weights the
+    # A-ES inclusion probability is ~0.8+ -- 12 salts clear 1/2 easily
+    assert hits >= n_salts // 2, hits
