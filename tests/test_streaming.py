@@ -442,3 +442,56 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert by_id[2] == 1 and by_id[3] == 1 and by_id[4] == 1
     assert by_id[1] == 2, f"expected suppress-then-reemit, got {by_id}"
     assert len(rows) == 5
+
+
+def test_streaming_registry_dedup_matches_batch_fold(spark, tmp_path):
+    """3 file-batches of docs through dedup_docs_stream == the batch
+    dedup_against_state fold over the same arrival order, and a full
+    re-run over the same files (fresh checkpoint, existing registry)
+    is byte-idempotent."""
+    from aws_de_final_project_spark.operators.dedup import dedup_against_state
+    from aws_de_final_project_spark.streaming.dedup import dedup_docs_stream
+
+    src = tmp_path / "src"
+    batches = [
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unique one")],
+        [(4, "alpha beta gamma"), (5, "unique two")],
+        [(6, "unique two"), (7, "unique three")],
+    ]
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+
+    def run(tag):
+        q = dedup_docs_stream(
+            spark,
+            str(src) + "/*",
+            schema,
+            str(tmp_path / "registry"),
+            str(tmp_path / "out"),
+            str(tmp_path / f"chk_{tag}"),
+        )
+        q.awaitTermination()
+        return {
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+
+    got = run("a")
+
+    state = spark.createDataFrame([], "fp string, keeper_id long")
+    kept_ids = set()
+    for rows in batches:
+        batch = spark.createDataFrame(rows, schema)
+        kept, state = dedup_against_state(batch, state, "text", "doc_id")
+        kept_ids |= {r.doc_id for r in kept.collect()}
+    assert {d for d, _ in got} == kept_ids
+    # the file source drains in lexicographic file order == arrival
+    # order here, so first-arrival-wins must pick ids 1, 3, 5, 7
+    assert kept_ids == {1, 3, 5, 7}
+
+    # idempotent re-run: same files, fresh checkpoint, kept registry
+    again = run("b")
+    assert again == got
