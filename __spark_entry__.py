@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embedding_projection": X.pca_embedding_projection,
         "hard_negatives_contrastive": X.hard_negatives_contrastive,
         "weighted_sample_docs": X.weighted_sample_docs,
+        "ann_int8_topk": X.ann_int8_topk,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -544,6 +545,56 @@ def oracle_sql() -> dict[str, str]:
         # power-iteration PCA: identical deterministic program on
         # both engines (generated unrolled CTE chain)
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
+        # int8 two-stage ANN: quantization is IEEE-exact arithmetic,
+        # so candidates AND final ranking replay bit-identically
+        "ann_int8_topk": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       greatest(list_max(list_transform(embedding::DOUBLE[],
+                                x -> abs(x))), 1e-30) / 127.0 AS s
+                FROM embeddings
+            ),
+            quant AS (
+                SELECT vec_id, v, s,
+                       list_transform(v, x -> floor(x / s + 0.5)) AS q
+                FROM base
+            ),
+            qs AS (SELECT * FROM quant WHERE vec_id < 5),
+            stage1 AS (
+                SELECT qs.vec_id AS query_id, c.vec_id AS cid,
+                       qs.v AS qv, c.v AS cv,
+                       list_dot_product(qs.q, c.q) * qs.s * c.s AS approx
+                FROM quant c CROSS JOIN qs
+                WHERE c.vec_id <> qs.vec_id
+            ),
+            cands AS (
+                SELECT query_id, cid, qv, cv,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY approx DESC, cid ASC) AS r1
+                FROM stage1
+            ),
+            rescored AS (
+                SELECT query_id, cid,
+                       list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(cv, cv))) AS cos_raw
+                FROM cands WHERE r1 <= 40
+            ),
+            ranked AS (
+                SELECT query_id, cid AS neighbor_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, cid ASC) AS rnk
+                FROM rescored
+            )
+            SELECT query_id, neighbor_id,
+                   (floor((cos_raw) * 10000.0 + 0.5) / 10000.0) AS cos,
+                   CAST(rnk AS int) AS rank
+            FROM ranked
+            WHERE rnk <= 10
+            ORDER BY query_id, rank
+        """,
         # A-ES weighted sampling: identical md5-derived uniform and
         # ln(u)/w key on both engines (key ordering robust to ulp-
         # level libm differences; the key is not output)

@@ -225,6 +225,112 @@ def hard_negatives_topk(
     )
 
 
+def int8_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval with int8 scalar quantization: rank by the
+    quantized dot product first, exact-cosine re-rank only the top
+    ``k * refine_factor`` survivors per query — the standard
+    memory-bound ANN shape (a 4x-smaller quantized corpus does the
+    wide scan; full-precision vectors are touched for a handful of
+    candidates).
+
+    Quantization is symmetric per-vector: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) — every step is IEEE-exact
+    arithmetic (division, floor, integer-valued products well inside
+    2^53), so the candidate sets and the final ranking are
+    bit-deterministic across engines and the whole two-stage pipeline
+    carries a full DuckDB oracle; recall vs the exact scan is pinned
+    separately in tests.
+
+    Output: query_id, neighbor_id, cos (4dp EXACT cosine), rank —
+    self-matches excluded, ties (cos desc, id asc) like cosine_topk.
+    """
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+
+    def quant(vec):
+        s = (
+            F.greatest(
+                F.array_max(F.transform(vec, lambda x: F.abs(x))),
+                F.lit(1e-30),
+            )
+            / F.lit(127.0)
+        )
+        q = F.transform(vec, lambda x: F.floor(x / s + F.lit(0.5)))
+        return s, q
+
+    qs, qq = quant(F.col(vec_col))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
+            qs.alias("_qs"),
+            qq.alias("_qq"),
+        )
+    )
+    cs, cq = quant(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        cs.alias("_cs"),
+        cq.alias("_cq"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("_qq"),
+            F.col("_cq"),
+            lambda x, y: (x * y).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    stage1 = (
+        c.crossJoin(q)
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_cid",
+            "_qvec",
+            "_cvec",
+            "_qn",
+            "_cn",
+            (qdot * F.col("_qs") * F.col("_cs")).alias("_approx"),
+        )
+    )
+    w1 = Window.partitionBy("_qid").orderBy(F.desc("_approx"), F.asc("_cid"))
+    cands = stage1.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k * refine_factor
+    )
+    w2 = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        cands.select(
+            "_qid",
+            "_cid",
+            (
+                _dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_cos"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            rnd(F.col("_cos"), 4).alias("cos"),
+            "rank",
+        )
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

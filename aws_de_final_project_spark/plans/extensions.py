@@ -1290,6 +1290,22 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8-quantized retrieval (similarity.int8_ann_topk):
+    quantized-dot prefilter to top-40 per query, exact-cosine re-rank
+    to top-10 — same query set as ann_cosine_topk so recall is
+    directly comparable. Every quantization step is IEEE-exact, so
+    the full two-stage pipeline carries a DuckDB oracle."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.int8_ann_topk(
+        emb, qs, k=10, refine_factor=4
+    ).orderBy("query_id", "rank")
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted deterministic sample, 10 docs per source, via
     operators/curation.weighted_sample (Efraimidis-Spirakis keys from

@@ -480,3 +480,35 @@ def test_hard_negatives_topk_planted(spark):
     assert [r.negative_id for r in out] == [3, 4]  # hard first
     assert all(r.negative_id != 2 for r in out)  # same label never
     assert out[0].cos > out[1].cos
+
+
+def test_int8_ann_recall_vs_exact(spark):
+    """Two-stage int8 retrieval must recover (nearly) the exact
+    top-10: int8 keeps ~2 decimal digits per component, and the 4x
+    refine buffer absorbs quantization rank noise. Also pins the
+    parameter guard."""
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    t = load_tables(
+        spark, "/root/testdata/sf0.001", ("embeddings",),
+        register_views=False,
+    )
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qs, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.int8_ann_topk(
+            emb, qs, k=10, refine_factor=4
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.95, recall
+
+    with pytest.raises(ValueError):
+        similarity.int8_ann_topk(emb, qs, k=10, refine_factor=0)
