@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_contrastive": X.hard_negatives_contrastive,
         "weighted_sample_docs": X.weighted_sample_docs,
         "ann_int8_topk": X.ann_int8_topk,
+        "pagerank_trade_nations": X.pagerank_trade_nations,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -208,6 +209,63 @@ def _cents_values(n_centroids: int, dim: int) -> str:
     return ",\n".join(
         f"({i}, {_sql_vec(c)})" for i, c in enumerate(_centroids(dim, n_centroids))
     )
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 10) -> str:
+    """Unrolled weighted-PageRank twin of
+    operators/graphrank.trade_pagerank: identical edge derivation,
+    identical fixed iterations with uniform dangling redistribution,
+    identical expression shape (base + d * (contrib + dangling/N)).
+    MATERIALIZED for the same inlining-explosion reason as the PCA
+    twin."""
+    d = repr(damping)
+    parts = [f"""
+        WITH nodes AS MATERIALIZED (
+            SELECT n_nationkey AS id, n_name FROM nation
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        edges AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ),
+        outw AS MATERIALIZED (
+            SELECT src, sum(w) AS tw FROM edges GROUP BY src
+        ),
+        en AS MATERIALIZED (
+            SELECT e.src, e.dst, e.w / o.tw AS p
+            FROM edges e JOIN outw o ON e.src = o.src
+        ),
+        r0 AS MATERIALIZED (
+            SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+        )"""]
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+        r{k} AS MATERIALIZED (
+            SELECT n.id,
+                   ((1.0 - {d}) / (SELECT n FROM nn))
+                   + {d} * (coalesce(c.s, 0.0)
+                            + (SELECT coalesce(sum(pr), 0.0) FROM {prev}
+                               WHERE id NOT IN (SELECT src FROM outw))
+                              / (SELECT n FROM nn)) AS pr
+            FROM nodes n
+            LEFT JOIN (SELECT e.dst, sum(e.p * r.pr) AS s
+                       FROM en e JOIN {prev} r ON e.src = r.id
+                       GROUP BY e.dst) c ON n.id = c.dst
+        )""")
+        prev = f"r{k}"
+    parts.append(f"""
+        SELECT n.n_name,
+               (floor((r.pr) * 1000000.0 + 0.5) / 1000000.0) AS pr
+        FROM {prev} r JOIN nodes n ON r.id = n.id
+        ORDER BY pr DESC, n.n_name ASC
+    """)
+    return "".join(parts)
 
 
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 8) -> str:
@@ -545,6 +603,8 @@ def oracle_sql() -> dict[str, str]:
         # power-iteration PCA: identical deterministic program on
         # both engines (generated unrolled CTE chain)
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
+        # weighted PageRank: identical fixed iterations (unrolled)
+        "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # int8 two-stage ANN: quantization is IEEE-exact arithmetic,
         # so candidates AND final ranking replay bit-identically
         "ann_int8_topk": """

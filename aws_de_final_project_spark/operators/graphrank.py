@@ -1,0 +1,146 @@
+"""Weighted PageRank, expressed relationally (north-star extension:
+graph centrality over relation-derived graphs — e.g. ranking sources/
+domains by weighted link mass in a crawl curation pipeline).
+
+Same engine-portability design as operators/embedlin.py: a fixed
+number of identical arithmetic iterations from a deterministic start,
+so the DuckDB twin replays the exact program as unrolled MATERIALIZED
+CTEs and parity is bit-stable under the output rounding. Dangling
+mass is redistributed uniformly each step (the standard correction —
+without it rank leaks and the vector no longer sums to 1).
+
+Scale shape: the expensive stage is building the weighted edge list
+(an ordinary multi-join + hash aggregate — whatever the caller's
+graph derivation is); each iteration is then one join of edges with
+the rank vector on src and one hash aggregate on dst — shuffle keyed
+by node id, state one double per node. Ranks are localCheckpointed
+per step so the plan stays flat at any iteration count; the driver
+only orchestrates (N is the single scalar it ever sees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Rank ``nodes`` by ``n_iter`` weighted-PageRank steps over
+    ``edges``: pr'(v) = (1-d)/N + d * (sum over u->v of
+    pr(u) * w(u,v)/W(u)  +  dangling_mass/N), with W(u) the total
+    out-weight of u and dangling_mass the rank held by nodes without
+    out-edges. Returns (node_col, pr) — unrounded; callers round at
+    their output boundary.
+
+    The iteration count is fixed (not convergence-tested) so the
+    program is identical on any engine — the same contract as
+    embedlin.power_component."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty node set")
+    e = edges.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_tw"))
+    en = (
+        e.join(outw, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_tw")).alias("_p"))
+        .localCheckpoint()
+    )
+    ranks = nodes.select(
+        F.col(node_col).alias("_id"), (F.lit(1.0) / F.lit(float(n))).alias("_pr")
+    ).localCheckpoint()
+    base = F.lit((1.0 - damping) / float(n))
+    for _ in range(n_iter):
+        contrib = (
+            en.join(ranks.select(F.col("_id").alias("_src"), "_pr"), "_src")
+            .groupBy("_dst")
+            .agg(F.sum(F.col("_p") * F.col("_pr")).alias("_c"))
+        )
+        dangling = (
+            ranks.join(
+                outw.select(F.col("_src").alias("_id")), "_id", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("_pr"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("_id"))
+            .join(
+                contrib.select(F.col("_dst").alias("_id"), "_c"), "_id", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "_id",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("_pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("_id").alias(node_col), F.col("_pr").alias("pr"))
+
+
+def trade_pagerank(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over the nation-to-nation trade graph: an edge
+    customer-nation -> supplier-nation for every lineitem, weighted by
+    count. The graph derivation is the data-sized stage (a standard
+    4-way join + aggregate that Catalyst broadcast/AQE-optimizes);
+    the rank iteration runs over the 25-node aggregate. Output:
+    n_name, pr (6dp floor-form), descending."""
+    edges = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    ranks = pagerank(nodes, edges, damping=damping, n_iter=n_iter)
+    return (
+        ranks.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("id"), "n_name")),
+            "id",
+        )
+        .select("n_name", rnd(F.col("pr"), 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("n_name"))
+    )

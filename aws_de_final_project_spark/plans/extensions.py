@@ -1290,6 +1290,25 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-to-nation trade graph
+    (operators/graphrank.trade_pagerank): edge derivation is the
+    data-sized 4-way join + aggregate; ten fixed rank iterations run
+    over the 25-node edge aggregate with uniform dangling-mass
+    redistribution. Fixed iteration count makes the program identical
+    in DuckDB (unrolled MATERIALIZED CTEs)."""
+    from aws_de_final_project_spark.operators import graphrank
+
+    t = load_tables(
+        spark, sf_dir,
+        ("nation", "customer", "supplier", "orders", "lineitem"),
+    )
+    return graphrank.trade_pagerank(
+        t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"],
+    )
+
+
 def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage int8-quantized retrieval (similarity.int8_ann_topk):
     quantized-dot prefilter to top-40 per query, exact-cosine re-rank

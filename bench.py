@@ -62,6 +62,11 @@ HEADLINE = [
     "rollup_incremental_user_variance",
     # round 5 additions
     "zorder_pruned_scan",
+    "dedup_exact_spans",
+    "pca_embedding_projection",
+    "ann_int8_topk",
+    "weighted_sample_docs",
+    "hard_negatives_contrastive",
 ]
 
 

@@ -1,0 +1,88 @@
+"""PageRank operator tests: analytic fixed points, a Python reference
+implementation on a weighted digraph (dangling node included), and
+parameter guards. Oracle parity for the registered trade-graph entry
+runs in tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_de_final_project_spark.operators.graphrank import pagerank
+
+
+def _df_nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _df_edges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, w double")
+
+
+def test_cycle_fixed_point_is_uniform(spark):
+    """A 3-cycle's stationary distribution is uniform regardless of
+    damping — and uniform is also the start vector, so ANY iteration
+    count must return exactly 1/3 everywhere."""
+    nodes = _df_nodes(spark, [1, 2, 3])
+    edges = _df_edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)])
+    out = {r.id: r.pr for r in pagerank(nodes, edges, n_iter=5).collect()}
+    for v in out.values():
+        assert v == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+
+def _reference_pagerank(nodes, edges, damping, n_iter):
+    """Dict-based reference of the exact same fixed-iteration program."""
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += (w / outw[s]) * pr[s]
+        dangling = sum(pr[v] for v in nodes if v not in outw)
+        pr = {
+            v: (1.0 - damping) / n
+            + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return pr
+
+
+def test_matches_reference_with_weights_and_dangling(spark):
+    """Weighted digraph with a dangling sink (4) and skewed weights:
+    the Spark iteration must match the dict reference to float
+    accuracy, and total rank mass must stay 1."""
+    nodes_l = [1, 2, 3, 4]
+    edges_l = [
+        (1, 2, 3.0),
+        (1, 3, 1.0),
+        (2, 3, 1.0),
+        (3, 1, 2.0),
+        (3, 4, 2.0),
+    ]
+    got = {
+        r.id: r.pr
+        for r in pagerank(
+            _df_nodes(spark, nodes_l),
+            _df_edges(spark, edges_l),
+            damping=0.85,
+            n_iter=12,
+        ).collect()
+    }
+    ref = _reference_pagerank(nodes_l, edges_l, 0.85, 12)
+    for v in nodes_l:
+        assert got[v] == pytest.approx(ref[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the heavily-linked hub (3: two in-edges incl. the 3.0 weight)
+    # outranks the dangling sink's sole feeder
+    assert got[3] > got[2]
+
+
+def test_pagerank_validates_params(spark):
+    nodes = _df_nodes(spark, [1])
+    edges = _df_edges(spark, [])
+    with pytest.raises(ValueError):
+        pagerank(nodes, edges, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(_df_nodes(spark, []), edges)
