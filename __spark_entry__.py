@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": X.weighted_sample_docs,
         "ann_int8_topk": X.ann_int8_topk,
         "pagerank_trade_nations": X.pagerank_trade_nations,
+        "cohort_retention": Q.cohort_retention,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -605,6 +606,34 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # day-grain cohort retention (DATE math -- NTZ/zone-safe)
+        "cohort_retention": """
+            WITH e AS (
+                SELECT user_id, CAST(ts AS DATE) AS event_day FROM events
+            ),
+            firsts AS (
+                SELECT user_id, min(event_day) AS cohort_day
+                FROM e GROUP BY user_id
+            ),
+            sizes AS (
+                SELECT cohort_day, count(DISTINCT user_id) AS cohort_users
+                FROM firsts GROUP BY cohort_day
+            ),
+            cells AS (
+                SELECT f.cohort_day,
+                       datediff('day', f.cohort_day, e.event_day)
+                           AS day_offset,
+                       count(DISTINCT e.user_id) AS active_users
+                FROM e JOIN firsts f ON e.user_id = f.user_id
+                GROUP BY 1, 2
+            )
+            SELECT c.cohort_day, c.day_offset, c.active_users,
+                   (floor((CAST(c.active_users AS DOUBLE)
+                           / CAST(s.cohort_users AS DOUBLE))
+                          * 10000.0 + 0.5) / 10000.0) AS retention
+            FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+            ORDER BY c.cohort_day, c.day_offset
+        """,
         # int8 two-stage ANN: quantization is IEEE-exact arithmetic,
         # so candidates AND final ranking replay bit-identically
         "ann_int8_topk": """

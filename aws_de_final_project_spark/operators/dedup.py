@@ -870,11 +870,10 @@ def exact_span_pairs(
     per_pair_span = runs.groupBy("doc_a", "doc_b").agg(
         (F.max("_run") + F.lit(k - 1)).alias("max_span_tokens")
     )
-    per_pair_windows = (
-        hits.select("doc_a", "doc_b", "_h")
-        .distinct()
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    # countDistinct is one shuffle (partial distinct map-side);
+    # distinct().count() would be two
+    per_pair_windows = hits.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("_h").alias("shared_windows")
     )
     return (
         per_pair_span.join(per_pair_windows, ["doc_a", "doc_b"])

@@ -198,6 +198,34 @@ def deflate(cov: DataFrame, comp: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(
+    cov_rows, dim: int, n_components: int, n_iter: int
+):
+    """The identical fixed-point program as power_component/deflate,
+    run on the collected (dim x dim) covariance with numpy: the
+    matvec summation order differs from the relational group-sum at
+    ~1e-16 relative, far inside the output rounding — so either
+    iteration impl satisfies the same oracle."""
+    import numpy as np
+
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["i"] - 1, r["j"] - 1] = r["v"]
+    start = np.array(
+        [1.0 + ((i * 37) % 97) / 97.0 for i in range(1, dim + 1)]
+    )
+    comps = []
+    for _ in range(n_components):
+        v = start.copy()
+        for _ in range(n_iter):
+            v = c @ v
+        v = v / np.sqrt(float(v @ v))
+        lam = float(v @ c @ v)
+        c = c - lam * np.outer(v, v)
+        comps.append(v)
+    return comps
+
+
 def pca_project(
     df: DataFrame,
     vec_col: str,
@@ -206,6 +234,7 @@ def pca_project(
     n_components: int = 2,
     n_iter: int = 8,
     impl: str = "auto",
+    iter_impl: str = "auto",
     decimals: int = 4,
 ) -> DataFrame:
     """Project every vector onto the top ``n_components`` principal
@@ -213,20 +242,59 @@ def pca_project(
     each score rounded floor-form to ``decimals``.
 
     End to end this is: one linear element explode (means), one Gram
-    aggregate (impl-dispatched), then O(dim^2)-row algebra and a final
+    aggregate (impl-dispatched), then O(dim^2) algebra and a final
     broadcast of the (dim x n_components) projection back onto the
-    data — no driver-side data movement at any width.
+    data.
+
+    ``iter_impl`` picks where the O(dim^2) fixed-point iteration
+    runs: ``'driver'`` collects the covariance (dim^2 doubles —
+    bounded by schema, not data, the same legitimacy contract as the
+    k-means trainer's sample collect) and iterates in numpy — ~2
+    cluster stages total; ``'relational'`` keeps even the iteration
+    distributed (localCheckpointed cov, one join+agg per matvec) —
+    the right choice only when dim^2 itself is too big to collect,
+    at the cost of ~10 tiny stages per component. ``'auto'``: driver
+    below 4M cells (32 MB), relational above. Both run the identical
+    program (same start vector, same step count, same deflation) and
+    land inside the same rounded output.
     """
     if n_components < 1:
         raise ValueError("n_components must be >= 1")
+    if iter_impl not in ("auto", "driver", "relational"):
+        raise ValueError(
+            f"iter_impl must be 'auto', 'driver' or 'relational',"
+            f" got {iter_impl!r}"
+        )
+    if iter_impl == "auto":
+        iter_impl = "driver" if dim * dim <= 1 << 22 else "relational"
     spark = df.sparkSession
-    cov = covariance_entries(df, vec_col, id_col, dim, impl).localCheckpoint()
-    comps = []
-    for _ in range(n_components):
-        comp = power_component(cov, spark, dim, n_iter).localCheckpoint()
-        comps.append(comp)
-        if len(comps) < n_components:
-            cov = deflate(cov, comp).localCheckpoint()
+    # dim^2 rows are cluster-tiny; collapsing them to a handful of
+    # partitions before the iteration turns each matvec's shuffle
+    # into a near-no-op. ~1M cells per partition keeps even dim=4096
+    # (16M cells) at a sane width.
+    n_cov_parts = max(1, (dim * dim) // 1_000_000)
+    cov = (
+        covariance_entries(df, vec_col, id_col, dim, impl)
+        .coalesce(n_cov_parts)
+        .localCheckpoint()
+    )
+    if iter_impl == "driver":
+        vecs = _driver_components(
+            cov.collect(), dim, n_components, n_iter
+        )
+        comps = [
+            spark.createDataFrame(
+                [(i + 1, float(v[i])) for i in range(dim)], "i int, v double"
+            )
+            for v in vecs
+        ]
+    else:
+        comps = []
+        for _ in range(n_components):
+            comp = power_component(cov, spark, dim, n_iter).localCheckpoint()
+            comps.append(comp)
+            if len(comps) < n_components:
+                cov = deflate(cov, comp).localCheckpoint()
 
     e = _elements(df, vec_col, id_col)
     n = df.count()

@@ -952,3 +952,51 @@ def funnel_user_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention matrix: users grouped by the DAY of
+    their first event; for each (cohort_day, day_offset) cell, how
+    many of that cohort's users were active offset days later, plus
+    the retention rate against the cohort's size.
+
+    Plan shape: one aggregate on user_id for the cohort assignment, a
+    join back to events co-partitioned on user_id (AQE reuses the
+    exchange), then one hash aggregate on the (cohort, offset) cell —
+    distinct-user counting happens inside that aggregate, no window.
+    Date math is on DATE values (NTZ-safe — no session-zone
+    dependence)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"].select(
+        "user_id", F.to_date("ts").alias("event_day")
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min("event_day").alias("cohort_day")
+    )
+    cohort_sizes = firsts.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    cells = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("event_day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            rnd(
+                F.col("active_users").cast("double")
+                / F.col("cohort_users").cast("double"),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -96,3 +96,25 @@ def test_pca_validates_components(planted):
         embedlin.pca_project(
             df, "embedding", "vec_id", dim=8, n_components=0
         )
+
+
+def test_pca_iter_impl_equivalence(planted):
+    """Driver-side numpy iteration and the relational iteration run
+    the identical program — results agree inside the output rounding."""
+    df, _, _ = planted
+    a = embedlin.pca_project(
+        df, "embedding", "vec_id", dim=8, n_components=2,
+        n_iter=8, impl="sql", iter_impl="driver",
+    ).orderBy("vec_id").collect()
+    b = embedlin.pca_project(
+        df, "embedding", "vec_id", dim=8, n_components=2,
+        n_iter=8, impl="sql", iter_impl="relational",
+    ).orderBy("vec_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra.vec_id == rb.vec_id
+        assert abs(ra.pc1 - rb.pc1) <= 1e-4 + 1e-12
+        assert abs(ra.pc2 - rb.pc2) <= 1e-4 + 1e-12
+    with pytest.raises(ValueError):
+        embedlin.pca_project(
+            df, "embedding", "vec_id", dim=8, iter_impl="nope"
+        )
