@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8_topk": X.ann_int8_topk,
         "pagerank_trade_nations": X.pagerank_trade_nations,
         "cohort_retention": Q.cohort_retention,
+        "rollup_incremental_value_quantiles": X.rollup_incremental_value_quantiles,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -606,6 +607,66 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # mergeable-histogram quantile rollup: the one-shot recompute
+        # twin proves merge exactness (integer bin counts) AND the
+        # identical interpolation estimator
+        "rollup_incremental_value_quantiles": """
+            WITH binned AS (
+                SELECT event_type,
+                       least(greatest(CAST(floor((value - 0.0) / 10.0)
+                                           AS INT), 0), 63) AS bin
+                FROM events
+            ),
+            counts AS (
+                SELECT event_type, bin, count(*) AS c
+                FROM binned GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT event_type, sum(c) AS n FROM counts GROUP BY 1
+            ),
+            cum AS (
+                SELECT event_type, bin, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY bin) AS cum
+                FROM counts
+            ),
+            j AS (
+                SELECT c.*, t.n FROM cum c JOIN tot t USING (event_type)
+            ),
+            pick50 AS (
+                SELECT event_type, min(bin) AS bin FROM j
+                WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE)
+                  AND c > 0 GROUP BY 1
+            ),
+            p50 AS (
+                SELECT j.event_type,
+                       (0.0 + 10.0 * (CAST(j.bin AS DOUBLE)
+                        + (0.5 * CAST(j.n AS DOUBLE)
+                           - CAST(j.cum - j.c AS DOUBLE))
+                          / CAST(j.c AS DOUBLE))) AS v
+                FROM pick50 p
+                JOIN j ON p.event_type = j.event_type AND p.bin = j.bin
+            ),
+            pick90 AS (
+                SELECT event_type, min(bin) AS bin FROM j
+                WHERE CAST(cum AS DOUBLE) >= 0.9 * CAST(n AS DOUBLE)
+                  AND c > 0 GROUP BY 1
+            ),
+            p90 AS (
+                SELECT j.event_type,
+                       (0.0 + 10.0 * (CAST(j.bin AS DOUBLE)
+                        + (0.9 * CAST(j.n AS DOUBLE)
+                           - CAST(j.cum - j.c AS DOUBLE))
+                          / CAST(j.c AS DOUBLE))) AS v
+                FROM pick90 p
+                JOIN j ON p.event_type = j.event_type AND p.bin = j.bin
+            )
+            SELECT p50.event_type,
+                   (floor((p50.v) * 10000.0 + 0.5) / 10000.0) AS p50_value,
+                   (floor((p90.v) * 10000.0 + 0.5) / 10000.0) AS p90_value
+            FROM p50 JOIN p90 USING (event_type)
+            ORDER BY event_type
+        """,
         # day-grain cohort retention (DATE math -- NTZ/zone-safe)
         "cohort_retention": """
             WITH e AS (

@@ -1290,6 +1290,48 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def rollup_incremental_value_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental-rollup algebra extended to QUANTILES: a dense
+    fixed-bin histogram (64 x 10-wide bins over value) is the stored,
+    exactly-mergeable state — integer bin counts sum element-wise, so
+    merge(state, partial(delta)) == recompute bit-for-bit — and
+    p50/p90 derive at READ time by in-bin linear interpolation
+    (rollup_maint.hist_quantile). Same 3-delta fold as the other
+    rollup entries; the DuckDB twin recomputes the histogram one-shot
+    from the full table, so parity proves both the merge exactness
+    and the estimator."""
+    from aws_de_final_project_spark.operators import rollup_maint as RM
+
+    kind = "hist:0.0:640.0:64"
+    measures = [("vhist", "value", kind)]
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "event_type", "value"
+    )
+    state = None
+    for i in range(3):
+        part = RM.partial_aggs(
+            ev.filter(F.col("event_id") % 3 == i), ["event_type"], measures
+        )
+        state = (
+            part
+            if state is None
+            else RM.merge_aggs(state, part, ["event_type"], measures)
+        )
+    p50 = RM.hist_quantile(state, ["event_type"], "vhist", kind, 0.5, "_p50")
+    p90 = RM.hist_quantile(state, ["event_type"], "vhist", kind, 0.9, "_p90")
+    return (
+        p50.join(p90, "event_type")
+        .select(
+            "event_type",
+            rnd(F.col("_p50"), 4).alias("p50_value"),
+            rnd(F.col("_p90"), 4).alias("p90_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation-to-nation trade graph
     (operators/graphrank.trade_pagerank): edge derivation is the

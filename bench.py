@@ -373,6 +373,10 @@ SCALING_QUERIES = [
     "quality_filter_flags",
     "dedup_minhash_lsh",
     "dedup_component_groups_lsh",
+    # round-5 additions with a quadratic failure mode to watch: the
+    # anchor self-join (span dedup) and the Gram aggregate (PCA)
+    "dedup_exact_spans",
+    "pca_embedding_projection",
 ]
 
 

@@ -200,7 +200,14 @@ def test_headline_set_has_no_accidental_cross_product(plans):
     Catching a regression here beats discovering it in BENCH_r{N}."""
     import bench
 
-    BNLJ_OK = {"ann_cosine_topk", "ann_cosine_topk_vec"}
+    # intentional broadcast nested-loop scans: tiny query/anchor side
+    # broadcast against one corpus pass (documented in similarity.py)
+    BNLJ_OK = {
+        "ann_cosine_topk",
+        "ann_cosine_topk_vec",
+        "ann_int8_topk",
+        "hard_negatives_contrastive",
+    }
     for name in bench.HEADLINE:
         p = plans(name)
         assert "CartesianProduct" not in p, f"{name} planned a cartesian"

@@ -129,3 +129,49 @@ def test_sumsq_and_hll_merge_equals_recompute(spark):
 
     assert abs(got[1][4] - statistics.pvariance([10.0, 20.0, 20.0])) < 1e-9
     assert got[1][3] == 2  # distinct kinds a, b
+
+
+def test_hist_merge_equals_recompute_and_quantile_bound(spark):
+    """hist state: 3-delta fold == one-shot partial (integer bin
+    counts merge exactly), and the read-time quantile estimate is
+    within one bin width of the exact percentile."""
+    import random
+
+    from aws_de_final_project_spark.operators.rollup_maint import (
+        hist_quantile,
+    )
+
+    rng = random.Random(11)
+    rows = [(i % 4, rng.uniform(0.0, 100.0)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "user_id int, value double")
+    kind = "hist:0.0:100.0:25"  # bin width 4.0
+    measures = [("h", "value", kind)]
+
+    state = None
+    for i in range(3):
+        delta = df.filter(F.expr(f"pmod(CAST(value * 1000 AS INT), 3) = {i}"))
+        part = partial_aggs(delta, ["user_id"], measures)
+        state = (
+            part if state is None
+            else merge_aggs(state, part, ["user_id"], measures)
+        )
+    oneshot = {
+        r.user_id: list(r.h)
+        for r in partial_aggs(df, ["user_id"], measures).collect()
+    }
+    folded = {r.user_id: list(r.h) for r in state.collect()}
+    assert folded == oneshot  # exact integer-count merge
+
+    est = {
+        r.user_id: r.p50
+        for r in hist_quantile(
+            state, ["user_id"], "h", kind, 0.5, "p50"
+        ).collect()
+    }
+    vals = {}
+    for u, v in rows:
+        vals.setdefault(u, []).append(v)
+    for u, xs in vals.items():
+        xs.sort()
+        exact = xs[int(0.5 * len(xs))]
+        assert abs(est[u] - exact) <= 4.0 + 1e-9, (u, est[u], exact)
