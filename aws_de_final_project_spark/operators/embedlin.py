@@ -105,12 +105,20 @@ def gram_entries(
 
 
 def covariance_entries(
-    df: DataFrame, vec_col: str, id_col: str, dim: int, impl: str = "auto"
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    impl: str = "auto",
+    n: int | None = None,
 ) -> DataFrame:
     """Covariance matrix as a (i, j, v) relation:
-    v = sxx / n - mean_i * mean_j (population covariance)."""
+    v = sxx / n - mean_i * mean_j (population covariance). Pass ``n``
+    when the caller already counted the frame (pca_project does) to
+    avoid a second count job."""
     e = _elements(df, vec_col, id_col)
-    n = df.count()  # one count job; scalar folded into the plan
+    if n is None:
+        n = df.count()  # one count job; scalar folded into the plan
     means = e.groupBy("i").agg((F.sum("x") / F.lit(n)).alias("m"))
     g = gram_entries(df, vec_col, id_col, dim, impl)
     ma = means
@@ -268,13 +276,14 @@ def pca_project(
     if iter_impl == "auto":
         iter_impl = "driver" if dim * dim <= 1 << 22 else "relational"
     spark = df.sparkSession
+    n = df.count()
     # dim^2 rows are cluster-tiny; collapsing them to a handful of
     # partitions before the iteration turns each matvec's shuffle
     # into a near-no-op. ~1M cells per partition keeps even dim=4096
     # (16M cells) at a sane width.
     n_cov_parts = max(1, (dim * dim) // 1_000_000)
     cov = (
-        covariance_entries(df, vec_col, id_col, dim, impl)
+        covariance_entries(df, vec_col, id_col, dim, impl, n=n)
         .coalesce(n_cov_parts)
         .localCheckpoint()
     )
@@ -297,21 +306,29 @@ def pca_project(
                 cov = deflate(cov, comp).localCheckpoint()
 
     e = _elements(df, vec_col, id_col)
-    n = df.count()
     means = e.groupBy("i").agg((F.sum("x") / F.lit(n)).alias("m"))
     cent = e.join(F.broadcast(means), "i").select(
         "_id", "i", (F.col("x") - F.col("m")).alias("xc")
     )
-    out = df.select(F.col(id_col).alias("_id"))
-    for k, comp in enumerate(comps, start=1):
-        score = (
-            cent.join(
-                F.broadcast(comp.select("i", F.col("v").alias("w"))), "i"
-            )
-            .groupBy("_id")
-            .agg(rnd(F.sum(F.col("xc") * F.col("w")), decimals).alias(f"pc{k}"))
+    # one broadcast of the (dim x k) projection, ONE pass over the
+    # elements: all component scores come out of a single aggregate
+    # instead of one join+agg (and elements rescan) per component
+    wdf = comps[0].select("i", F.col("v").alias("pc1_w"))
+    for k, comp in enumerate(comps[1:], start=2):
+        wdf = wdf.join(comp.select("i", F.col("v").alias(f"pc{k}_w")), "i")
+    scored = (
+        cent.join(F.broadcast(wdf), "i")
+        .groupBy("_id")
+        .agg(
+            *[
+                rnd(
+                    F.sum(F.col("xc") * F.col(f"pc{k}_w")), decimals
+                ).alias(f"pc{k}")
+                for k in range(1, n_components + 1)
+            ]
         )
-        out = out.join(score, "_id", "left")
+    )
+    out = df.select(F.col(id_col).alias("_id")).join(scored, "_id", "left")
     cols = [F.col("_id").alias(id_col)] + [
         F.coalesce(F.col(f"pc{k}"), F.lit(0.0)).alias(f"pc{k}")
         for k in range(1, n_components + 1)

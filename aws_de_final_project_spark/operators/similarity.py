@@ -270,8 +270,6 @@ def int8_ann_topk(
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("_qid"),
-            F.col(vec_col).alias("_qvec"),
-            _norm(F.col(vec_col)).alias("_qn"),
             qs.alias("_qs"),
             qq.alias("_qq"),
         )
@@ -279,8 +277,6 @@ def int8_ann_topk(
     cs, cq = quant(F.col(vec_col))
     c = corpus.select(
         F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        _norm(F.col(vec_col)).alias("_cn"),
         cs.alias("_cs"),
         cq.alias("_cq"),
     )
@@ -293,26 +289,44 @@ def int8_ann_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # stage 1 emits ID-ONLY rows: the per-query ranking window
+    # shuffles (qid, cid, approx) triples, never vectors (the id-only
+    # shuffle convention from the fuzzy/blocked-dedup paths)
     stage1 = (
         c.crossJoin(q)
         .filter(F.col("_cid") != F.col("_qid"))
         .select(
             "_qid",
             "_cid",
-            "_qvec",
-            "_cvec",
-            "_qn",
-            "_cn",
             (qdot * F.col("_qs") * F.col("_cs")).alias("_approx"),
         )
     )
     w1 = Window.partitionBy("_qid").orderBy(F.desc("_approx"), F.asc("_cid"))
-    cands = stage1.withColumn("_r1", F.row_number().over(w1)).filter(
-        F.col("_r1") <= k * refine_factor
+    cands = (
+        stage1.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k * refine_factor)
+        .select("_qid", "_cid")
+    )
+    # re-attach full-precision vectors only for the tiny candidate
+    # set: candidates broadcast against one more corpus scan, queries
+    # broadcast as before -- no corpus shuffle at any point
+    cv = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
     )
     w2 = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
     return (
-        cands.select(
+        cv.join(F.broadcast(cands), "_cid")
+        .join(qv, "_qid")
+        .select(
             "_qid",
             "_cid",
             (
