@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_trade_nations": X.pagerank_trade_nations,
         "cohort_retention": Q.cohort_retention,
         "rollup_incremental_value_quantiles": X.rollup_incremental_value_quantiles,
+        "dedup_corpus_quality_keepers": X.dedup_corpus_quality_keepers,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -607,6 +608,55 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # curation composition: recursive closure + quality window --
+        # keeper = best 4dp quality per component, doc_id tiebreak
+        "dedup_corpus_quality_keepers": f"""
+            WITH RECURSIVE plist AS ({_ngram_jaccard_sql()}),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM plist
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM plist
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            mins AS (
+                SELECT a AS node, min(b) AS mn FROM reach GROUP BY a
+            ),
+            comp AS (
+                SELECT d.doc_id,
+                       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+                FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
+            ),
+            scored AS (
+                SELECT doc_id,
+                       (floor((greatest(0.0,
+                           least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                                  END AS double) / 100.0, 1.0)
+                           * (1 - CASE WHEN length(text) > 0
+                                  THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS double)
+                                       / CAST(length(text) AS double)
+                                  ELSE 0.0 END)
+                       )) * 10000.0 + 0.5) / 10000.0) AS q
+                FROM documents
+            ),
+            ranked AS (
+                SELECT c.component, c.doc_id, s.q,
+                       row_number() OVER (
+                           PARTITION BY c.component
+                           ORDER BY s.q DESC, c.doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY c.component)
+                           AS n_members
+                FROM comp c JOIN scored s USING (doc_id)
+            )
+            SELECT component, doc_id AS keeper_id, n_members,
+                   q AS keeper_quality
+            FROM ranked WHERE rn = 1
+            ORDER BY component
+        """,
         # mergeable-histogram quantile rollup: the one-shot recompute
         # twin proves merge exactness (integer bin counts) AND the
         # identical interpolation estimator

@@ -1290,6 +1290,47 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_corpus_quality_keepers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end curation composition: near-dup clusters (connected
+    components over exact 3-gram-Jaccard edges) + per-cluster KEEPER
+    SELECTION BY QUALITY — keep the best-scoring copy, not the
+    arbitrary min-id one — the final artifact a dedup pipeline ships.
+    Output: (component, keeper_id, n_members, keeper_quality). One
+    window over the component key after the clustering; quality is
+    the 4dp-deterministic scan-stage score, so the whole composition
+    replays in DuckDB (recursive-CTE closure + same window)."""
+    from pyspark.sql.window import Window
+
+    from aws_de_final_project_spark.functions.text import quality_score
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, block_col="lang"
+    )
+    comp = dedup.dedup_components(docs, pairs, "doc_id")
+    scored = docs.select("doc_id", quality_score("text").alias("_q"))
+    j = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_q"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_id"),
+            "n_members",
+            F.col("_q").alias("keeper_quality"),
+        )
+        .orderBy("component")
+    )
+
+
 def rollup_incremental_value_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
