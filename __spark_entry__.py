@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": Q.cohort_retention,
         "rollup_incremental_value_quantiles": X.rollup_incremental_value_quantiles,
         "dedup_corpus_quality_keepers": X.dedup_corpus_quality_keepers,
+        "shard_docs_by_token_budget": X.shard_docs_by_token_budget,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -608,6 +609,31 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # budget sharding: exact integer prefix sum — the oracle is
+        # the plain global cumulative window whose single-partition
+        # cost the Spark side's two-phase scan avoids
+        "shard_docs_by_token_budget": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            END AS BIGINT) AS t
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, t,
+                       coalesce(sum(t) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cp
+                FROM toks
+            )
+            SELECT doc_id, t AS n_tokens,
+                   CAST(floor(CAST(cp AS DOUBLE) / 2000.0) AS BIGINT)
+                       AS shard
+            FROM cum
+            ORDER BY doc_id
+        """,
         # curation composition: recursive closure + quality window --
         # keeper = best 4dp quality per component, doc_id tiebreak
         "dedup_corpus_quality_keepers": f"""

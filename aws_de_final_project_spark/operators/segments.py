@@ -228,3 +228,70 @@ def pack_sequences(
             ).alias("end_tok"),
         )
     )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    budget: int,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Assign every document a training-shard number so each shard
+    holds ~``budget`` tokens of consecutive (by ``id_col``) documents:
+    shard = floor(exclusive-prefix-sum(tokens) / budget) — the export
+    layout step before writing balanced training shards.
+
+    The prefix sum is GLOBAL but computed without a global window
+    (which would funnel the corpus through one partition): the classic
+    two-phase scan —
+
+      1. deterministic range bucket = id DIV ``bucket_size``;
+         per-bucket token totals in one hash aggregate;
+      2. bucket totals are bucket-count-bounded (not data-bounded), so
+         their running offsets come from one tiny window over the
+         bucket table (a few thousand rows at 100 TB — broadcast
+         back);
+      3. within each bucket, an ordered window adds the local running
+         sum to the bucket's offset. Each window partition holds
+         ``bucket_size`` rows — bounded state, full parallelism.
+
+    All arithmetic is integer (token counts), so the assignment is
+    exact and engine-portable: the oracle is a plain global cumulative
+    window in DuckDB.
+    """
+    if budget <= 0 or bucket_size <= 0:
+        raise ValueError("budget and bucket_size must be positive")
+    toks = (
+        tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+    )
+    base = spread(df).select(
+        F.col(id_col).alias("_id"),
+        toks.cast("long").alias("_t"),
+        (F.col(id_col) / F.lit(bucket_size)).cast("long").alias("_bkt"),
+    )
+    bucket_tot = base.groupBy("_bkt").agg(F.sum("_t").alias("_bt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_local", F.coalesce(F.sum("_t").over(w_local), F.lit(0))
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_t").alias("n_tokens"),
+            (
+                (F.col("_off") + F.col("_local")) / F.lit(budget)
+            ).cast("long").alias("shard"),
+        )
+    )

@@ -1290,6 +1290,28 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def shard_docs_by_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget-balanced shard assignment for training export
+    (segments.shard_by_token_budget): global exclusive prefix sum of
+    token counts computed with the two-phase scan (per-bucket totals
+    -> tiny offsets window -> bounded within-bucket windows), never a
+    single-partition global window. Integer arithmetic throughout, so
+    the DuckDB twin is a plain global cumulative window."""
+    from aws_de_final_project_spark.operators.segments import (
+        shard_by_token_budget,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", TX.token_count("text").alias("_tok")
+    )
+    return shard_by_token_budget(
+        docs, "doc_id", "_tok", budget=2000, bucket_size=64
+    ).orderBy("doc_id")
+
+
 def dedup_corpus_quality_keepers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -163,3 +163,41 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     plan = S.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_shard_by_token_budget_two_phase_equals_global(spark):
+    """The bucketed two-phase prefix sum must equal the naive global
+    cumulative sum for any bucket size, and shard token totals must
+    respect the budget (each shard's first doc starts below a budget
+    boundary; totals exceed it by at most one document)."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators.segments import (
+        shard_by_token_budget,
+    )
+
+    rows = [(i, 7 + (i * 13) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    for bucket in (8, 64, 1000):
+        got = {
+            r.doc_id: r.shard
+            for r in shard_by_token_budget(
+                df, "doc_id", "tok", budget=300, bucket_size=bucket
+            ).collect()
+        }
+        cum = 0
+        for i, t in rows:
+            assert got[i] == cum // 300, (bucket, i)
+            cum += t
+    # budget respected: per-shard totals < budget + max doc tokens
+    out = shard_by_token_budget(df, "doc_id", "tok", budget=300)
+    per = out.groupBy("shard").agg(F.sum("n_tokens").alias("s")).collect()
+    max_tok = max(t for _, t in rows)
+    full_shards = [r for r in per if r.shard < len(per) - 1]
+    assert all(r.s < 300 + max_tok for r in per)
+    assert all(r.s >= 300 - max_tok for r in full_shards)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shard_by_token_budget(df, "doc_id", "tok", budget=0)
