@@ -295,3 +295,66 @@ def shard_by_token_budget(
             ).cast("long").alias("shard"),
         )
     )
+
+
+def write_token_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    bucket_size: int = 1024,
+) -> dict:
+    """Materialize token-budget-balanced training shards: assign
+    shards with :func:`shard_by_token_budget` (whitespace token
+    count), write hive-partitioned ``shard=N`` parquet (each shard's
+    rows land in its own directory — a WebDataset/TFRecord-style
+    export layout with parquet as the container), and return the
+    manifest: per-shard row/token totals plus an order-insensitive
+    content checksum, written alongside as ``_manifest.json`` (the underscore
+    prefix keeps it invisible to Spark's file index, like _SUCCESS).
+
+    The manifest aggregate is one hash aggregate over the assigned
+    frame; determinism (same data -> same shards, same checksums,
+    any partitioning) is what makes re-exports diffable.
+    """
+    import json
+    import os
+
+    from aws_de_final_project_spark.functions.text import token_count
+
+    assigned = shard_by_token_budget(
+        df.select(F.col(id_col), token_count(F.col(text_col)).alias("_tok")),
+        id_col,
+        "_tok",
+        budget,
+        bucket_size,
+    )
+    rows = df.join(assigned.select(id_col, "shard"), id_col)
+    rows.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    manifest_rows = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.bit_xor(F.xxhash64(F.col(id_col))).alias("id_checksum"),
+        )
+        .orderBy("shard")
+        .collect()  # shard-count-bounded (corpus_tokens / budget rows)
+    )
+    manifest = {
+        "budget_tokens": budget,
+        "n_shards": len(manifest_rows),
+        "shards": [
+            {
+                "shard": r.shard,
+                "n_docs": r.n_docs,
+                "n_tokens": r.n_tokens,
+                "id_checksum": r.id_checksum,
+            }
+            for r in manifest_rows
+        ],
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

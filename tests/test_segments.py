@@ -201,3 +201,32 @@ def test_shard_by_token_budget_two_phase_equals_global(spark):
 
     with _pt.raises(ValueError):
         shard_by_token_budget(df, "doc_id", "tok", budget=0)
+
+
+def test_write_token_shards_layout_and_manifest(spark, tmp_path):
+    """Shard writer: hive shard=N layout, manifest totals equal the
+    corpus, and a re-export is manifest-identical (determinism)."""
+    import os
+
+    from aws_de_final_project_spark.operators.segments import (
+        write_token_shards,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + i % 9))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    m1 = write_token_shards(df, out, "doc_id", "text", budget=120)
+    assert m1["n_shards"] > 3
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == m1["n_shards"]
+    assert sum(s["n_docs"] for s in m1["shards"]) == 200
+    total_tok = sum(len(t.split()) for _, t in rows)
+    assert sum(s["n_tokens"] for s in m1["shards"]) == total_tok
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # determinism: re-export over a differently-partitioned frame
+    m2 = write_token_shards(
+        df.repartition(13), str(tmp_path / "shards2"), "doc_id", "text",
+        budget=120,
+    )
+    assert m1 == m2
