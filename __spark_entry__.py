@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental_value_quantiles": X.rollup_incremental_value_quantiles,
         "dedup_corpus_quality_keepers": X.dedup_corpus_quality_keepers,
         "shard_docs_by_token_budget": X.shard_docs_by_token_budget,
+        "drift_psi_event_values": X.drift_psi_event_values,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -609,6 +610,35 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # PSI drift: identical binning, eps floor, and ln terms
+        "drift_psi_event_values": """
+            WITH cells AS (
+                SELECT event_type,
+                       least(greatest(CAST(floor((value - 0.0) / 20.0)
+                                           AS INT), 0), 31) AS bin,
+                       sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                                THEN 0 ELSE 1 END) AS rc,
+                       sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                                THEN 1 ELSE 0 END) AS cc
+                FROM events GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT event_type, sum(rc) AS rn, sum(cc) AS cn
+                FROM cells GROUP BY 1
+            )
+            SELECT c.event_type,
+                   max(t.rn) AS n_ref, max(t.cn) AS n_cur,
+                   (floor((sum(
+                       (greatest(CAST(c.cc AS DOUBLE) / CAST(t.cn AS DOUBLE), 1e-06)
+                        - greatest(CAST(c.rc AS DOUBLE) / CAST(t.rn AS DOUBLE), 1e-06))
+                       * ln(greatest(CAST(c.cc AS DOUBLE) / CAST(t.cn AS DOUBLE), 1e-06)
+                            / greatest(CAST(c.rc AS DOUBLE) / CAST(t.rn AS DOUBLE), 1e-06))
+                   )) * 10000.0 + 0.5) / 10000.0) AS psi
+            FROM cells c JOIN tot t USING (event_type)
+            WHERE t.rn > 0 AND t.cn > 0
+            GROUP BY c.event_type
+            ORDER BY c.event_type
+        """,
         # budget sharding: exact integer prefix sum — the oracle is
         # the plain global cumulative window whose single-partition
         # cost the Spark side's two-phase scan avoids

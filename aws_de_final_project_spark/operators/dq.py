@@ -140,3 +140,79 @@ def check_suite(
         .withColumn("passed", F.col("violations") == F.lit(0))
         .orderBy("check_name")
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    is_current: Column,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 16,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per group between a reference slice
+    and a current slice of the same frame: the standard
+    distribution-drift monitor a production pipeline runs per feature
+    per refresh (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    PSI = sum over bins of (p_cur - p_ref) * ln(p_cur / p_ref), with
+    each proportion floored at ``eps`` so empty bins contribute a
+    large-but-finite term (the usual convention). Both slices are
+    binned in ONE pass — conditional sums inside a single hash
+    aggregate on (group, bin), nothing scans the table twice — then
+    one tiny aggregate per group. Every step is deterministic given
+    the counts, so the whole monitor replays in any engine.
+
+    Output: (group_col, n_ref, n_cur, psi 4dp), one row per group
+    that has rows on BOTH sides.
+    """
+    from aws_de_final_project_spark.functions.numeric import (
+        round_half_up as rnd,
+    )
+
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need hi > lo and n_bins > 0")
+    w = (hi - lo) / n_bins
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    cells = (
+        df.select(
+            F.col(group_col),
+            idx.alias("_bin"),
+            is_current.cast("int").alias("_cur"),
+        )
+        .groupBy(group_col, "_bin")
+        .agg(
+            F.sum(1 - F.col("_cur")).alias("_rc"),
+            F.sum("_cur").alias("_cc"),
+        )
+    )
+    tot = cells.groupBy(group_col).agg(
+        F.sum("_rc").alias("_rn"), F.sum("_cc").alias("_cn")
+    )
+    p_ref = F.greatest(
+        F.col("_rc").cast("double") / F.col("_rn").cast("double"),
+        F.lit(float(eps)),
+    )
+    p_cur = F.greatest(
+        F.col("_cc").cast("double") / F.col("_cn").cast("double"),
+        F.lit(float(eps)),
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        cells.join(F.broadcast(tot), group_col)
+        .filter((F.col("_rn") > 0) & (F.col("_cn") > 0))
+        .groupBy(group_col)
+        .agg(
+            F.max("_rn").alias("n_ref"),
+            F.max("_cn").alias("n_cur"),
+            rnd(F.sum(term), 4).alias("psi"),
+        )
+    )

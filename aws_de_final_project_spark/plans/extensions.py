@@ -1290,6 +1290,26 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def drift_psi_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/dq.psi_drift): PSI of
+    the value distribution per event type, first half of the month
+    (reference) vs second half (current), 32 bins over [0, 640). One
+    hash aggregate bins both slices; DATE comparison keeps the split
+    session-timezone-independent."""
+    from aws_de_final_project_spark.operators.dq import psi_drift
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return psi_drift(
+        ev,
+        "value",
+        F.to_date("ts") >= F.lit("2024-01-16").cast("date"),
+        "event_type",
+        lo=0.0,
+        hi=640.0,
+        n_bins=32,
+    ).orderBy("event_type")
+
+
 def shard_docs_by_token_budget(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

