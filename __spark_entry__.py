@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus_quality_keepers": X.dedup_corpus_quality_keepers,
         "shard_docs_by_token_budget": X.shard_docs_by_token_budget,
         "drift_psi_event_values": X.drift_psi_event_values,
+        "interval_coverage_per_user": Q.interval_coverage_per_user,
+        "event_transition_matrix": Q.event_transition_matrix,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -610,6 +612,53 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # sweep-line interval union: integer-microsecond arithmetic;
+        # the per-user total is tie-order invariant by construction
+        "interval_coverage_per_user": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+                FROM events
+            ),
+            swept AS (
+                SELECT user_id, s, e,
+                       max(e) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pme
+                FROM e
+            )
+            SELECT user_id, count(*) AS n_intervals,
+                   sum(greatest(e - greatest(s, coalesce(pme, s)), 0))
+                       AS covered_us
+            FROM swept GROUP BY user_id
+            ORDER BY user_id
+        """,
+        # first-order Markov transitions, (ts, event_id) tiebreak
+        "event_transition_matrix": """
+            WITH ordered AS (
+                SELECT user_id, event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS to_type
+                FROM events
+            ),
+            pairs AS (
+                SELECT from_type, to_type, count(*) AS n_transitions
+                FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2
+            ),
+            tt AS (
+                SELECT from_type, sum(n_transitions) AS tot
+                FROM pairs GROUP BY 1
+            )
+            SELECT pr.from_type, pr.to_type, pr.n_transitions,
+                   (floor((CAST(pr.n_transitions AS DOUBLE)
+                           / CAST(tt.tot AS DOUBLE)) * 10000.0 + 0.5)
+                    / 10000.0) AS p
+            FROM pairs pr JOIN tt USING (from_type)
+            ORDER BY pr.from_type, pr.to_type
+        """,
         # PSI drift: identical binning, eps floor, and ln terms
         "drift_psi_event_values": """
             WITH cells AS (

@@ -1000,3 +1000,93 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def interval_coverage_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals per user (sweep line as
+    a window): each event opens an interval [ts, ts + value seconds];
+    the covered time is the union, not the sum — the classic
+    uptime/coverage computation.
+
+    Relational sweep line: sort a user's intervals by start, take the
+    running max of end over PRECEDING rows, and count only
+    end - max(start, prev_max_end) when positive. The per-user total
+    is invariant to tie order among equal starts (standard sweep-line
+    property), so no engine-specific tiebreak leaks into results.
+    All arithmetic is integer microseconds (epoch_us + floor) —
+    exact, NTZ-safe. One shuffle on user_id.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"].select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("_s"),
+        (
+            epoch_us(F.col("ts"))
+            + F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+        ).alias("_e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = e.withColumn("_pme", F.max("_e").over(w))
+    contrib = F.greatest(
+        F.col("_e")
+        - F.greatest(F.col("_s"), F.coalesce(F.col("_pme"), F.col("_s"))),
+        F.lit(0),
+    )
+    return (
+        swept.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(contrib).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types per user (behavioral-sequence analytics):
+    one lead window over (user, time) then a hash aggregate on the
+    (from, to) pair; probabilities derive from a broadcast per-source
+    total. Deterministic ordering via the (ts, event_id) tiebreak."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us(F.col("ts")), F.col("event_id")
+    )
+    pairs = (
+        t["events"]
+        .select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            rnd(
+                F.col("n_transitions").cast("double")
+                / F.col("_tot").cast("double"),
+                4,
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

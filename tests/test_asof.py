@@ -198,3 +198,39 @@ def test_overlap_pairs_equal_bruteforce(spark):
         }
         assert got == brute, f"bin_days={width}"
         assert len(brute) > 100
+
+
+def test_interval_coverage_sweep_line(spark):
+    """Hand-checkable union: overlapping, nested, disjoint, and
+    duplicate intervals all reduce to the right covered length."""
+    from aws_de_final_project_spark.plans.queries import (
+        interval_coverage_per_user,
+    )  # noqa: F401  (entry exercises the real table; here test the math)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [  # (user, start, end)
+        (1, 0, 10), (1, 5, 15),      # overlap -> 15
+        (1, 20, 25),                 # disjoint -> +5
+        (2, 0, 100), (2, 10, 20),    # nested -> 100
+        (2, 0, 100),                 # duplicate -> still 100
+    ]
+    e = spark.createDataFrame(rows, "user_id long, _s long, _e long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = e.withColumn("_pme", F.max("_e").over(w))
+    contrib = F.greatest(
+        F.col("_e")
+        - F.greatest(F.col("_s"), F.coalesce(F.col("_pme"), F.col("_s"))),
+        F.lit(0),
+    )
+    got = {
+        r.user_id: r.c
+        for r in swept.groupBy("user_id")
+        .agg(F.sum(contrib).alias("c"))
+        .collect()
+    }
+    assert got == {1: 20, 2: 100}
