@@ -239,3 +239,61 @@ def weighted_sample(
         .filter(F.col("_rk") <= k)
         .select(*out_cols)
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    quality_q: float = 0.5,
+    max_hit_frac: float = 0.0,
+    shard_budget: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> dict:
+    """The whole training-data curation pipeline as one call, in the
+    canonical order a production corpus build runs it:
+
+      1. exact dedup (first-id-wins fingerprint groups),
+      2. per-source quality gate (keep each source's top (1-q)
+         quantile of the 4dp quality score),
+      3. benchmark decontamination (drop docs whose word-5-gram
+         overlap with the eval set exceeds ``max_hit_frac``),
+      4. token-budget-balanced shard export with manifest.
+
+    Every stage is one of the individually-oracled operators — the
+    composition adds no new math, just the stage ordering (dedup
+    before quality so near-identical copies don't vote on the
+    quantile thresholds; decontaminate after the gates so the
+    broadcast shingle join runs on the smallest surviving set).
+
+    Returns the export manifest plus per-stage survivor counts (each
+    count is one action over an already-needed frame).
+    """
+    from aws_de_final_project_spark.operators.dedup import exact_dedup
+    from aws_de_final_project_spark.operators.segments import (
+        write_token_shards,
+    )
+
+    stage_counts = {"input": docs.count()}
+    deduped = exact_dedup(docs, text_col, id_col).localCheckpoint()
+    stage_counts["after_exact_dedup"] = deduped.count()
+
+    gated_ids = quantile_quality_filter(
+        deduped, group_col=group_col, q=quality_q
+    ).select(id_col)
+    gated = deduped.join(gated_ids, id_col, "left_semi").localCheckpoint()
+    stage_counts["after_quality_gate"] = gated.count()
+
+    overlap = decontaminate(gated, benchmark, text_col, id_col)
+    clean_ids = overlap.filter(
+        F.col("hit_frac") <= F.lit(float(max_hit_frac))
+    ).select(id_col)
+    clean = gated.join(clean_ids, id_col, "left_semi").localCheckpoint()
+    stage_counts["after_decontamination"] = clean.count()
+
+    manifest = write_token_shards(
+        clean, out_dir, id_col, text_col, budget=shard_budget
+    )
+    return {"stages": stage_counts, "manifest": manifest}

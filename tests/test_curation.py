@@ -163,3 +163,41 @@ def test_weighted_sample_prefers_heavy_items(spark):
     # P(select doc0 | uniform) = 0.1; with w=20 vs 39 unit weights the
     # A-ES inclusion probability is ~0.8+ -- 12 salts clear 1/2 easily
     assert hits >= n_salts // 2, hits
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """One-call pipeline: dedup -> quality gate -> decontaminate ->
+    shard export. Each stage's survivor set is checkable by
+    construction: planted exact dups collapse, the contaminated doc
+    (verbatim benchmark 5-gram) is dropped, counts are monotone, and
+    the manifest totals match the survivors."""
+    from aws_de_final_project_spark.operators.curation import curate_corpus
+
+    good = "the quiet library holds many well organized shelves of books "
+    rows = []
+    for i in range(40):
+        rows.append((i, f"doc {i} " + good * 3 + f"tail {i}", "web"))
+    rows.append((100, rows[0][1], "web"))  # exact dup of doc 0
+    rows.append(
+        (101, "contaminated doc contains the secret benchmark answer "
+              "phrase exactly here " + good * 3, "web")
+    )
+    rows.append((102, "x", "web"))  # near-empty -> low quality
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark answer phrase exactly")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, bench, str(tmp_path / "corpus"),
+        quality_q=0.05, shard_budget=500,
+    )
+    st = out["stages"]
+    assert st["input"] == 43
+    assert st["after_exact_dedup"] == 42  # dup 100 collapsed
+    assert st["after_quality_gate"] < 42  # the near-empty doc gated
+    assert st["after_decontamination"] == st["after_quality_gate"] - 1
+    kept = spark.read.parquet(str(tmp_path / "corpus"))
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 101 not in ids and 100 not in ids and 102 not in ids
+    assert sum(s["n_docs"] for s in out["manifest"]["shards"]) == len(ids)

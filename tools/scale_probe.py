@@ -41,6 +41,7 @@ QUERIES = [
 # counts scale linearly in copies).
 DOC_QUERIES = [
     "dedup_exact_groups",
+    "dedup_exact_spans",
     "dedup_minhash_lsh",
     "doc_winnow_fingerprints",
     "repetition_top_bigram",
@@ -60,6 +61,10 @@ X30_QUERIES = [
     "quality_filter_flags",
     "dedup_minhash_lsh",
     "dedup_component_groups_lsh",
+    # round-5: the anchor self-join is the newest quadratic-risk
+    # stage; the per-copy cipher keeps cross-copy anchors disjoint so
+    # pair output scales linearly in copies
+    "dedup_exact_spans",
 ]
 
 _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
