@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
         "event_transition_matrix": Q.event_transition_matrix,
+        "ann_matryoshka_prefix_recall": X.ann_matryoshka_prefix_recall,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -612,6 +613,55 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # matryoshka truncation eval: two exact rankings + overlap
+        "ann_matryoshka_prefix_recall": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                FROM embeddings
+            ),
+            full_rank AS (
+                SELECT query_id, cid,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY
+                           list_dot_product(qv, cv) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(cv, cv))) DESC,
+                           cid ASC) AS rnk
+                FROM q CROSS JOIN c WHERE cid <> query_id
+            ),
+            pre_rank AS (
+                SELECT query_id, cid,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY
+                           list_dot_product(list_slice(qv, 1, 16),
+                                            list_slice(cv, 1, 16)) /
+                           (sqrt(list_dot_product(list_slice(qv, 1, 16),
+                                                  list_slice(qv, 1, 16))) *
+                            sqrt(list_dot_product(list_slice(cv, 1, 16),
+                                                  list_slice(cv, 1, 16))))
+                               DESC,
+                           cid ASC) AS rnk
+                FROM q CROSS JOIN c WHERE cid <> query_id
+            ),
+            hits AS (
+                SELECT p.query_id, count(*) AS n_overlap
+                FROM pre_rank p JOIN full_rank f
+                  ON p.query_id = f.query_id AND p.cid = f.cid
+                WHERE p.rnk <= 10 AND f.rnk <= 10
+                GROUP BY p.query_id
+            )
+            SELECT q.query_id,
+                   coalesce(h.n_overlap, 0) AS n_overlap,
+                   (floor((CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+                           / 10.0) * 10000.0 + 0.5) / 10000.0)
+                       AS recall_at_10
+            FROM q LEFT JOIN hits h USING (query_id)
+            ORDER BY q.query_id
+        """,
         # sweep-line interval union: integer-microsecond arithmetic;
         # the per-user total is tie-order invariant by construction
         "interval_coverage_per_user": """

@@ -1290,6 +1290,48 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ann_matryoshka_prefix_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@10 of exact
+    cosine search over the FIRST 16 dimensions vs the full vector —
+    the measurement that decides whether a prefix-truncated (4x
+    cheaper) index is good enough. Two exact rankings (one corpus
+    scan each, broadcast queries), a left-semi overlap join, one
+    per-query count. Deterministic end to end, so fully oracled."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = similarity.cosine_topk(emb, qs, k=10)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    qs16 = qs.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pre = similarity.cosine_topk(emb16, qs16, k=10)
+    overlap = pre.join(
+        full.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    hits = overlap.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            rnd(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(10.0),
+                4,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def drift_psi_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (operators/dq.psi_drift): PSI of
     the value distribution per event type, first half of the month
