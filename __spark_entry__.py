@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage_per_user": Q.interval_coverage_per_user,
         "event_transition_matrix": Q.event_transition_matrix,
         "ann_matryoshka_prefix_recall": X.ann_matryoshka_prefix_recall,
+        "weighted_median_price_by_flag": Q.weighted_median_price_by_flag,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -613,6 +614,30 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # weighted median: qualifying-min pick is invariant to
+        # accumulation order among ties (see operator docstring)
+        "weighted_median_price_by_flag": """
+            WITH cum AS (
+                SELECT l_returnflag, l_extendedprice,
+                       CAST(l_quantity AS DOUBLE) AS w,
+                       sum(CAST(l_quantity AS DOUBLE)) OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw
+                FROM lineitem
+            ),
+            tot AS (
+                SELECT l_returnflag, sum(w) AS tw FROM cum GROUP BY 1
+            )
+            SELECT c.l_returnflag,
+                   (floor((min(c.l_extendedprice)) * 100.0 + 0.5) / 100.0)
+                       AS weighted_median_price
+            FROM cum c JOIN tot t USING (l_returnflag)
+            WHERE c.cw >= 0.5 * t.tw
+            GROUP BY c.l_returnflag
+            ORDER BY c.l_returnflag
+        """,
         # matryoshka truncation eval: two exact rankings + overlap
         "ann_matryoshka_prefix_recall": """
             WITH q AS (

@@ -58,3 +58,48 @@ def round_half_up(col: Column, n: int = 2) -> Column:
 def sql_round_half_up(expr: str, n: int = 2) -> str:
     scale = float(10**n)
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def weighted_quantile_frame(
+    df,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float,
+    alias: str = "wq",
+):
+    """Exact weighted quantile per group: the smallest value whose
+    cumulative weight reaches ``q`` of the group's total — e.g. the
+    revenue-weighted median price, where a 1000-unit order should
+    pull the median 1000x harder than a 1-unit one.
+
+    Relational shape: one ordered window per group accumulates
+    weights (state = the group's rows, streamed), one per-group total
+    broadcast back, then a min-aggregate over the qualifying rows.
+    Integer/decimal weights stay exact; the threshold comparison
+    q * total uses one deterministic multiply, so the pick replays
+    identically in any engine. Ties on value are merged by the
+    cumulative sum itself (equal values reach the threshold together).
+
+    Returns (group_col, alias) — one row per group with >= 1 row.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).withColumn("_cw", F.sum("_w").over(w))
+    tot = cum.groupBy(group_col).agg(F.sum("_w").alias("_tw"))
+    return (
+        cum.join(F.broadcast(tot), group_col)
+        .filter(F.col("_cw") >= F.lit(float(q)) * F.col("_tw"))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias(alias))
+    )

@@ -954,6 +954,33 @@ def funnel_user_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+def weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median extended price per return flag
+    (functions/numeric.weighted_quantile_frame): exact weighted order
+    statistic — a 40-unit line pulls the median 40x harder than a
+    1-unit one. The picked value is provably invariant to
+    accumulation order among tied values, so the window needs no
+    engine-specific tiebreak."""
+    from aws_de_final_project_spark.functions.numeric import (
+        weighted_quantile_frame,
+    )
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    out = weighted_quantile_frame(
+        t["lineitem"],
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        0.5,
+        alias="_wm",
+    )
+    return out.select(
+        "l_returnflag", rnd(F.col("_wm"), 2).alias("weighted_median_price")
+    ).orderBy("l_returnflag")
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain cohort retention matrix: users grouped by the DAY of
     their first event; for each (cohort_day, day_offset) cell, how

@@ -113,3 +113,27 @@ def test_normalized_text_spark_matches_model(spark):
     got = {r.t: r.n for r in df.select("t", normalized_text("t").alias("n")).collect()}
     for s in samples:
         assert got[s] == model(s), repr(s)
+
+
+def test_weighted_quantile_matches_reference(spark):
+    """Weighted median against a hand reference, including the
+    all-weight-on-one-row and tie cases."""
+    from aws_de_final_project_spark.functions.numeric import (
+        weighted_quantile_frame,
+    )
+
+    rows = [
+        # group a: heavy weight drags the median to 10
+        ("a", 1.0, 1.0), ("a", 10.0, 100.0), ("a", 99.0, 1.0),
+        # group b: uniform weights, ties at the threshold value
+        ("b", 5.0, 1.0), ("b", 5.0, 1.0), ("b", 7.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {
+        r.g: r.wq
+        for r in weighted_quantile_frame(df, "g", "v", "w", 0.5).collect()
+    }
+    assert out["a"] == 10.0
+    # group b: total 4, threshold 2 -> cumulative hits 2 at the tied
+    # 5.0 rows regardless of their order
+    assert out["b"] == 5.0
