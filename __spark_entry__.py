@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": Q.event_transition_matrix,
         "ann_matryoshka_prefix_recall": X.ann_matryoshka_prefix_recall,
         "weighted_median_price_by_flag": Q.weighted_median_price_by_flag,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -614,6 +615,24 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # TPC-H Q5 shape: 6-way join, one region + one year
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   (floor((sum(l_extendedprice * (1 - l_discount)))
+                          * 100.0 + 0.5) / 100.0) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
         # weighted median: qualifying-min pick is invariant to
         # accumulation order among ties (see operator docstring)
         "weighted_median_price_by_flag": """

@@ -954,6 +954,52 @@ def funnel_user_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local supplier volume: revenue per nation
+    from lineitems where the customer and supplier share a nation,
+    restricted to one region and one order-date year. Six relations
+    in one declarative plan; Catalyst/AQE pick the join order and
+    broadcast the three dimension tables — the canonical multi-way
+    join-reordering showcase. Date bound uses timestamp literals
+    (o_orderdate is a NTZ timestamp in the fixtures)."""
+    t = load_tables(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    j = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            rnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def weighted_median_price_by_flag(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

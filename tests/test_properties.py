@@ -137,3 +137,60 @@ def test_weighted_quantile_matches_reference(spark):
     # group b: total 4, threshold 2 -> cumulative hits 2 at the tied
     # 5.0 rows regardless of their order
     assert out["b"] == 5.0
+
+
+def test_weighted_quantile_random_matches_numpy_model(spark):
+    """Randomized weighted-median property: for integer weights, the
+    operator's pick must equal expanding each row weight-many times
+    and taking the smallest value whose expanded rank reaches q*N."""
+    import random
+
+    from aws_de_final_project_spark.functions.numeric import (
+        weighted_quantile_frame,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    expect = {}
+    for g in range(6):
+        vals = [
+            (float(rng.randint(0, 40)), rng.randint(1, 9))
+            for _ in range(rng.randint(1, 30))
+        ]
+        rows += [(f"g{g}", v, float(w)) for v, w in vals]
+        expanded = sorted(v for v, w in vals for _ in range(w))
+        total = len(expanded)
+        # smallest value whose cumulative weight >= 0.5 * total
+        cum, pick = 0, None
+        for v in sorted({v for v, _ in vals}):
+            cum += sum(w for vv, w in vals if vv == v)
+            if cum >= 0.5 * total:
+                pick = v
+                break
+        expect[f"g{g}"] = pick
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {
+        r.g: r.wq
+        for r in weighted_quantile_frame(df, "g", "v", "w", 0.5).collect()
+    }
+    assert got == expect
+
+
+def test_exact_span_pairs_shift_invariant(spark):
+    """Prepending different-length prefixes to both documents must not
+    change the detected shared span (self-synchronizing anchors on
+    the diagonal)."""
+    from aws_de_final_project_spark.operators.dedup import exact_span_pairs
+
+    passage = " ".join(f"tok{i}" for i in range(20))
+    for pre_a, pre_b in [(0, 0), (3, 11), (17, 5)]:
+        rows = [
+            (1, " ".join(f"pa{i}" for i in range(pre_a)) + " " + passage),
+            (2, " ".join(f"pb{i}" for i in range(pre_b)) + " " + passage),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = exact_span_pairs(
+            docs, "text", "doc_id", k=8, min_span_tokens=12
+        ).collect()
+        assert len(out) == 1
+        assert out[0].max_span_tokens == 20, (pre_a, pre_b, out)
