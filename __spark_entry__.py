@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_prefix_recall": X.ann_matryoshka_prefix_recall,
         "weighted_median_price_by_flag": Q.weighted_median_price_by_flag,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
+        "winsorize_event_values": X.winsorize_event_values,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -615,6 +616,22 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # winsorization: same exact interpolated percentile + clamp
+        "winsorize_event_values": """
+            WITH bounds AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   (floor((least(greatest(e.value, b.lo), b.hi))
+                          * 10000.0 + 0.5) / 10000.0) AS winsorized,
+                   (floor((b.lo) * 10000.0 + 0.5) / 10000.0) AS lo_bound,
+                   (floor((b.hi) * 10000.0 + 0.5) / 10000.0) AS hi_bound
+            FROM events e JOIN bounds b USING (event_type)
+            ORDER BY e.event_id
+        """,
         # TPC-H Q5 shape: 6-way join, one region + one year
         "q5_local_supplier_volume": """
             SELECT n_name,

@@ -216,3 +216,39 @@ def psi_drift(
             rnd(F.sum(term), 4).alias("psi"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into its group's
+    [p_lo, p_hi] exact-percentile envelope — the standard outlier
+    treatment before training statistical/ML features, as a
+    scan-stage transform.
+
+    One exact-percentile aggregate per group (tiny — |groups| rows)
+    broadcast back, then a codegen clamp; no window, no second scan.
+    Returns the input columns plus ``out_col`` and the group bounds.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(float(p_lo))).alias("_lo"),
+        F.percentile(value_col, F.lit(float(p_hi))).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            F.least(
+                F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")
+            ),
+        )
+        .withColumnRenamed("_lo", "lo_bound")
+        .withColumnRenamed("_hi", "hi_bound")
+    )

@@ -1290,6 +1290,28 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values into the [p5, p95]
+    exact-percentile envelope (operators/dq.winsorize): one tiny
+    percentile aggregate broadcast back + a codegen clamp — the
+    standard outlier treatment before feature training, with no
+    window and no second scan."""
+    from aws_de_final_project_spark.operators.dq import winsorize
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize(ev, "value", "event_type", p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        rnd(F.col("winsorized"), 4).alias("winsorized"),
+        rnd(F.col("lo_bound"), 4).alias("lo_bound"),
+        rnd(F.col("hi_bound"), 4).alias("hi_bound"),
+    ).orderBy("event_id")
+
+
 def ann_matryoshka_prefix_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -67,6 +67,16 @@ HEADLINE = [
     "ann_int8_topk",
     "weighted_sample_docs",
     "hard_negatives_contrastive",
+    "pagerank_trade_nations",
+    "cohort_retention",
+    "rollup_incremental_value_quantiles",
+    "interval_coverage_per_user",
+    "event_transition_matrix",
+    "drift_psi_event_values",
+    "shard_docs_by_token_budget",
+    "q5_local_supplier_volume",
+    "weighted_median_price_by_flag",
+    "winsorize_event_values",
 ]
 
 

@@ -268,3 +268,11 @@ def test_band_join_broadcasts_small_side(plans):
     p = plans("band_join_order_tiers")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q5_broadcasts_dimensions(plans):
+    """The 6-way Q5 join must broadcast the small sides (nation,
+    region at minimum) and never fall back to a cartesian."""
+    p = plans("q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 2, p[:800]
+    assert "CartesianProduct" not in p
