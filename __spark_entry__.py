@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_price_by_flag": Q.weighted_median_price_by_flag,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "winsorize_event_values": X.winsorize_event_values,
+        "ivm_join_view_fold": X.ivm_join_view_fold,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -616,6 +617,15 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # join-view IVM: fold over paired insert batches == one-shot
+        "ivm_join_view_fold": """
+            SELECT o.o_orderkey, o.o_custkey AS custkey,
+                   (floor((o.o_totalprice) * 100.0 + 0.5) / 100.0)
+                       AS total_price,
+                   c.c_name, c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey
+        """,
         # winsorization: same exact interpolated percentile + clamp
         "winsorize_event_values": """
             WITH bounds AS (

@@ -1290,6 +1290,41 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ivm_join_view_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance == one-shot join, as a
+    driver-checkable query: orders and customers each arrive in 3
+    insert batches (key mod 3); the orders-x-customer view advances
+    per round by the three delta-sized joins of operators/ivm.py —
+    the full join is never recomputed. The DuckDB twin is the
+    one-shot join over everything, so parity proves the delta algebra
+    loses and duplicates nothing."""
+    from aws_de_final_project_spark.operators import ivm
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = t["customer"].select("c_custkey", "c_name", "c_nationkey")
+    o_b = [
+        orders.filter(F.col("o_orderkey") % 3 == i).withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+        for i in range(3)
+    ]
+    c_b = [
+        cust.filter(F.col("c_custkey") % 3 == i).withColumnRenamed(
+            "c_custkey", "custkey"
+        )
+        for i in range(3)
+    ]
+    view = ivm.fold_join_view(o_b, c_b, ["custkey"])
+    return view.select(
+        "o_orderkey",
+        "custkey",
+        rnd(F.col("o_totalprice"), 2).alias("total_price"),
+        "c_name",
+        "c_nationkey",
+    ).orderBy("o_orderkey")
+
+
 def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization of event values into the [p5, p95]
     exact-percentile envelope (operators/dq.winsorize): one tiny
