@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
+        "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -617,6 +618,20 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # LATERAL correlated subquery: identical text modulo the D
+        # literal suffix Spark needs to keep doubles double
+        "lateral_top_orders_per_customer": """
+            SELECT c.c_custkey, t.o_orderkey,
+                   (floor(t.o_totalprice * 100.0 + 0.5) / 100.0)
+                       AS total_price
+            FROM customer c,
+            LATERAL (
+                SELECT o_orderkey, o_totalprice
+                FROM orders WHERE o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+            ) t
+            ORDER BY c.c_custkey, total_price DESC, t.o_orderkey
+        """,
         # join-view IVM: fold over paired insert batches == one-shot
         "ivm_join_view_fold": """
             SELECT o.o_orderkey, o.o_custkey AS custkey,

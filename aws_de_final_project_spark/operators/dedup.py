@@ -880,3 +880,58 @@ def exact_span_pairs(
         .filter(F.col("max_span_tokens") >= min_span_tokens)
         .select("doc_a", "doc_b", "shared_windows", "max_span_tokens")
     )
+
+
+def tune_lsh_bands(
+    threshold: float,
+    num_hashes: int = 64,
+    min_recall_at_threshold: float = 0.9,
+    max_fp_below: float | None = None,
+    fp_jaccard: float | None = None,
+) -> tuple[int, int]:
+    """Solve the MinHash-LSH S-curve for a banding that hits a recall
+    target: with b bands of r rows, P(candidate | J) = 1-(1-J^r)^b.
+    Returns (bands, rows_per_band) — the divisor pair of
+    ``num_hashes`` with the FEWEST bands (cheapest: candidate volume
+    grows with b) satisfying P(threshold) >= min_recall_at_threshold,
+    optionally also P(fp_jaccard) <= max_fp_below to cap the
+    candidate rate on known-dissimilar pairs.
+
+    Pure closed-form arithmetic (no data pass) — the parameter step
+    every LSH deployment does by hand, made explicit and testable.
+    Raises if no divisor pair satisfies the constraints: the caller
+    must raise ``num_hashes`` (longer signatures sharpen the curve),
+    which beats silently missing the recall target at 100 TB.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if (max_fp_below is None) != (fp_jaccard is None):
+        raise ValueError("max_fp_below and fp_jaccard go together")
+
+    def p_candidate(j: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - j**r) ** b
+
+    feasible = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        if p_candidate(threshold, b, r) < min_recall_at_threshold:
+            continue
+        if max_fp_below is not None and (
+            p_candidate(fp_jaccard, b, r) > max_fp_below
+        ):
+            continue
+        feasible.append((b, r))
+    if not feasible:
+        raise ValueError(
+            f"no (bands, rows) divisor of {num_hashes} meets "
+            f"recall >= {min_recall_at_threshold} at J={threshold}"
+            + (
+                f" with FP <= {max_fp_below} at J={fp_jaccard}"
+                if max_fp_below is not None
+                else ""
+            )
+            + "; raise num_hashes"
+        )
+    return min(feasible)  # fewest bands

@@ -954,6 +954,36 @@ def funnel_user_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+def lateral_top_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 SQL surface): each
+    customer's top-2 orders by price via a per-row dependent subquery
+    with ORDER BY ... LIMIT — the SQL-standard spelling of what the
+    DataFrame API writes as a ranking window. Catalyst decorrelates
+    it into a join + per-key limit; DuckDB runs the identical text.
+    Literals carry the D suffix so the floor-form rounding stays
+    DOUBLE (a bare 100.0 parses as DECIMAL in Spark SQL and would
+    change the output type, not just its value)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               (floor(t.o_totalprice * 100.0D + 0.5D) / 100.0D)
+                   AS total_price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, total_price DESC, t.o_orderkey
+        """
+    )
+
+
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape — local supplier volume: revenue per nation
     from lineitems where the customer and supplier share a nation,

@@ -309,3 +309,25 @@ def test_exact_span_pairs_anchor_guard_drops_boilerplate(spark):
         docs, "text", "doc_id", k=8, min_span_tokens=8, max_anchor_docs=3
     )
     assert tight.count() == 0
+
+
+def test_tune_lsh_bands_s_curve():
+    """Tuner must satisfy its own S-curve bound, prefer fewer bands,
+    enforce divisibility, and refuse infeasible targets loudly."""
+    b, r = dedup.tune_lsh_bands(0.5, num_hashes=64, min_recall_at_threshold=0.9)
+    assert b * r == 64
+    assert 1.0 - (1.0 - 0.5**r) ** b >= 0.9
+    # any feasible banding with fewer bands would have been chosen
+    for b2 in range(1, b):
+        if 64 % b2 == 0:
+            r2 = 64 // b2
+            assert 1.0 - (1.0 - 0.5**r2) ** b2 < 0.9
+    # FP cap makes high-band configs infeasible
+    with pytest.raises(ValueError):
+        dedup.tune_lsh_bands(
+            0.9, num_hashes=4, min_recall_at_threshold=0.99,
+            max_fp_below=0.001, fp_jaccard=0.2,
+        )
+    # tuned banding plugs straight into the operator's contract
+    b3, r3 = dedup.tune_lsh_bands(0.3, num_hashes=64)
+    assert 64 % b3 == 0 and b3 * r3 == 64
