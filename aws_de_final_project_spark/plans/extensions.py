@@ -1501,17 +1501,14 @@ def rollup_incremental_value_quantiles(
             if state is None
             else RM.merge_aggs(state, part, ["event_type"], measures)
         )
-    p50 = RM.hist_quantile(state, ["event_type"], "vhist", kind, 0.5, "_p50")
-    p90 = RM.hist_quantile(state, ["event_type"], "vhist", kind, 0.9, "_p90")
-    return (
-        p50.join(p90, "event_type")
-        .select(
-            "event_type",
-            rnd(F.col("_p50"), 4).alias("p50_value"),
-            rnd(F.col("_p90"), 4).alias("p90_value"),
-        )
-        .orderBy("event_type")
+    both = RM.hist_quantiles(
+        state, ["event_type"], "vhist", kind, {"_p50": 0.5, "_p90": 0.9}
     )
+    return both.select(
+        "event_type",
+        rnd(F.col("_p50"), 4).alias("p50_value"),
+        rnd(F.col("_p90"), 4).alias("p90_value"),
+    ).orderBy("event_type")
 
 
 def pagerank_trade_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
