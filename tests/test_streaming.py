@@ -495,3 +495,58 @@ def test_streaming_registry_dedup_matches_batch_fold(spark, tmp_path):
     # idempotent re-run: same files, fresh checkpoint, kept registry
     again = run("b")
     assert again == got
+
+
+def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Per-micro-batch PSI vs a frozen reference == the batch
+    psi_drift over (reference + that batch): a stable batch scores
+    ~0, a shifted batch scores high, and the streamed metric equals
+    the batch operator's value exactly."""
+    from aws_de_final_project_spark.operators.dq import psi_drift
+    from aws_de_final_project_spark.streaming.dq import (
+        drift_monitor_stream,
+        reference_histogram,
+    )
+
+    schema = "grp string, v double"
+    ref_rows = [("g", float(i % 100)) for i in range(2000)]
+    ref = spark.createDataFrame(ref_rows, schema)
+    reference_histogram(ref, "v", "grp", 0.0, 160.0, 16,
+                        str(tmp_path / "ref"))
+
+    batches = [
+        [("g", float(i % 100)) for i in range(500)],          # stable
+        [("g", float(i % 100) + 60.0) for i in range(500)],   # shifted
+    ]
+    src = tmp_path / "src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+
+    q = drift_monitor_stream(
+        spark, str(src) + "/*", schema,
+        str(tmp_path / "ref"), str(tmp_path / "metrics"),
+        str(tmp_path / "chk"), "v", "grp", 0.0, 160.0, 16,
+    )
+    q.awaitTermination()
+    got = {
+        r.batch_id: r.psi
+        for r in spark.read.parquet(str(tmp_path / "metrics")).collect()
+    }
+    assert len(got) == 2
+    assert min(got.values()) < 0.01       # the stable batch
+    assert max(got.values()) > 0.25       # the shifted batch
+
+    # exact agreement with the batch operator per (reference, batch)
+    for i, rows in enumerate(batches):
+        both = ref.withColumn("cur", F.lit(False)).unionByName(
+            spark.createDataFrame(rows, schema).withColumn(
+                "cur", F.lit(True)
+            )
+        )
+        want = psi_drift(
+            both, "v", F.col("cur"), "grp", lo=0.0, hi=160.0, n_bins=16
+        ).collect()[0].psi
+        # streamed batch order == file order (b0, b1)
+        assert got[i] == want, (i, got[i], want)
