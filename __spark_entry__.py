@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
+        "mad_outlier_orders": X.mad_outlier_orders,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -618,6 +619,33 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
+        # MAD outliers: exact medians + consistency-scaled MAD
+        "mad_outlier_orders": """
+            WITH med AS (
+                SELECT o_orderstatus,
+                       quantile_cont(o_totalprice, 0.5) AS m
+                FROM orders GROUP BY o_orderstatus
+            ),
+            mad AS (
+                SELECT o.o_orderstatus,
+                       quantile_cont(abs(o.o_totalprice - med.m), 0.5)
+                           AS rawmad
+                FROM orders o JOIN med USING (o_orderstatus)
+                GROUP BY o.o_orderstatus
+            )
+            SELECT o.o_orderkey, o.o_orderstatus,
+                   (floor((o.o_totalprice) * 100.0 + 0.5) / 100.0)
+                       AS total_price,
+                   (floor((med.m) * 100.0 + 0.5) / 100.0) AS group_median,
+                   (floor((mad.rawmad * 1.4826) * 100.0 + 0.5) / 100.0)
+                       AS mad
+            FROM orders o
+            JOIN med USING (o_orderstatus)
+            JOIN mad USING (o_orderstatus)
+            WHERE abs(o.o_totalprice - med.m)
+                  > 3.0 * mad.rawmad * 1.4826
+            ORDER BY o.o_orderkey
+        """,
         # LATERAL correlated subquery: identical text modulo the D
         # literal suffix Spark needs to keep doubles double
         "lateral_top_orders_per_customer": """

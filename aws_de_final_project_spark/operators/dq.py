@@ -252,3 +252,53 @@ def winsorize(
         .withColumnRenamed("_lo", "lo_bound")
         .withColumnRenamed("_hi", "hi_bound")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier flags per group: |x - median| > k * MAD, with
+    MAD = median(|x - median|) scaled by the normal-consistency
+    constant 1.4826 — the standard robust alternative to z-scores
+    (mean/stddev move with the very outliers they're meant to catch;
+    median/MAD have a 50% breakdown point).
+
+    Two exact-percentile aggregates (group medians, then MAD over the
+    residuals — the second one needs the first, so two passes is the
+    honest minimum), each broadcast back; the flag itself is a
+    scan-stage comparison. Output: input keys + value, group median,
+    mad, is_outlier. Zero-MAD groups (>= half the values identical)
+    flag only exact deviants from the median.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("_med")), F.lit(0.5)
+            ).alias("_rawmad")
+        )
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .select(
+            *df.columns,
+            F.col("_med").alias("group_median"),
+            (F.col("_rawmad") * F.lit(float(consistency))).alias("mad"),
+            (
+                F.abs(F.col(value_col) - F.col("_med"))
+                > F.lit(float(k))
+                * F.col("_rawmad")
+                * F.lit(float(consistency))
+            ).alias("is_outlier"),
+        )
+    )

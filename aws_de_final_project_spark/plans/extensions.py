@@ -1290,6 +1290,30 @@ def quality_topq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-status outlier flags on order totals
+    (operators/dq.mad_outliers): |x - median| > 3 * 1.4826 * MAD —
+    the monitor that doesn't move with the outliers it hunts. Two
+    exact-percentile aggregates broadcast back; flag is scan-stage."""
+    from aws_de_final_project_spark.operators.dq import mad_outliers
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = mad_outliers(o, "o_totalprice", "o_orderstatus", k=3.0)
+    return (
+        out.filter(F.col("is_outlier"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            rnd(F.col("o_totalprice"), 2).alias("total_price"),
+            rnd(F.col("group_median"), 2).alias("group_median"),
+            rnd(F.col("mad"), 2).alias("mad"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def ivm_join_view_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance == one-shot join, as a
     driver-checkable query: orders and customers each arrive in 3

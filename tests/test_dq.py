@@ -107,3 +107,21 @@ def test_psi_drift_detects_planted_shift(spark):
 
     with _pt.raises(ValueError):
         psi_drift(df, "v", F.col("cur"), "grp", lo=1.0, hi=1.0)
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    """A single extreme point must be flagged WITHOUT dragging the
+    estimate (the failure mode of mean/stddev z-scores): median and
+    MAD stay at the bulk's values."""
+    from aws_de_final_project_spark.operators.dq import mad_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, "v", "grp", k=3.0).collect()
+    flagged = {r.v for r in out if r.is_outlier}
+    assert flagged == {1000.0}
+    assert out[0].group_median == 12.5  # bulk median, not dragged
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mad_outliers(df, "v", "grp", k=0)
