@@ -619,7 +619,8 @@ def oracle_sql() -> dict[str, str]:
         "pca_embedding_projection": _pca_oracle_sql(64, 8),
         # weighted PageRank: identical fixed iterations (unrolled)
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
-        # MAD outliers: exact medians + consistency-scaled MAD
+        # MAD outliers: exact medians + consistency-scaled MAD,
+        # monitor-shaped per-group summary
         "mad_outlier_orders": """
             WITH med AS (
                 SELECT o_orderstatus,
@@ -633,18 +634,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders o JOIN med USING (o_orderstatus)
                 GROUP BY o.o_orderstatus
             )
-            SELECT o.o_orderkey, o.o_orderstatus,
-                   (floor((o.o_totalprice) * 100.0 + 0.5) / 100.0)
-                       AS total_price,
-                   (floor((med.m) * 100.0 + 0.5) / 100.0) AS group_median,
-                   (floor((mad.rawmad * 1.4826) * 100.0 + 0.5) / 100.0)
-                       AS mad
+            SELECT o.o_orderstatus,
+                   count(*) AS n_orders,
+                   sum(CASE WHEN abs(o.o_totalprice - med.m)
+                                 > 3.0 * mad.rawmad * 1.4826
+                            THEN 1 ELSE 0 END) AS n_outliers,
+                   (floor((max(med.m)) * 100.0 + 0.5) / 100.0)
+                       AS group_median,
+                   (floor((max(mad.rawmad * 1.4826)) * 100.0 + 0.5)
+                    / 100.0) AS mad,
+                   (floor((max(abs(o.o_totalprice - med.m)
+                               / (mad.rawmad * 1.4826)))
+                          * 10000.0 + 0.5) / 10000.0) AS max_mad_ratio
             FROM orders o
             JOIN med USING (o_orderstatus)
             JOIN mad USING (o_orderstatus)
-            WHERE abs(o.o_totalprice - med.m)
-                  > 3.0 * mad.rawmad * 1.4826
-            ORDER BY o.o_orderkey
+            GROUP BY o.o_orderstatus
+            ORDER BY o.o_orderstatus
         """,
         # LATERAL correlated subquery: identical text modulo the D
         # literal suffix Spark needs to keep doubles double

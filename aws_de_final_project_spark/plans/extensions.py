@@ -1301,16 +1301,25 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     out = mad_outliers(o, "o_totalprice", "o_orderstatus", k=3.0)
+    # monitor-shaped summary: one row per group whether or not any
+    # value breaches (TPC-H's bounded-uniform prices legitimately
+    # have zero 3-MAD outliers — a per-row listing would be empty)
     return (
-        out.filter(F.col("is_outlier"))
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            rnd(F.col("o_totalprice"), 2).alias("total_price"),
-            rnd(F.col("group_median"), 2).alias("group_median"),
-            rnd(F.col("mad"), 2).alias("mad"),
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            rnd(F.max("group_median"), 2).alias("group_median"),
+            rnd(F.max("mad"), 2).alias("mad"),
+            rnd(
+                F.max(
+                    F.abs(F.col("o_totalprice") - F.col("group_median"))
+                    / F.col("mad")
+                ),
+                4,
+            ).alias("max_mad_ratio"),
         )
-        .orderBy("o_orderkey")
+        .orderBy("o_orderstatus")
     )
 
 
