@@ -27,6 +27,11 @@ X10_DIR = "/tmp/scale_probe_x10"
 
 QUERIES = [
     "hourly_event_stats",
+    # round-5 event-family additions: per-user windows (coverage),
+    # lead windows (transitions), and double-aggregate cohorts
+    "interval_coverage_per_user",
+    "event_transition_matrix",
+    "cohort_retention",
     "user_sessions",
     "latest_event_per_user",
     "json_extract_events",
