@@ -77,6 +77,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "weighted_median_price_by_flag",
     "winsorize_event_values",
+    "ann_matryoshka_prefix_recall",
+    "ivm_join_view_fold",
+    "lateral_top_orders_per_customer",
+    "mad_outlier_orders",
 ]
 
 

@@ -207,6 +207,7 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         "ann_cosine_topk_vec",
         "ann_int8_topk",
         "hard_negatives_contrastive",
+        "ann_matryoshka_prefix_recall",  # two exact-rank scans
     }
     for name in bench.HEADLINE:
         p = plans(name)
