@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
         "mad_outlier_orders": X.mad_outlier_orders,
+        "dedup_prefix_filter_pairs": X.dedup_prefix_filter_pairs,
+        "scd2_user_event_type": Q.scd2_user_event_type,
+        "heavy_hitter_tokens": X.heavy_hitter_tokens,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -621,6 +624,48 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # MAD outliers: exact medians + consistency-scaled MAD,
         # monitor-shaped per-group summary
+        # Brute-force GROUP BY/HAVING twin of the two-pass Misra-Gries
+        # plan: equality proves the candidate superset + exact recount.
+        "heavy_hitter_tokens": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_NORM.format(c='text')}, ' '))
+                           AS token
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT token, count(*) AS cnt
+            FROM toks, tot
+            GROUP BY token, tot.n
+            HAVING CAST(count(*) AS double) > 0.005 * tot.n
+            ORDER BY cnt DESC, token
+        """,
+        "scd2_user_event_type": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_ts
+                FROM events
+            ),
+            changes AS (
+                SELECT user_id, event_type, ts AS valid_from, event_id
+                FROM ordered
+                WHERE prev_ts IS NULL
+                   OR event_type IS DISTINCT FROM prev_type
+            )
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from, event_id
+                   ) AS valid_to,
+                   (lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from, event_id
+                   ) IS NULL) AS is_current
+            FROM changes
+            ORDER BY user_id, valid_from
+        """,
         "mad_outlier_orders": """
             WITH med AS (
                 SELECT o_orderstatus,
@@ -1585,6 +1630,36 @@ def oracle_sql() -> dict[str, str]:
                                 - len(list_intersect(a.words, b.words)) AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
                 FROM w a JOIN w b
                   ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM pairs
+            WHERE jaccard >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        # Quadratic brute-force twin of the sub-quadratic prefix-filter
+        # join (word-3-gram shingles, corpus-wide — no lang blocking):
+        # output equality (rows+hash) proves the candidate scheme is
+        # lossless, which is the operator's whole contract.
+        "dedup_prefix_filter_pairs": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 2, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 2, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       (floor((CAST(len(list_intersect(a.sh, b.sh)) AS double) /
+                           CAST(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)) AS double)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+                FROM s a JOIN s b
+                  ON a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b, jaccard FROM pairs
             WHERE jaccard >= 0.5

@@ -297,3 +297,79 @@ def curate_corpus(
         clean, out_dir, id_col, text_col, budget=shard_budget
     )
     return {"stages": stage_counts, "manifest": manifest}
+
+
+def heavy_hitter_keys(
+    df: DataFrame,
+    key_col: str,
+    support: float,
+    n_counters: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters — every key with ``count > support * N`` —
+    in two scans and **no full-key shuffle** (Misra-Gries partial
+    summaries, Agarwal et al. "Mergeable Summaries", PODS'12).
+
+    The naive plan (``groupBy(key).count().filter(...)``) shuffles one
+    row per *distinct key*. Over 100 TB of tokens/URLs/fingerprints
+    that key cardinality is billions — the shuffle dwarfs the answer
+    (a handful of frequent keys). Two-pass shape instead:
+
+    1. **Candidates**: each partition keeps a Misra-Gries summary of
+       ``k = n_counters`` counters (vectorized per Arrow batch:
+       exact ``value_counts`` merged into the summary, pruned by
+       subtracting the (k+1)-th largest count). Guarantee: a key with
+       global count ``> N/k`` survives in at least one partition's
+       summary (local undercount is ``<= n_p/k``; the deficits sum to
+       ``<= N/k < count``), so with ``k >= 1/support`` the union of
+       partition summaries is a *superset* of every answer key. Output
+       is ``<= k`` keys per partition — tiny.
+    2. **Exact recount**: broadcast-semi-join the candidates back and
+       aggregate only matching rows. Map-side partial aggregation
+       collapses each partition to ``<= k`` rows pre-shuffle, so the
+       shuffle is O(k * partitions), independent of key cardinality.
+       The final ``count > support * N`` filter discards superset
+       noise — the output is exactly the brute-force answer.
+
+    NULL keys are excluded (SQL GROUP BY would keep them; a heavy
+    NULL is a data-quality signal, not a heavy hitter — count them
+    with a DQ check instead). Returns ``(key_col, cnt)``.
+    """
+    if not (0.0 < support < 1.0):
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    k = n_counters if n_counters is not None else int(2.0 / support) + 1
+    if k < int(1.0 / support):
+        raise ValueError(
+            f"n_counters={k} breaks the superset guarantee for "
+            f"support={support} (need >= {int(1.0 / support)})"
+        )
+    key_type = dict(df.dtypes)[key_col]
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            s = pdf[key_col].value_counts()  # exact, NaN dropped
+            acc = s if acc is None else acc.add(s, fill_value=0)
+            if len(acc) > k:
+                cut = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame({key_col: acc.index})
+
+    keyed = spread(df.select(key_col).where(F.col(key_col).isNotNull()))
+    cands = keyed.mapInPandas(
+        mg_partition, schema=f"{key_col} {key_type}"
+    ).distinct()
+    counts = (
+        keyed.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt").cast("double") > F.lit(support) * F.col("_n"))
+        .drop("_n")
+    )

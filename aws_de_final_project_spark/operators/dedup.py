@@ -935,3 +935,128 @@ def tune_lsh_bands(
             + "; raise num_hashes"
         )
     return min(feasible)  # fewest bands
+
+
+def _prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (``_id``, ``_id_b``) pairs for the prefix-filter join
+    over a ``(_id, _words)`` set frame — the part whose size IS the
+    operator's scale claim, exposed so tests can measure it against
+    n(n-1)/2 directly.
+
+    Global token document-frequency gives the total order (ties broken
+    by the token string, so the order is deterministic across runs and
+    partitionings); each set keeps its ``|x| - ceil(t*|x|) + 1``
+    rarest tokens; candidates are the prefix equi-join on the token,
+    pruned by the size condition before the distinct.
+    """
+    sized = sets.select("_id", "_words", F.size("_words").alias("_sz"))
+    tok_df = (
+        sized.select(F.explode("_words").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_dfreq"))
+    )
+    # ceil(t*|x|) computed with a tiny downward nudge: if t*|x| is an
+    # exact integer that float rounding pushed to 3.0000000000000004,
+    # a naive ceil SHRINKS the prefix and silently drops pairs. The
+    # nudge can only lengthen the prefix (more candidates, never
+    # fewer) - correctness is one-sided.
+    alpha = F.ceil(F.col("_sz") * F.lit(threshold) - F.lit(1e-9))
+    plen = F.greatest(F.col("_sz") - alpha + 1, F.lit(1)).cast("int")
+    prefixes = (
+        sized.select("_id", "_sz", F.explode("_words").alias("_tok"))
+        .join(tok_df, "_tok")
+        .groupBy("_id", "_sz")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_dfreq", "_tok"))
+            ).alias("_ord")
+        )
+        .select(
+            "_id",
+            "_sz",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_ord"), F.lit(1), plen),
+                    lambda s: s["_tok"],
+                )
+            ).alias("_tok"),
+        )
+    )
+    right = prefixes.select(
+        F.col("_id").alias("_id_b"),
+        F.col("_sz").alias("_sz_b"),
+        "_tok",
+    )
+    return (
+        prefixes.join(right, "_tok")
+        .where(
+            (F.col("_id") < F.col("_id_b"))
+            & (
+                F.least("_sz", "_sz_b").cast("double")
+                >= F.lit(threshold) * F.greatest("_sz", "_sz_b")
+            )
+        )
+        .select("_id", "_id_b")
+        .distinct()
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin candidate scheme — Bayardo et al., WWW'07;
+    Chaudhuri et al., ICDE'06): all pairs (a < b) with word-shingle
+    Jaccard >= ``threshold``, with NO quadratic step and NO
+    probabilistic misses.
+
+    This is the third leg of the near-dup family:
+    :func:`jaccard_pairs` is the quadratic ground truth,
+    :func:`minhash_lsh_pairs` trades recall for speed — this one is
+    exact AND sub-quadratic. Scheme:
+
+    1. order the token universe by ascending document frequency
+       (rarest first) — one aggregate over exploded tokens;
+    2. each set keeps only its PREFIX under that order:
+       ``p = |x| - ceil(t*|x|) + 1`` tokens. Theorem: any pair with
+       ``J >= t`` must share at least one token inside both prefixes
+       (a qualifying pair overlaps in ``>= ceil(t*max(|a|,|b|))``
+       elements, and dropping the ``|x| - p`` suffix elements cannot
+       consume the whole overlap);
+    3. candidates = equi-join of the exploded prefixes on the token,
+       pruned by the size condition ``least(|a|,|b|) >=
+       t*greatest(|a|,|b|)`` BEFORE the distinct;
+    4. exact Jaccard verify on candidates only (sets re-attached by
+       id — the candidate shuffle moves id pairs, not token arrays).
+
+    100 TB posture: the prefix prefers globally RARE tokens, so the
+    equi-join key distribution is anti-skewed by construction —
+    frequent tokens (the skew risk) are precisely the ones pushed out
+    of prefixes. Candidate volume scales with the true near-dup count,
+    not n^2. All shuffles are key-partitioned aggregates/joins.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = _shingle_sets(df, text_col, id_col, ngram)
+    cand = _prefix_filter_candidates(sets, threshold)
+    b_sets = sets.select(
+        F.col("_id").alias("_id_b"), F.col("_words").alias("_words_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_words"), F.col("_words_b")))
+    union = F.size(F.col("_words")) + F.size(F.col("_words_b")) - inter
+    return (
+        cand.join(sets, "_id")
+        .join(b_sets, "_id_b")
+        .select(
+            F.col("_id").alias("doc_a"),
+            F.col("_id_b").alias("doc_b"),
+            rnd(inter.cast("double") / union.cast("double"), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,81 @@
+"""Slowly-changing-dimension (type 2) builder.
+
+The reference's raw zone accumulates re-sent versions of the same row
+whenever Socrata bumps ``updated_on`` (``Additional_Data_Function/
+get_data_api.py:10-13``) and never reconciles them; its views always
+read the latest state. SCD2 is the standard warehouse answer the
+reference skipped: turn a change log into validity intervals so any
+point-in-time state is queryable (the batch complement of
+``streaming/upsert.py``'s last-writer-wins MERGE).
+
+Scale design: two ranking windows per key partition (lag to collapse
+no-op updates, lead to close intervals) — shuffle once on the entity
+key, everything else stays within the partition. No global windows,
+no driver state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Change log -> SCD2 dimension rows.
+
+    Each input row is an observation ``(key, attrs, ts)``. Output is
+    one row per *state run*: consecutive observations (in ``(ts,
+    tie)`` order per key) with identical ``attr_cols`` collapse into
+    one interval ``[valid_from, valid_to)``; the open interval has
+    ``valid_to IS NULL`` and ``is_current = true``.
+
+    ``tie_col`` makes the ordering total when timestamps collide
+    (re-delivered batches share timestamps routinely), so the output
+    is deterministic across engines and partitionings. Attribute
+    comparison is null-safe: NULL -> NULL is *no change*, NULL -> x
+    and x -> NULL are changes.
+    """
+    attrs = list(attr_cols)
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    cur = F.struct(*[F.col(c) for c in attrs])
+    changed = (
+        df.withColumn("_prev", F.lag(cur).over(w))
+        .where(F.col("_prev").isNull() | ~cur.eqNullSafe(F.col("_prev")))
+        .select(
+            key_col,
+            *attrs,
+            F.col(ts_col).alias("valid_from"),
+            F.col(tie_col).alias("_tie"),
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "_tie")
+    return changed.select(
+        key_col,
+        *attrs,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_point_in_time(
+    dim: DataFrame, ts, key_col: str = None
+) -> DataFrame:
+    """State of an SCD2 dimension as of instant ``ts``: the rows whose
+    interval covers it (``valid_from <= ts < coalesce(valid_to, inf)``).
+    A plain filter — partition pruning applies if the dimension is
+    written partitioned on a ``valid_from`` date derivative."""
+    t = F.lit(ts)
+    return dim.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

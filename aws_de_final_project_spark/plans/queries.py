@@ -1193,3 +1193,18 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from the events change log: per-user
+    ``event_type`` state runs with ``[valid_from, valid_to)``
+    intervals and an ``is_current`` flag (see
+    ``operators/scd.py`` — the point-in-time answer to the
+    reference's re-sent-row accumulation, SURVEY.md §2.10). One
+    shuffle on user_id; both windows run inside that partition."""
+    from aws_de_final_project_spark.operators.scd import scd2_from_changelog
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return scd2_from_changelog(
+        t["events"], "user_id", ["event_type"], "ts", "event_id"
+    ).orderBy("user_id", "valid_from")

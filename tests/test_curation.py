@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aws_de_final_project_spark.operators import curation
+from aws_de_final_project_spark.functions import text as TX
+import pytest
 
 
 def _docs(spark, rows):
@@ -201,3 +203,48 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert 101 not in ids and 100 not in ids and 102 not in ids
     assert sum(s["n_docs"] for s in out["manifest"]["shards"]) == len(ids)
+
+
+def test_heavy_hitters_match_brute_force(spark):
+    """Two-pass MG == groupBy/filter exactly, at two supports, and
+    with n_counters forced to the guarantee floor (the tightest k
+    where the superset theorem still holds)."""
+    from aws_de_final_project_spark.operators.curation import heavy_hitter_keys
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    toks = t["documents"].select(
+        F.explode(F.split(TX.normalized_text("text"), " ")).alias("token")
+    )
+    n = toks.count()
+    for support, k in ((0.003, None), (0.01, 101), (0.02, 51)):
+        got = {
+            (r["token"], r["cnt"])
+            for r in heavy_hitter_keys(
+                toks, "token", support, n_counters=k
+            ).collect()
+        }
+        want = {
+            (r["token"], r["cnt"])
+            for r in toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > support * n)
+            .collect()
+        }
+        assert got == want, f"support={support} k={k}"
+        assert got, f"support={support}: fixture should have stopword hitters"
+
+
+def test_heavy_hitters_null_keys_and_validation(spark):
+    from aws_de_final_project_spark.operators.curation import heavy_hitter_keys
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [(None,)] * 10, "k string"
+    )
+    out = heavy_hitter_keys(df, "k", support=0.5).collect()
+    # N counts non-null rows only (8); a@6 > 4 qualifies, b@2 does not
+    assert [(r["k"], r["cnt"]) for r in out] == [("a", 6)]
+    with pytest.raises(ValueError):
+        heavy_hitter_keys(df, "k", support=1.5)
+    with pytest.raises(ValueError):
+        heavy_hitter_keys(df, "k", support=0.01, n_counters=10)

@@ -331,3 +331,63 @@ def test_tune_lsh_bands_s_curve():
     # tuned banding plugs straight into the operator's contract
     b3, r3 = dedup.tune_lsh_bands(0.3, num_hashes=64)
     assert 64 % b3 == 0 and b3 * r3 == 64
+
+
+def test_prefix_filter_matches_quadratic_join(spark):
+    """Prefix filtering is EXACT: at several thresholds the output
+    equals the brute-force quadratic Jaccard join, and the plan has
+    no cartesian/nested-loop stage (candidates come from the
+    rare-token prefix equi-join)."""
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    docs = t["documents"]
+    for thr, ng in ((0.3, 3), (0.5, 3), (0.8, 3), (1.0, 3), (0.5, 1)):
+        fast = dedup.prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", threshold=thr, ngram=ng
+        )
+        slow = dedup.jaccard_pairs(
+            docs, "text", "doc_id", threshold=thr, ngram=ng
+        )
+        got = {tuple(r) for r in fast.collect()}
+        want = {tuple(r) for r in slow.collect()}
+        assert got == want, (
+            f"threshold={thr} ngram={ng}: prefix filter lost/added pairs"
+        )
+    plan = (
+        dedup.prefix_filter_jaccard_pairs(docs, "text", "doc_id", 0.5, ngram=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_candidate_pruning(spark):
+    """The pre-verify candidate set must be a small fraction of
+    n(n-1)/2 — the operator's whole scale claim, measured directly
+    on the exposed candidate stage."""
+    from aws_de_final_project_spark.operators.dedup import (
+        _prefix_filter_candidates,
+        _shingle_sets,
+    )
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    docs = t["documents"]
+    n = docs.count()
+    sets = _shingle_sets(docs, "text", "doc_id", 3)
+    n_cand = _prefix_filter_candidates(sets, 0.5).count()
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs * 0.02, (
+        f"candidates {n_cand} vs all pairs {all_pairs}: prefix not pruning"
+    )
+
+
+def test_prefix_filter_threshold_validation(spark):
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    with pytest.raises(ValueError):
+        dedup.prefix_filter_jaccard_pairs(t["documents"], "text", "doc_id", 0.0)

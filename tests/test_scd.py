@@ -1,0 +1,80 @@
+"""SCD2 changelog builder: run collapse, null-safe change detection,
+timestamp tie-breaks, interval chaining, point-in-time lookup."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators.scd import (
+    scd2_from_changelog,
+    scd2_point_in_time,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _log(spark):
+    rows = [
+        # entity 1: A, A (no-op), B, B (no-op), A again -> 3 runs
+        (1, "A", _ts("2026-01-01T00:00:00"), 1),
+        (1, "A", _ts("2026-01-02T00:00:00"), 2),
+        (1, "B", _ts("2026-01-03T00:00:00"), 3),
+        (1, "B", _ts("2026-01-04T00:00:00"), 4),
+        (1, "A", _ts("2026-01-05T00:00:00"), 5),
+        # entity 2: NULL -> NULL is no change; NULL -> X is a change
+        (2, None, _ts("2026-01-01T00:00:00"), 6),
+        (2, None, _ts("2026-01-02T00:00:00"), 7),
+        (2, "X", _ts("2026-01-03T00:00:00"), 8),
+        # entity 3: same-timestamp collision ordered by the tie column
+        (3, "P", _ts("2026-01-01T00:00:00"), 9),
+        (3, "Q", _ts("2026-01-01T00:00:00"), 10),
+    ]
+    return spark.createDataFrame(
+        rows, "key int, attr string, ts timestamp, seq int"
+    )
+
+
+def test_scd2_runs_and_intervals(spark):
+    out = scd2_from_changelog(_log(spark), "key", ["attr"], "ts", "seq")
+    rows = sorted(
+        [
+            (r["key"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()
+        ],
+        key=lambda r: (r[0], r[2], r[1] or ""),
+    )
+    e1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[4]) for r in e1] == [("A", False), ("B", False), ("A", True)]
+    # intervals chain with no gaps: each valid_to == next valid_from
+    assert e1[0][3] == e1[1][2] and e1[1][3] == e1[2][2]
+    e2 = [r for r in rows if r[0] == 2]
+    assert [(r[1], r[4]) for r in e2] == [(None, False), ("X", True)]
+    assert e2[0][2] == _ts("2026-01-01T00:00:00")  # first NULL opens the run
+    e3 = [r for r in rows if r[0] == 3]
+    # tie broken by seq: P first (closed instantly), Q current
+    assert [(r[1], r[4]) for r in e3] == [("P", False), ("Q", True)]
+
+
+def test_scd2_point_in_time(spark):
+    dim = scd2_from_changelog(_log(spark), "key", ["attr"], "ts", "seq")
+    at = scd2_point_in_time(dim, _ts("2026-01-03T12:00:00"))
+    state = {r["key"]: r["attr"] for r in at.collect()}
+    assert state == {1: "B", 2: "X", 3: "Q"}
+    # before any observation: empty state
+    assert scd2_point_in_time(dim, _ts("2025-12-31T00:00:00")).count() == 0
+
+
+def test_scd2_one_shuffle_on_entity_key(spark):
+    """Both windows must share the user partition — exactly one
+    Exchange in the plan (plus the scan)."""
+    plan = (
+        scd2_from_changelog(_log(spark), "key", ["attr"], "ts", "seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
