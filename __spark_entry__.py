@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter_pairs": X.dedup_prefix_filter_pairs,
         "scd2_user_event_type": Q.scd2_user_event_type,
         "heavy_hitter_tokens": X.heavy_hitter_tokens,
+        "triangle_parts_copurchase": X.triangle_parts_copurchase,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -624,6 +625,35 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # MAD outliers: exact medians + consistency-scaled MAD,
         # monitor-shaped per-group summary
+        # Direct three-way edge join twin of the degree-ordered
+        # triangle enumeration: e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z) with
+        # x<y<z lists each triangle exactly once.
+        "triangle_parts_copurchase": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+                SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            nodes AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node AS part_id, count(*) AS n_triangles
+            FROM nodes
+            GROUP BY node
+            ORDER BY n_triangles DESC, part_id
+        """,
         # Brute-force GROUP BY/HAVING twin of the two-pass Misra-Gries
         # plan: equality proves the candidate superset + exact recount.
         "heavy_hitter_tokens": f"""

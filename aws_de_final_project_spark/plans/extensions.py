@@ -1673,3 +1673,31 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.heavy_hitter_keys(
         toks, "token", support=0.005
     ).orderBy(F.desc("cnt"), "token")
+
+
+def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    (parts bought together in at least one order), via degree-ordered
+    triangle enumeration (operators/graphrank.triangle_counts). The
+    orientation bounds wedge volume by m*sqrt(2m) no matter how
+    skewed part popularity gets — the hub-part blowup the naive
+    wedge join would hit. Oracle: the direct three-way edge join."""
+    from aws_de_final_project_spark.operators import graphrank
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    lj = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk2")
+    )
+    edges = li.join(
+        lj,
+        (F.col("l_orderkey") == F.col("_ok"))
+        & (F.col("l_partkey") < F.col("_pk2")),
+    ).select(
+        F.col("l_partkey").alias("src"), F.col("_pk2").alias("dst")
+    )
+    return (
+        graphrank.triangle_counts(edges, "src", "dst")
+        .select(F.col("node").alias("part_id"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "part_id")
+    )

@@ -112,3 +112,37 @@ def test_iter_impl_equivalence(spark):
 
     with _pt.raises(ValueError):
         pagerank(nodes, edges, iter_impl="nope")
+
+
+def test_triangle_counts_hand_graphs(spark):
+    from aws_de_final_project_spark.operators.graphrank import triangle_counts
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src int, dst int")
+        return {
+            (r["node"], r["n_triangles"])
+            for r in triangle_counts(df, "src", "dst").collect()
+        }
+
+    # K4: 4 triangles, every node in 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert run(k4) == {(0, 3), (1, 3), (2, 3), (3, 3)}
+    # path graph: no triangles
+    assert run([(0, 1), (1, 2), (2, 3)]) == set()
+    # two triangles sharing edge (1,2): shared nodes in 2 each
+    both = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert run(both) == {(0, 1), (3, 1), (1, 2), (2, 2)}
+    # duplicates / reversed copies / self-loops canonicalize away
+    noisy = both + [(1, 0), (2, 1), (1, 1), (0, 1)]
+    assert run(noisy) == run(both)
+
+
+def test_triangle_counts_star_hub_no_blowup(spark):
+    """A pure star (one hub, many leaves) has zero triangles, and the
+    degree orientation points every edge INTO the hub — the oriented
+    wedge join generates no hub-centered wedges at all."""
+    from aws_de_final_project_spark.operators.graphrank import triangle_counts
+
+    star = [(0, i) for i in range(1, 60)]
+    df = spark.createDataFrame(star, "src int, dst int")
+    assert triangle_counts(df, "src", "dst").count() == 0
