@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_event_type": Q.scd2_user_event_type,
         "heavy_hitter_tokens": X.heavy_hitter_tokens,
         "triangle_parts_copurchase": X.triangle_parts_copurchase,
+        "bm25_doc_scores": X.bm25_doc_scores,
+        "seasonal_hourly_outliers": Q.seasonal_hourly_outliers,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -625,6 +627,75 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # MAD outliers: exact medians + consistency-scaled MAD,
         # monitor-shaped per-group summary
+        # BM25 with Lucene's +1 IDF; same floor-form rounding, <= 3
+        # terms summed per doc so float order risk is minimal.
+        "bm25_doc_scores": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split({_NORM.format(c='text')}, ' '))
+                           AS token
+                FROM documents
+            ),
+            dlen AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks
+                WHERE token IN ('data', 'model', 'system')
+                GROUP BY doc_id, token
+            ),
+            idf AS (
+                SELECT token,
+                       ln((stats.n - count(*) + 0.5)
+                          / (count(*) + 0.5) + 1.0) AS idf
+                FROM tf, stats
+                GROUP BY token, stats.n
+            )
+            SELECT tf.doc_id,
+                   (floor(sum(
+                       idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl
+                                                  / stats.avgdl))
+                   ) * 10000.0 + 0.5) / 10000.0) AS bm25
+            FROM tf
+            JOIN idf USING (token)
+            JOIN dlen USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, tf.doc_id
+        """,
+        # Seasonal mean/sd baseline per (event_type, hour-of-day) +
+        # 3-sigma exceedance counts; hour() over NTZ is zone-free.
+        "seasonal_hourly_outliers": """
+            WITH cells AS (
+                SELECT event_type, hour(ts) AS hour_of_day, value
+                FROM events
+            ),
+            base AS (
+                SELECT event_type, hour_of_day,
+                       avg(value) AS mu,
+                       stddev_samp(value) AS sd,
+                       count(*) AS n_obs
+                FROM cells
+                GROUP BY event_type, hour_of_day
+            )
+            SELECT c.event_type, c.hour_of_day,
+                   max(b.n_obs) AS n_obs,
+                   (floor(max(b.mu) * 10000.0 + 0.5) / 10000.0)
+                       AS baseline_mean,
+                   (floor(max(b.sd) * 10000.0 + 0.5) / 10000.0)
+                       AS baseline_sd,
+                   sum(CASE WHEN abs(c.value - b.mu) > 3.0 * b.sd
+                            THEN 1 ELSE 0 END) AS n_outliers
+            FROM cells c
+            JOIN base b USING (event_type, hour_of_day)
+            GROUP BY c.event_type, c.hour_of_day
+            ORDER BY c.event_type, c.hour_of_day
+        """,
         # Direct three-way edge join twin of the degree-ordered
         # triangle enumeration: e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z) with
         # x<y<z lists each triangle exactly once.

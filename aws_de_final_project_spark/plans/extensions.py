@@ -1701,3 +1701,65 @@ def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part_id"), "n_triangles")
         .orderBy(F.desc("n_triangles"), "part_id")
     )
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of documents for a fixed query (Robertson-Sparck
+    Jones weighting, Lucene's +1 IDF so weights stay positive;
+    k1=1.2, b=0.75). The retrieval-side twin of tfidf_top_terms:
+    term frequencies come from ONE scan-side filter (the query terms
+    are a literal isin list, so the corpus never shuffles on tokens),
+    document frequencies and the average doc length are tiny
+    aggregates broadcast back. Score sums <= |query| terms per doc."""
+    k1, b = 1.2, 0.75
+    terms = ["data", "model", "system"]
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.split(TX.normalized_text("text"), " ")
+        ).alias("token"),
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    qtoks = toks.where(F.col("token").isin(terms))
+    tf = qtoks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5)
+                + 1.0
+            ).alias("_idf"),
+            "_avgdl",
+        )
+    )
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .join(dlen, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("_idf")
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(rnd(F.sum("_s"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+    )

@@ -1208,3 +1208,41 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_changelog(
         t["events"], "user_id", ["event_type"], "ts", "event_id"
     ).orderBy("user_id", "valid_from")
+
+
+def seasonal_hourly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline monitoring: per (event_type, hour-of-day)
+    cell, the mean/stddev baseline and how many observations sit
+    more than 3 sigma from it — the simplest seasonality-aware
+    outlier screen (a flat global threshold would flag every nightly
+    peak). One hash aggregate builds the baseline, a broadcast join
+    re-attaches it, a second aggregate counts exceedances; the fact
+    table is scanned twice but never shuffled on anything wider than
+    the 24*|event_type| cell key. hour() over TIMESTAMP_NTZ is
+    session-zone-independent (see functions/numeric.epoch_us notes)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    cells = t["events"].select(
+        "event_type", F.hour("ts").alias("hour_of_day"), "value"
+    )
+    base = cells.groupBy("event_type", "hour_of_day").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sd"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return (
+        cells.join(F.broadcast(base), ["event_type", "hour_of_day"])
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            rnd(F.max("_mu"), 4).alias("baseline_mean"),
+            rnd(F.max("_sd"), 4).alias("baseline_sd"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("_mu"))
+                    > 3.0 * F.col("_sd"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
