@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_parts_copurchase": X.triangle_parts_copurchase,
         "bm25_doc_scores": X.bm25_doc_scores,
         "seasonal_hourly_outliers": Q.seasonal_hourly_outliers,
+        "cdc_apply_user_state": Q.cdc_apply_user_state,
+        "k_anonymity_customers": Q.k_anonymity_customers,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -627,6 +629,34 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # MAD outliers: exact medians + consistency-scaled MAD,
         # monitor-shaped per-group summary
+        # CDC fold: newest op per key wins, delete tombstones drop the
+        # key — identical ranking window in DuckDB.
+        "cdc_apply_user_state": """
+            WITH ranked AS (
+                SELECT user_id, event_type, value, ts, event_id,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id, event_type, value, ts, event_id
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+            ORDER BY user_id
+        """,
+        # k-anonymity: equivalence classes under the quasi-identifier
+        # pair with size < k (plain GROUP BY/HAVING).
+        "k_anonymity_customers": """
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS class_size
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < 10
+            ORDER BY class_size, c_nationkey, c_mktsegment
+        """,
         # BM25 with Lucene's +1 IDF; same floor-form rounding, <= 3
         # terms summed per doc so float order risk is minimal.
         "bm25_doc_scores": f"""

@@ -302,3 +302,30 @@ def mad_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    equivalence class (distinct quasi-identifier tuple) smaller than
+    ``k`` is a re-identification risk — its members are distinguishable
+    from fewer than k-1 others (Sweeney, IJUFKS'02; the governance
+    check a training-data pipeline runs before releasing joins of
+    user-adjacent tables).
+
+    Returns the VIOLATING classes only: the quasi columns plus
+    ``class_size``, smallest first. One hash aggregate on the quasi
+    tuple — group count equals distinct-combination cardinality, the
+    same shuffle a GROUP BY report on those columns costs anyway.
+    NULL quasi values form their own class (SQL GROUP BY semantics —
+    NULL zip codes cluster together and are just as linkable).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    qs = list(quasi_cols)
+    return (
+        df.groupBy(*qs)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < k)
+    )

@@ -79,3 +79,34 @@ def scd2_point_in_time(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tie_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Batch CDC fold: apply an ordered change stream of upserts and
+    deletes and return the FINAL table state — the newest operation
+    per key wins; keys whose newest operation is ``delete_op`` are
+    absent from the output. The batch complement of
+    ``streaming/upsert.py``'s per-micro-batch MERGE (which handles
+    upserts but not tombstones).
+
+    One ranking window per key partition — a single shuffle on the
+    key, no state accumulation, no driver involvement. ``tie_col``
+    totalizes same-timestamp deliveries so replays are deterministic.
+    Returns all non-operation columns of the newest surviving row.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(ts_col), F.desc(tie_col)
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", op_col)
+    )

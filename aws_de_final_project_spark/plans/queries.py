@@ -1246,3 +1246,41 @@ def seasonal_hourly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC fold (operators/scd.cdc_apply): events replayed as a
+    change stream — an ``error`` event tombstones the user's state,
+    anything else upserts it. Output is the final surviving row per
+    user (users whose newest event is an error disappear), i.e.
+    last-writer-wins WITH deletes — the case latest_event_per_user
+    and the streaming MERGE don't cover."""
+    from aws_de_final_project_spark.operators.scd import cdc_apply
+
+    t = load_tables(spark, sf_dir, ("events",))
+    changes = t["events"].select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_apply(
+        changes, ["user_id"], "ts", "event_id", "op"
+    ).orderBy("user_id")
+
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/dq.k_anonymity) of the customer
+    table under the (nation, market-segment) quasi-identifier pair:
+    equivalence classes smaller than k=10 are re-identification
+    risks. One hash aggregate on the quasi tuple."""
+    from aws_de_final_project_spark.operators.dq import k_anonymity
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    return k_anonymity(
+        t["customer"], ["c_nationkey", "c_mktsegment"], k=10
+    ).orderBy("class_size", "c_nationkey", "c_mktsegment")

@@ -81,6 +81,13 @@ HEADLINE = [
     "ivm_join_view_fold",
     "lateral_top_orders_per_customer",
     "mad_outlier_orders",
+    # round 5 session additions
+    "dedup_prefix_filter_pairs",
+    "scd2_user_event_type",
+    "heavy_hitter_tokens",
+    "triangle_parts_copurchase",
+    "bm25_doc_scores",
+    "seasonal_hourly_outliers",
 ]
 
 

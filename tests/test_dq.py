@@ -125,3 +125,28 @@ def test_mad_outliers_robust_to_the_outlier_itself(spark):
 
     with _pt.raises(ValueError):
         mad_outliers(df, "v", "grp", k=0)
+
+
+def test_k_anonymity_classes_and_validation(spark):
+    import pytest
+
+    from aws_de_final_project_spark.operators.dq import k_anonymity
+
+    rows = (
+        [("60601", 1990)] * 5      # big class: safe at k=3
+        + [("60602", 1990)] * 2    # size 2 < 3: violating
+        + [("60603", 1985)]        # singleton: violating
+        + [(None, 1985)] * 2       # NULLs form their OWN class
+    )
+    df = spark.createDataFrame(rows, "zip string, birth_year int")
+    out = {
+        (r["zip"], r["birth_year"], r["class_size"])
+        for r in k_anonymity(df, ["zip", "birth_year"], k=3).collect()
+    }
+    assert out == {
+        ("60602", 1990, 2),
+        ("60603", 1985, 1),
+        (None, 1985, 2),
+    }
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["zip"], k=1)

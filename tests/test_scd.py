@@ -78,3 +78,29 @@ def test_scd2_one_shuffle_on_entity_key(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cdc_apply_hand_stream(spark):
+    from aws_de_final_project_spark.operators.scd import cdc_apply
+
+    rows = [
+        # key 1: insert, update -> survives with newest payload
+        (1, "a", _ts("2026-01-01T00:00:00"), 1, "U"),
+        (1, "b", _ts("2026-01-02T00:00:00"), 2, "U"),
+        # key 2: upsert then delete -> absent
+        (2, "x", _ts("2026-01-01T00:00:00"), 3, "U"),
+        (2, "x", _ts("2026-01-02T00:00:00"), 4, "D"),
+        # key 3: delete then re-insert -> present again
+        (3, "p", _ts("2026-01-01T00:00:00"), 5, "D"),
+        (3, "q", _ts("2026-01-02T00:00:00"), 6, "U"),
+        # key 4: same-ts collision, tie broken by seq (D is newest)
+        (4, "m", _ts("2026-01-01T00:00:00"), 7, "U"),
+        (4, "m", _ts("2026-01-01T00:00:00"), 8, "D"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key int, payload string, ts timestamp, seq int, op string"
+    )
+    out = cdc_apply(df, ["key"], "ts", "seq", "op")
+    state = {r["key"]: r["payload"] for r in out.collect()}
+    assert state == {1: "b", 3: "q"}
+    assert "op" not in out.columns and "_rn" not in out.columns

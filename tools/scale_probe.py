@@ -53,6 +53,11 @@ DOC_QUERIES = [
     "text_stats_by_lang",
     "quality_filter_flags",
     "dedup_component_groups_lsh",
+    # round-5 session adds: the prefix-filter join's candidate stage
+    # and the Misra-Gries partial-summary path are the two newest
+    # structures whose scaling is a design CLAIM — probe both
+    "dedup_prefix_filter_pairs",
+    "heavy_hitter_tokens",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
@@ -70,6 +75,9 @@ X30_QUERIES = [
     # stage; the per-copy cipher keeps cross-copy anchors disjoint so
     # pair output scales linearly in copies
     "dedup_exact_spans",
+    # prefix-filter join: candidates must scale with true dup count
+    # (cipher copies keep cross-copy shingles disjoint), not n^2
+    "dedup_prefix_filter_pairs",
 ]
 
 _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
