@@ -944,8 +944,9 @@ def _prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
     n(n-1)/2 directly.
 
     Global token document-frequency gives the total order (ties broken
-    by the token string, so the order is deterministic across runs and
-    partitionings); each set keeps its ``|x| - ceil(t*|x|) + 1``
+    by the token value — string or hashed int — so the order is
+    deterministic across runs and partitionings); each set keeps its
+    ``|x| - ceil(t*|x|) + 1``
     rarest tokens; candidates are the prefix equi-join on the token,
     pruned by the size condition before the distinct.
     """
@@ -955,6 +956,10 @@ def _prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_dfreq"))
     )
+    # the prefix frame feeds BOTH sides of the self-join below;
+    # without a checkpoint Spark recomputes the whole
+    # shingle->explode->df-join->sort pipeline twice (measured: the
+    # recompute, not any shuffle, dominated the operator at sf0.1)
     # ceil(t*|x|) computed with a tiny downward nudge: if t*|x| is an
     # exact integer that float rounding pushed to 3.0000000000000004,
     # a naive ceil SHRINKS the prefix and silently drops pairs. The
@@ -981,6 +986,7 @@ def _prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
                 )
             ).alias("_tok"),
         )
+        .localCheckpoint()
     )
     right = prefixes.select(
         F.col("_id").alias("_id_b"),
@@ -1041,15 +1047,61 @@ def prefix_filter_jaccard_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = _shingle_sets(df, text_col, id_col, ngram)
-    cand = _prefix_filter_candidates(sets, threshold)
+    # One materialization of the expensive shingling (the raw-text
+    # regex+HOF pipeline): everything downstream — hashed candidate
+    # sets, the hashed verify, and the exact string verify — reads
+    # the checkpoint instead of re-deriving from text (measured: the
+    # re-derivations, not shuffles, dominated before).
+    sets = _shingle_sets(df, text_col, id_col, ngram).localCheckpoint()
+    # Candidate generation + first verify run over 64-bit-HASHED
+    # shingles: the prefix theorem only needs a consistent total
+    # order over a set family, and the hashed sets are one — a hash
+    # collision merges two shingles, which can only RAISE a pair's
+    # hashed Jaccard, so both the hashed candidate set and the hashed
+    # J >= t filter are supersets of the string-level answer. Payoff:
+    # candidate shuffles move 8-byte ints, and the per-candidate
+    # verify compares longs, not shingle strings.
+    hsets = sets.select(
+        "_id",
+        F.array_distinct(
+            F.transform(F.col("_words"), lambda s: F.xxhash64(s))
+        ).alias("_words"),
+    ).localCheckpoint()
+    # candidates generated at threshold - one 4dp rounding step, for
+    # the same reason as the verify slack below: the final filter is
+    # on the ROUNDED string Jaccard. Lowering t only lengthens
+    # prefixes and loosens the size filter — strictly more candidates.
+    cand = _prefix_filter_candidates(hsets, max(threshold - 1e-4, 1e-9))
+    h_b = hsets.select(
+        F.col("_id").alias("_id_b"), F.col("_words").alias("_words_b")
+    )
+    h_inter = F.size(F.array_intersect(F.col("_words"), F.col("_words_b")))
+    h_union = F.size(F.col("_words")) + F.size(F.col("_words_b")) - h_inter
+    survivors = (
+        cand.join(hsets, "_id")
+        .join(h_b, "_id_b")
+        .where(
+            # slack of one 4dp rounding step: the FINAL filter is on
+            # the half-up-rounded string Jaccard, which can sit up to
+            # 0.00005 above the raw value the hashed J bounds — without
+            # the slack a pair at raw J = t - 1e-5 (rounded to t)
+            # would be dropped here but kept by the oracle
+            h_inter.cast("double")
+            >= F.lit(threshold - 1e-4) * h_union.cast("double")
+        )
+        .select("_id", "_id_b")
+    )
+    # Exact string-level verify on the (tiny) hashed survivors: the
+    # output Jaccard is computed on true shingle sets, so a 2^-64
+    # collision can inflate a candidate's hashed J but never the
+    # reported value — collisions cost a wasted verify, not accuracy.
     b_sets = sets.select(
         F.col("_id").alias("_id_b"), F.col("_words").alias("_words_b")
     )
     inter = F.size(F.array_intersect(F.col("_words"), F.col("_words_b")))
     union = F.size(F.col("_words")) + F.size(F.col("_words_b")) - inter
     return (
-        cand.join(sets, "_id")
+        survivors.join(sets, "_id")
         .join(b_sets, "_id_b")
         .select(
             F.col("_id").alias("doc_a"),
