@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_hourly_outliers": Q.seasonal_hourly_outliers,
         "cdc_apply_user_state": Q.cdc_apply_user_state,
         "k_anonymity_customers": Q.k_anonymity_customers,
+        "inverted_index_postings": X.inverted_index_postings,
+        "ema_user_value": Q.ema_user_value,
+        "entity_resolution_customers": X.entity_resolution_customers,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -629,6 +632,77 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # MAD outliers: exact medians + consistency-scaled MAD,
         # monitor-shaped per-group summary
+        # Entity resolution chain: brute-force levenshtein-1 edges ->
+        # recursive-CTE transitive closure -> min-id canonical.
+        "entity_resolution_customers": """
+            WITH RECURSIVE n AS (
+                SELECT c_custkey AS id, c_name AS name,
+                       c_nationkey AS nk
+                FROM customer
+            ),
+            plist AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM n a JOIN n b ON a.id < b.id AND a.nk = b.nk
+                WHERE levenshtein(a.name, b.name) <= 1
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM plist
+                UNION
+                SELECT id_b AS a, id_a AS b FROM plist
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            mins AS (
+                SELECT a AS node, min(b) AS mn FROM reach GROUP BY a
+            )
+            SELECT c.c_custkey,
+                   least(c.c_custkey, coalesce(m.mn, c.c_custkey))
+                       AS canonical_id,
+                   least(c.c_custkey, coalesce(m.mn, c.c_custkey))
+                       = c.c_custkey AS is_canonical
+            FROM customer c LEFT JOIN mins m ON c.c_custkey = m.node
+            ORDER BY c.c_custkey
+        """,
+        # Inverted index: per-doc-distinct tokens, sorted postings.
+        "inverted_index_postings": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       unnest(string_split({_NORM.format(c='text')}, ' '))
+                           AS token
+                FROM documents
+            ),
+            toks AS (SELECT DISTINCT doc_id, token FROM raw)
+            SELECT token, count(*) AS doc_freq,
+                   list_sort(list(doc_id)) AS postings
+            FROM toks
+            GROUP BY token
+            ORDER BY token
+        """,
+        # Finite-window EMA: identical trailing-20 frame list, same
+        # newest-first weighted fold; 4dp floor-form rounding absorbs
+        # any engine-internal float-sum-order difference.
+        "ema_user_value": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts, value,
+                       list(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+                       ) AS frame
+                FROM events
+            )
+            SELECT user_id, event_id, ts,
+                   (floor((
+                       list_sum([frame[len(frame) - j] * pow(0.7, j)
+                                 for j in range(0, len(frame))])
+                       / list_sum([pow(0.7, j)
+                                   for j in range(0, len(frame))])
+                   ) * 10000.0 + 0.5) / 10000.0) AS ema_value
+            FROM ordered
+            ORDER BY user_id, ts, event_id
+        """,
         # CDC fold: newest op per key wins, delete tombstones drop the
         # key — identical ranking window in DuckDB.
         "cdc_apply_user_state": """

@@ -103,3 +103,34 @@ def weighted_quantile_frame(
         .groupBy(group_col)
         .agg(F.min(value_col).alias(alias))
     )
+
+
+def ema_from_window_list(values, alpha: float):
+    """Finite-window exponential moving average of an ORDERED value
+    list (oldest first, as a window-frame ``collect_list`` yields):
+    weights ``(1-alpha)^age`` normalized over the visible window, so
+    the first rows of a series are proper averages instead of being
+    biased toward an arbitrary seed. Pure higher-order ``aggregate``
+    — one pass over the (bounded) frame list, no UDF.
+
+    Engine-portable: the same fold is expressible as a DuckDB list
+    comprehension over the identical window list; both sides sum the
+    same ~20 doubles in the same order.
+    """
+    decay = 1.0 - alpha
+    rev = F.reverse(values)
+    acc = F.aggregate(
+        rev,
+        F.struct(
+            F.lit(0.0).alias("s"),
+            F.lit(0.0).alias("w"),
+            F.lit(0.0).alias("j"),
+        ),
+        lambda a, x: F.struct(
+            (a["s"] + x * F.pow(F.lit(decay), a["j"])).alias("s"),
+            (a["w"] + F.pow(F.lit(decay), a["j"])).alias("w"),
+            (a["j"] + F.lit(1.0)).alias("j"),
+        ),
+        lambda a: a["s"] / a["w"],
+    )
+    return acc

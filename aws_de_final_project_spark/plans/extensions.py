@@ -1763,3 +1763,78 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rnd(F.sum("_s"), 4).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
     )
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency + sorted
+    posting list of doc ids — the index artifact behind bm25_doc_scores
+    and boolean retrieval, materialized as a relation. One explode +
+    hash aggregate on the token; postings stay bounded because a
+    posting list is by definition the doc-frequency long — the heavy
+    hitters (stopwords) that would skew it are exactly what
+    heavy_hitter_tokens identifies for a stop list. Sorted arrays
+    make the output deterministic across partitionings."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(TX.normalized_text("text"), " ")
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy("token")
+    )
+
+
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: levenshtein-1 name matching
+    (delete-variant blocking, operators/fuzzy.py) -> connected
+    components (pointer-doubling min-label, operators/dedup.py) ->
+    canonical id per cluster (min member id) with an is_canonical
+    flag. Matches are blocked on nation (the linkage rule: same
+    country AND near-identical name — unblocked, sequential customer
+    names chain the whole table into one degenerate cluster). The
+    composition a record-linkage pipeline actually ships — each stage
+    is individually oracled; this entry pins the whole chain against
+    a brute-force-join + recursive-CTE-closure twin."""
+    from aws_de_final_project_spark.operators import fuzzy
+
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    names = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    nat = c.select(
+        F.col("c_custkey").alias("_k"), F.col("c_nationkey").alias("_nk")
+    )
+    pairs = (
+        fuzzy.fuzzy_pairs(names, "id", "name")
+        .join(
+            nat.select(
+                F.col("_k").alias("id_a"), F.col("_nk").alias("_nk_a")
+            ),
+            "id_a",
+        )
+        .join(
+            nat.select(
+                F.col("_k").alias("id_b"), F.col("_nk").alias("_nk_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("_nk_a") == F.col("_nk_b"))
+    )
+    return (
+        dedup.dedup_components(names, pairs, "id", "id_a", "id_b")
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.col("component").alias("canonical_id"),
+            F.col("is_keeper").alias("is_canonical"),
+        )
+        .orderBy("c_custkey")
+    )

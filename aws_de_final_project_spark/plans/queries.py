@@ -1284,3 +1284,42 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(
         t["customer"], ["c_nationkey", "c_mktsegment"], k=10
     ).orderBy("class_size", "c_nationkey", "c_mktsegment")
+
+
+def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values over the
+    trailing 20 events (alpha=0.3, finite-window normalized — see
+    functions/numeric.ema_from_window_list): the smoothing primitive
+    behind rate/latency dashboards, computed as ONE ranking-window
+    collect over the bounded frame + a higher-order fold. Shuffles
+    once on user_id; the frame list is <= 20 doubles per row."""
+    from pyspark.sql.window import Window
+
+    from aws_de_final_project_spark.functions.numeric import (
+        ema_from_window_list,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.collect_list("value").over(w).alias("_frame"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            rnd(ema_from_window_list(F.col("_frame"), 0.3), 4).alias(
+                "ema_value"
+            ),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

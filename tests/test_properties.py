@@ -194,3 +194,34 @@ def test_exact_span_pairs_shift_invariant(spark):
         ).collect()
         assert len(out) == 1
         assert out[0].max_span_tokens == 20, (pre_a, pre_b, out)
+
+
+def test_ema_from_window_list_matches_numpy(spark):
+    """The HOF fold == the closed-form finite-window EMA, including
+    short (partial) windows at a series head."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.functions.numeric import (
+        ema_from_window_list,
+    )
+
+    alpha = 0.3
+    frames = [
+        [10.0],
+        [10.0, 20.0],
+        [1.0, 2.0, 3.0, 4.0, 5.0],
+        [100.0, -50.0, 0.25, 7.5],
+    ]
+    df = spark.createDataFrame([(f,) for f in frames], "frame array<double>")
+    got = [
+        r[0]
+        for r in df.select(
+            ema_from_window_list(F.col("frame"), alpha)
+        ).collect()
+    ]
+    for f, g in zip(frames, got):
+        arr = np.array(f)
+        w = (1 - alpha) ** np.arange(len(arr))[::-1]  # newest = weight 1
+        want = float((arr * w).sum() / w.sum())
+        assert abs(g - want) < 1e-9, (f, g, want)

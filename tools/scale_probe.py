@@ -189,9 +189,15 @@ def main() -> None:
         }
         row = {"query": name}
         for tier, d in tiers.items():
+            # settle the JVM between tiers: the previous query's heap
+            # churn (GBs at x10/x30) otherwise bleeds into this one's
+            # wall-clock — measured 2-3x inflation on winnow when it
+            # ran right after the span self-join (bench.py does the
+            # same between trials)
+            spark.sparkContext._jvm.System.gc()
             drive(Q[name](spark, d))  # cold/warmup
             reps = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 drive(Q[name](spark, d))
                 reps.append(time.perf_counter() - t0)
@@ -215,6 +221,7 @@ def main() -> None:
     by_name = {r["query"]: r for r in rows}
     for name in X30_QUERIES:
         row = by_name[name]
+        spark.sparkContext._jvm.System.gc()
         drive(Q[name](spark, X30_DIR))  # cold/warmup
         reps = []
         for _ in range(3):
