@@ -225,6 +225,12 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
     Returns ``(node, n_triangles)`` for nodes in >= 1 triangle.
     """
+    # The canonical edge set feeds THREE consumers (degree count,
+    # orientation join, closure semi-join) and the caller's edge
+    # derivation is often itself a join (e.g. the per-order
+    # co-purchase self-join) — without a checkpoint Spark re-derives
+    # it once per consumer (measured 4x wall-clock on the lineitem
+    # graph at sf0.1).
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_u"),
@@ -232,6 +238,7 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .where(F.col("_u") < F.col("_v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.explode(F.array("_u", "_v")).alias("_n"))
@@ -257,6 +264,8 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
             .alias("_e")
         )
         .select(F.col("_e.s").alias("_s"), F.col("_e.t").alias("_t"))
+        # both sides of the wedge self-join read this frame
+        .localCheckpoint()
     )
     w2 = oriented.select(
         F.col("_s").alias("_s2"), F.col("_t").alias("_t2")
