@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_postings": X.inverted_index_postings,
         "ema_user_value": Q.ema_user_value,
         "entity_resolution_customers": X.entity_resolution_customers,
+        "state_diff_user_snapshots": Q.state_diff_user_snapshots,
+        "profile_orders_table": Q.profile_orders_table,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -632,6 +634,105 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # MAD outliers: exact medians + consistency-scaled MAD,
         # monitor-shaped per-group summary
+        # One row per column: counts + type-normalized min/max
+        # (numeric value / string length / epoch microseconds).
+        "profile_orders_table": """
+            WITH m AS (
+                SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+                       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+                       count(DISTINCT o_orderkey) AS n_distinct,
+                       min(o_orderkey)::DOUBLE AS vmin,
+                       max(o_orderkey)::DOUBLE AS vmax
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_custkey),
+                       min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_orderstatus),
+                       min(length(o_orderstatus))::DOUBLE,
+                       max(length(o_orderstatus))::DOUBLE
+                FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_totalprice),
+                       min(o_totalprice), max(o_totalprice)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderdate', count(*),
+                       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_orderdate),
+                       min(epoch_us(o_orderdate))::DOUBLE,
+                       max(epoch_us(o_orderdate))::DOUBLE
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                       count(DISTINCT o_orderpriority),
+                       min(length(o_orderpriority))::DOUBLE,
+                       max(length(o_orderpriority))::DOUBLE
+                FROM orders
+            )
+            SELECT * FROM m ORDER BY column_name
+        """,
+        # SCD2 state at two instants + keyed full-outer diff.
+        "state_diff_user_snapshots": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_ts
+                FROM events
+            ),
+            changes AS (
+                SELECT user_id, event_type, ts AS valid_from, event_id
+                FROM ordered
+                WHERE prev_ts IS NULL
+                   OR event_type IS DISTINCT FROM prev_type
+            ),
+            spans AS (
+                SELECT user_id, event_type, valid_from,
+                       lead(valid_from) OVER (
+                           PARTITION BY user_id
+                           ORDER BY valid_from, event_id
+                       ) AS valid_to
+                FROM changes
+            ),
+            t1 AS (
+                SELECT user_id, event_type FROM spans
+                WHERE valid_from <= TIMESTAMP '2024-01-10 00:00:00'
+                  AND (valid_to IS NULL
+                       OR valid_to > TIMESTAMP '2024-01-10 00:00:00')
+            ),
+            t2 AS (
+                SELECT user_id, event_type FROM spans
+                WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+                  AND (valid_to IS NULL
+                       OR valid_to > TIMESTAMP '2024-01-20 00:00:00')
+            ),
+            d AS (
+                SELECT coalesce(t1.user_id, t2.user_id) AS user_id,
+                       CASE WHEN t1.user_id IS NULL THEN 'added'
+                            WHEN t2.user_id IS NULL THEN 'removed'
+                            WHEN t1.event_type IS DISTINCT FROM
+                                 t2.event_type THEN 'changed'
+                            ELSE 'unchanged' END AS change_type,
+                       t1.event_type AS old_event_type,
+                       t2.event_type AS new_event_type
+                FROM t1 FULL OUTER JOIN t2 ON t1.user_id = t2.user_id
+            )
+            SELECT * FROM d
+            WHERE change_type <> 'unchanged'
+            ORDER BY user_id
+        """,
         # Entity resolution chain: brute-force levenshtein-1 edges ->
         # recursive-CTE transitive closure -> min-id canonical.
         "entity_resolution_customers": """

@@ -329,3 +329,60 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .where(F.col("class_size") < k)
     )
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Column-profile report in ONE scan: for every column its row
+    count, null count, exact distinct count, and a type-normalized
+    numeric min/max — the first thing a pipeline runs against an
+    unfamiliar 100 TB table, so the shape matters: all metrics fold
+    into a single grouping-free aggregate (the distinct counts add
+    one Expand, multiplying scan rows by the column count map-side —
+    still one pass, no per-column jobs, no driver loop).
+
+    Min/max are normalized per type so the report schema is uniform
+    AND engine-portable (no double->string formatting dependence):
+    numeric columns report their value, strings their LENGTH, and
+    date/timestamp columns their epoch microseconds — all as DOUBLE
+    (exact for integers < 2^53).
+
+    Output: (column_name, n_rows, n_null, n_distinct, vmin, vmax),
+    one row per profiled column.
+    """
+    from aws_de_final_project_spark.functions.numeric import epoch_us
+
+    names = list(cols) if cols is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    aggs, structs = [], []
+    for c in names:
+        t = dtypes[c]
+        if t in ("string",):
+            basis = F.length(F.col(c)).cast("double")
+        elif t.startswith("timestamp") or t == "date":
+            basis = epoch_us(F.col(c)).cast("double")
+        else:
+            basis = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(basis).alias(f"_mn_{c}"),
+            F.max(basis).alias(f"_mx_{c}"),
+        ]
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"_n_{c}").alias("n_rows"),
+                F.col(f"_nn_{c}").cast("long").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("vmin"),
+                F.col(f"_mx_{c}").alias("vmax"),
+            )
+        )
+    return (
+        df.agg(*aggs)
+        .select(F.explode(F.array(*structs)).alias("_p"))
+        .select("_p.*")
+    )

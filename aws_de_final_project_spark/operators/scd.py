@@ -110,3 +110,53 @@ def cdc_apply(
         .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn", op_col)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    cmp_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed diff of two table states: one row per key that was
+    ``added`` (new only), ``removed`` (old only), or ``changed``
+    (present in both with any ``cmp_cols`` difference, null-safely);
+    unchanged keys are omitted. The audit primitive over snapshot
+    generations (``sources/snapshots.py``) or any two point-in-time
+    states — one full outer join on the key, no driver state.
+
+    Output: key columns + ``change_type``; comparison columns are
+    returned as ``old_<c>`` / ``new_<c>`` pairs so the diff is
+    self-describing.
+    """
+    keys = list(key_cols)
+    cmps = list(cmp_cols)
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in cmps],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in cmps],
+    )
+    changed = F.lit(False)
+    for c in cmps:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}")
+        )
+    return (
+        o.join(n, keys, "full_outer")
+        .select(
+            *keys,
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(changed, F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            *[F.col(f"old_{c}") for c in cmps],
+            *[F.col(f"new_{c}") for c in cmps],
+        )
+        .where(F.col("change_type") != "unchanged")
+    )

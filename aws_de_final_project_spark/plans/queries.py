@@ -1323,3 +1323,43 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+def state_diff_user_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state diff: the SCD2 dimension built from events
+    is read as of Jan 10 and Jan 20 and keyed-diffed
+    (operators/scd.table_diff) — which users appeared, disappeared
+    (no state yet at T1), or changed event-type state between the two
+    instants. The audit query a snapshotted state table exists to
+    answer; composition of two individually-oracled operators, pinned
+    end-to-end."""
+    from aws_de_final_project_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_point_in_time,
+        table_diff,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    dim = scd2_from_changelog(
+        t["events"], "user_id", ["event_type"], "ts", "event_id"
+    ).localCheckpoint()
+    t1 = scd2_point_in_time(dim, "2024-01-10 00:00:00").select(
+        "user_id", "event_type"
+    )
+    t2 = scd2_point_in_time(dim, "2024-01-20 00:00:00").select(
+        "user_id", "event_type"
+    )
+    return table_diff(
+        t1, t2, ["user_id"], ["event_type"]
+    ).orderBy("user_id")
+
+
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of the orders table
+    (operators/dq.profile_table): row/null/exact-distinct counts and
+    type-normalized min/max per column — the single Expand-aggregate
+    shape, no per-column jobs."""
+    from aws_de_final_project_spark.operators.dq import profile_table
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return profile_table(t["orders"]).orderBy("column_name")

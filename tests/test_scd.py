@@ -104,3 +104,29 @@ def test_cdc_apply_hand_stream(spark):
     state = {r["key"]: r["payload"] for r in out.collect()}
     assert state == {1: "b", 3: "q"}
     assert "op" not in out.columns and "_rn" not in out.columns
+
+
+def test_table_diff_classifies_all_transitions(spark):
+    from aws_de_final_project_spark.operators.scd import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # 1 unchanged (omitted), 2 changed, 3 unchanged with NULLs
+    # (null-safe compare), 4 removed, 5 added
+    assert out == {2: "changed", 4: "removed", 5: "added"}
+    row = {
+        r["k"]: r
+        for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert row[2]["old_s"] == "b" and row[2]["new_s"] == "B"
+    assert row[5]["old_s"] is None and row[5]["new_s"] == "e"
