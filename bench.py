@@ -88,6 +88,13 @@ HEADLINE = [
     "triangle_parts_copurchase",
     "bm25_doc_scores",
     "seasonal_hourly_outliers",
+    "cdc_apply_user_state",
+    "k_anonymity_customers",
+    "inverted_index_postings",
+    "ema_user_value",
+    "entity_resolution_customers",
+    "state_diff_user_snapshots",
+    "profile_orders_table",
 ]
 
 
