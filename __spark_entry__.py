@@ -1550,7 +1550,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             wins AS (
                 SELECT doc_id, i AS pos,
-                       md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+                       ('0x' || substr(md5(array_to_string(
+                            list_slice(t, i, i + 7), ' ')), 1, 15))::BIGINT
+                           AS h
                 FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
             ),
             rare AS (

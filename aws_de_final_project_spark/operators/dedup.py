@@ -833,14 +833,26 @@ def exact_span_pairs(
         F.split(normalized_text(text_col), " ").alias("_toks"),
     ).filter(F.size("_toks") >= k)
     idx = F.sequence(F.lit(1), F.size("_toks") - (k - 1))
+    # anchors are the FIRST 60 md5 bits as a bigint, not the hex
+    # string: window rows are ~the token count of the corpus, and an
+    # 8-byte join/agg key quarters the anchor shuffle width vs the
+    # 32-char hex (collisions at 2^-60 would need 5 consecutive
+    # colliding windows to fake a pair; the oracle uses the identical
+    # truncation, so parity is unaffected either way)
     windows = toks.select(
         "_id",
         F.posexplode(
             F.transform(
                 idx,
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("_toks", i, k))
-                ),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("_toks", i, k))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
             )
         ).alias("_pos", "_h"),
     )
