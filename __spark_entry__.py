@@ -952,7 +952,9 @@ def oracle_sql() -> dict[str, str]:
                        AS baseline_mean,
                    (floor(max(b.sd) * 10000.0 + 0.5) / 10000.0)
                        AS baseline_sd,
-                   sum(CASE WHEN abs(c.value - b.mu) > 3.0 * b.sd
+                   sum(CASE WHEN abs(c.value
+                                 - (floor(b.mu * 10000.0 + 0.5) / 10000.0))
+                            > 3.0 * (floor(b.sd * 10000.0 + 0.5) / 10000.0)
                             THEN 1 ELSE 0 END) AS n_outliers
             FROM cells c
             JOIN base b USING (event_type, hour_of_day)

@@ -1025,12 +1025,15 @@ def prefix_filter_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     ngram: int = 1,
+    exact_verify: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs/PPJoin candidate scheme — Bayardo et al., WWW'07;
     Chaudhuri et al., ICDE'06): all pairs (a < b) with word-shingle
-    Jaccard >= ``threshold``, with NO quadratic step and NO
-    probabilistic misses.
+    Jaccard >= ``threshold``, with NO quadratic step and no recall
+    knob (exact up to 64-bit anchor-hash collisions by default;
+    ``exact_verify=True`` removes even that caveat at the cost of
+    string-compares on every candidate).
 
     This is the third leg of the near-dup family:
     :func:`jaccard_pairs` is the quadratic ground truth,
@@ -1067,12 +1070,17 @@ def prefix_filter_jaccard_pairs(
     sets = _shingle_sets(df, text_col, id_col, ngram).localCheckpoint()
     # Candidate generation + first verify run over 64-bit-HASHED
     # shingles: the prefix theorem only needs a consistent total
-    # order over a set family, and the hashed sets are one — a hash
-    # collision merges two shingles, which can only RAISE a pair's
-    # hashed Jaccard, so both the hashed candidate set and the hashed
-    # J >= t filter are supersets of the string-level answer. Payoff:
-    # candidate shuffles move 8-byte ints, and the per-candidate
-    # verify compares longs, not shingle strings.
+    # order over a set family, and the hashed sets are one. A hash
+    # collision merges two shingles; depending on which sides hold
+    # them this can nudge a pair's hashed Jaccard EITHER way, so the
+    # hashed stages are exact only up to 64-bit collisions (a drop
+    # needs two colliding shingles inside one candidate pair AND the
+    # pair within one rounding step of the threshold — P ~ S_pair/2^64
+    # per pair; the 3-scale oracle-equality gate is the operational
+    # proof). Callers needing unconditional exactness set
+    # exact_verify=True to run the string verify on every candidate.
+    # Payoff of the hashed path: candidate shuffles move 8-byte ints,
+    # and the per-candidate verify compares longs, not strings.
     hsets = sets.select(
         "_id",
         F.array_distinct(
@@ -1089,20 +1097,24 @@ def prefix_filter_jaccard_pairs(
     )
     h_inter = F.size(F.array_intersect(F.col("_words"), F.col("_words_b")))
     h_union = F.size(F.col("_words")) + F.size(F.col("_words_b")) - h_inter
-    survivors = (
-        cand.join(hsets, "_id")
-        .join(h_b, "_id_b")
-        .where(
-            # slack of one 4dp rounding step: the FINAL filter is on
-            # the half-up-rounded string Jaccard, which can sit up to
-            # 0.00005 above the raw value the hashed J bounds — without
-            # the slack a pair at raw J = t - 1e-5 (rounded to t)
-            # would be dropped here but kept by the oracle
-            h_inter.cast("double")
-            >= F.lit(threshold - 1e-4) * h_union.cast("double")
+    if exact_verify:
+        survivors = cand
+    else:
+        survivors = (
+            cand.join(hsets, "_id")
+            .join(h_b, "_id_b")
+            .where(
+                # slack of one 4dp rounding step: the FINAL filter is
+                # on the half-up-rounded string Jaccard, which can sit
+                # up to 0.00005 above the raw value the hashed J
+                # bounds — without the slack a pair at raw
+                # J = t - 1e-5 (rounded to t) would be dropped here
+                # but kept by the oracle
+                h_inter.cast("double")
+                >= F.lit(threshold - 1e-4) * h_union.cast("double")
+            )
+            .select("_id", "_id_b")
         )
-        .select("_id", "_id_b")
-    )
     # Exact string-level verify on the (tiny) hashed survivors: the
     # output Jaccard is computed on true shingle sets, so a 2^-64
     # collision can inflate a candidate's hashed J but never the

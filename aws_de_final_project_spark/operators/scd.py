@@ -67,9 +67,7 @@ def scd2_from_changelog(
     )
 
 
-def scd2_point_in_time(
-    dim: DataFrame, ts, key_col: str = None
-) -> DataFrame:
+def scd2_point_in_time(dim: DataFrame, ts) -> DataFrame:
     """State of an SCD2 dimension as of instant ``ts``: the rows whose
     interval covers it (``valid_from <= ts < coalesce(valid_to, inf)``).
     A plain filter — partition pruning applies if the dimension is
@@ -107,7 +105,13 @@ def cdc_apply(
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        # eqNullSafe: a NULL op (malformed CDC record) is NOT a
+        # delete — it falls through as an upsert instead of silently
+        # vanishing the key the way `op != delete_op` (NULL) would
+        .where(
+            (F.col("_rn") == 1)
+            & ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        )
         .drop("_rn", op_col)
     )
 

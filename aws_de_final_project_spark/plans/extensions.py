@@ -61,8 +61,8 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus-wide word-3-gram Jaccard pairs (J >= 0.5) via
     prefix filtering (AllPairs/PPJoin) — identical OUTPUT to the
     quadratic join but candidates come from a rare-shingle prefix
-    equi-join: 867 candidates vs 124,750 possible pairs on the 500-doc
-    fixture (0.7%), measured in tests/test_dedup.py. Skew-resistant by
+    equi-join producing under 2% of the possible pairs on the 500-doc
+    fixture (bound pinned in tests/test_dedup.py). Skew-resistant by
     construction — the frequent shingles that would hot-spot the join
     key are exactly the ones prefixes exclude. The oracle is the
     brute-force quadratic twin; equality IS the exactness proof (no

@@ -1236,10 +1236,16 @@ def seasonal_hourly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_obs").alias("n_obs"),
             rnd(F.max("_mu"), 4).alias("baseline_mean"),
             rnd(F.max("_sd"), 4).alias("baseline_sd"),
+            # the exceedance test uses the ROUNDED baseline on both
+            # engines: mu/sd are float aggregates whose summation
+            # order differs across engines, and an unrounded 3-sigma
+            # boundary could classify a borderline observation
+            # differently per engine — the integer count has no
+            # rounding of its own to absorb that
             F.sum(
                 F.when(
-                    F.abs(F.col("value") - F.col("_mu"))
-                    > 3.0 * F.col("_sd"),
+                    F.abs(F.col("value") - rnd(F.col("_mu"), 4))
+                    > 3.0 * rnd(F.col("_sd"), 4),
                     1,
                 ).otherwise(0)
             ).alias("n_outliers"),

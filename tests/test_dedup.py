@@ -391,3 +391,22 @@ def test_prefix_filter_threshold_validation(spark):
     t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
     with pytest.raises(ValueError):
         dedup.prefix_filter_jaccard_pairs(t["documents"], "text", "doc_id", 0.0)
+
+
+def test_prefix_filter_exact_verify_mode_agrees(spark):
+    """exact_verify=True (string verify on every candidate, no hashed
+    prefilter) must return the identical pair set as the default
+    hashed-pre-verify path."""
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    docs = t["documents"]
+    fast = dedup.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", 0.5, ngram=3
+    )
+    strict = dedup.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", 0.5, ngram=3, exact_verify=True
+    )
+    assert {tuple(r) for r in fast.collect()} == {
+        tuple(r) for r in strict.collect()
+    }

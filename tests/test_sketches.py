@@ -136,7 +136,9 @@ def test_phrase_occurrences_semantics(spark):
     assert got[1] == 1 and got[2] == 0 and got[4] == 0
     assert got[3] == 2  # separated by another word: both count
     # back-to-back repeats share the boundary space: non-overlapping
-    # replace counts one fewer — documented convention
-    assert got[5] in (1, 2)
+    # left-to-right replace deterministically counts ONE — the
+    # documented convention, pinned so a future regex rewrite that
+    # double-counts fails here before it fails oracle parity
+    assert got[5] == 1
     with pytest.raises(ValueError):
         df.select(phrase_occurrences("text", "!!!"))
