@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_docs": X.phrase_search_docs,
         "chi2_event_type_hour": Q.chi2_event_type_hour,
         "max_event_gap_per_user": Q.max_event_gap_per_user,
+        "topk_orders_per_customer_agg": Q.topk_orders_per_customer_agg,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -678,6 +679,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST((count(DISTINCT event_type) - 1)
                         * (count(DISTINCT hr) - 1) AS BIGINT) AS dof
             FROM grid
+        """,
+        # Window-form twin of the aggregate top-k: equality pins the
+        # two physical shapes to identical semantics incl. tie-break.
+        "topk_orders_per_customer_agg": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked
+            WHERE rank <= 3
+            ORDER BY o_custkey, rank
         """,
         # Per-user max silence between consecutive events (exact us).
         "max_event_gap_per_user": """

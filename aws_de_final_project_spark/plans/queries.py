@@ -1438,3 +1438,50 @@ def max_event_gap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def topk_orders_per_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by price — computed as an AGGREGATE
+    (collect_list -> sort_array -> slice -> explode), not a ranking
+    window. Same semantics as the window form (deterministic
+    (price desc, orderkey) order), different physical plan: the
+    aggregate path gets map-side partial combine, so shuffle rows are
+    per-customer partial top-lists instead of EVERY order row that a
+    row_number() window must sort within its partition. For small k
+    over high-cardinality keys this is the plan you want at 100 TB;
+    the DuckDB oracle is the window form, so equality pins the two
+    shapes to identical semantics. The unbounded collect_list is
+    bounded in practice by orders-per-customer; for heavy keys the
+    two-stage variant (pre-slice per partition via the same aggregate
+    run twice) caps partial-list size."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    k = 3
+    top = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("o_totalprice")).alias("_negp"),
+                            F.col("o_orderkey").alias("_ok"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select(
+            "o_custkey",
+            F.posexplode("_top").alias("_i", "_t"),
+        )
+        .select(
+            "o_custkey",
+            F.col("_t._ok").alias("o_orderkey"),
+            (-F.col("_t._negp")).alias("o_totalprice"),
+            (F.col("_i") + 1).cast("long").alias("rank"),
+        )
+    )
+    return top.orderBy("o_custkey", "rank")

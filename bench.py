@@ -98,6 +98,7 @@ HEADLINE = [
     "phrase_search_docs",
     "chi2_event_type_hour",
     "max_event_gap_per_user",
+    "topk_orders_per_customer_agg",
 ]
 
 
