@@ -267,27 +267,36 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         # both sides of the wedge self-join read this frame
         .localCheckpoint()
     )
-    w2 = oriented.select(
-        F.col("_s").alias("_s2"), F.col("_t").alias("_t2")
+    # Adjacency-intersection enumeration (compact-forward): build each
+    # node's sorted out-neighbor array once, attach it to both ends of
+    # every oriented edge, and intersect in codegen. A triangle
+    # x->y, x->z, y->z surfaces exactly once — at its x->y edge, as
+    # z in N+(x) ∩ N+(y). This replaces the wedge SELF-JOIN, whose
+    # shuffle materializes one row per wedge (sum outdeg^2 — 38M rows
+    # on the sf0.1 co-purchase graph); here the only extra shuffle
+    # moves the 1-row-per-node adjacency frame, intermediate volume is
+    # one row per EDGE carrying two bounded arrays, and the explode
+    # yields one row per TRIANGLE, never per wedge.
+    adj = oriented.groupBy("_s").agg(
+        F.sort_array(F.collect_list("_t")).alias("_nbrs")
     )
-    wedges = (
-        oriented.join(w2, F.col("_s") == F.col("_s2"))
-        .where(F.col("_t") < F.col("_t2"))
+    au = adj.select(F.col("_s").alias("_ju"), F.col("_nbrs").alias("_nu"))
+    av = adj.select(F.col("_s").alias("_jv"), F.col("_nbrs").alias("_nv"))
+    tris = (
+        oriented.join(au, F.col("_s") == F.col("_ju"))
+        # inner join: an edge whose head has no out-edges closes nothing
+        .join(av, F.col("_t") == F.col("_jv"))
         .select(
-            F.col("_s").alias("_pivot"),
-            F.col("_t").alias("_a"),
-            F.col("_t2").alias("_b"),
+            "_s",
+            "_t",
+            F.explode(
+                F.array_intersect(F.col("_nu"), F.col("_nv"))
+            ).alias("_w"),
         )
-    )
-    # close the wedge against the canonical edge set (_a < _b already)
-    tris = wedges.join(
-        e,
-        (F.col("_a") == F.col("_u")) & (F.col("_b") == F.col("_v")),
-        "left_semi",
     )
     return (
         tris.select(
-            F.explode(F.array("_pivot", "_a", "_b")).alias("node")
+            F.explode(F.array("_s", "_t", "_w")).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -1686,15 +1686,27 @@ def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    lj = li.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk2")
+    # pairs are generated INSIDE each order's sorted part array (codegen
+    # nested transform over the <=7-item basket) — one hash aggregate
+    # instead of an orderkey equi-self-join; basket size bounds the
+    # per-row pair fan-out, so there is no skew surface
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
     )
-    edges = li.join(
-        lj,
-        (F.col("l_orderkey") == F.col("_ok"))
-        & (F.col("l_partkey") < F.col("_pk2")),
-    ).select(
-        F.col("l_partkey").alias("src"), F.col("_pk2").alias("dst")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_ps"), i + 2, F.size(F.col("_ps"))
+                ),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = (
+        parts.select(F.explode(pair_structs).alias("_e"))
+        .select("_e.src", "_e.dst")
     )
     return (
         graphrank.triangle_counts(edges, "src", "dst")
