@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_event_type_hour": Q.chi2_event_type_hour,
         "max_event_gap_per_user": Q.max_event_gap_per_user,
         "topk_orders_per_customer_agg": Q.topk_orders_per_customer_agg,
+        "latency_quantiles_by_type": Q.latency_quantiles_by_type,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
         "count_by_concat_key": Q.count_by_concat_key,
@@ -679,6 +680,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST((count(DISTINCT event_type) - 1)
                         * (count(DISTINCT hr) - 1) AS BIGINT) AS dof
             FROM grid
+        """,
+        # Exact interpolated percentiles — one array aggregate.
+        "latency_quantiles_by_type": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   (floor(quantile_cont(value, 0.5) * 10000.0 + 0.5)
+                    / 10000.0) AS p50,
+                   (floor(quantile_cont(value, 0.95) * 10000.0 + 0.5)
+                    / 10000.0) AS p95,
+                   (floor(quantile_cont(value, 0.99) * 10000.0 + 0.5)
+                    / 10000.0) AS p99
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         # Window-form twin of the aggregate top-k: equality pins the
         # two physical shapes to identical semantics incl. tie-break.

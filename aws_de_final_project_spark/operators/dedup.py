@@ -520,10 +520,59 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    impl: str = "relational",
+    driver_max_pairs: int = 2_000_000,
 ) -> DataFrame:
-    """Labels-only form of :func:`connected_components_iters`."""
-    labels, _ = connected_components_iters(pairs, id_a, id_b, max_iter)
-    return labels
+    """Labels-only connected components. Two implementations with the
+    same output contract (node -> min id of its component):
+
+    * ``impl='relational'`` — iterative min-label propagation with
+      pointer doubling (:func:`connected_components_iters`); the
+      data-scale path, O(log diameter)-ish rounds of key-partitioned
+      joins. Raises loudly if ``max_iter`` rounds don't converge.
+    * ``impl='driver'`` — union-find over the collected ID PAIRS
+      (16 bytes each, capped at ``driver_max_pairs``): the right
+      plan when the pair list is aggregation-sized — a blocked
+      entity-resolution graph is a few pairs per entity no matter how
+      big the input tables were, and a 26-diameter component that
+      costs 26 shuffle rounds relationally is microseconds in
+      union-find. Same dispatch precedent as
+      ``graphrank.pagerank(iter_impl=...)``. Raises if the pair
+      count exceeds the cap rather than silently collecting big data.
+    """
+    if impl == "relational":
+        labels, _ = connected_components_iters(pairs, id_a, id_b, max_iter)
+        return labels
+    if impl != "driver":
+        raise ValueError(f"impl must be 'relational' or 'driver', got {impl!r}")
+    capped = pairs.select(
+        F.col(id_a).cast("long").alias("a"),
+        F.col(id_b).cast("long").alias("b"),
+    ).limit(driver_max_pairs + 1)
+    rows = capped.collect()
+    if len(rows) > driver_max_pairs:
+        raise ValueError(
+            f"pair list exceeds driver_max_pairs={driver_max_pairs}; "
+            f"use impl='relational'"
+        )
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = sorted((n, find(n)) for n in parent)
+    spark = pairs.sparkSession
+    return spark.createDataFrame(labels, "node long, component long")
 
 
 def connected_components_iters(
@@ -628,6 +677,18 @@ def connected_components_iters(
         iters = it + 1
         if changed == 0:
             break
+    else:
+        # NEVER return silently-wrong labels: min-label propagation
+        # distance is graph-shaped (a blocked entity graph at sf0.1
+        # needed 26 rounds — past the old default, which would have
+        # returned mislabeled components with no signal). Loud
+        # failure tells the caller to raise max_iter or use the
+        # driver union-find path for aggregation-sized graphs.
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} "
+            f"rounds; raise max_iter (diameter-bound) or use "
+            f"impl='driver' for aggregation-sized pair lists"
+        )
     return labels, iters
 
 
@@ -637,11 +698,13 @@ def dedup_components(
     id_col: str,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    impl: str = "relational",
 ) -> DataFrame:
     """Component assignment for EVERY document: docs in some near-dup
     cluster get the cluster's min id, singletons get themselves.
-    Output: (id_col, component, is_keeper)."""
-    comps = connected_components(pairs, id_a, id_b)
+    Output: (id_col, component, is_keeper). ``impl`` dispatches the
+    components step (see :func:`connected_components`)."""
+    comps = connected_components(pairs, id_a, id_b, impl=impl)
     return (
         df.select(F.col(id_col).cast("long").alias("node"))
         .join(comps, "node", "left")

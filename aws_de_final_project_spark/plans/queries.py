@@ -1485,3 +1485,30 @@ def topk_orders_per_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.orderBy("o_custkey", "rank")
+
+
+def latency_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA-style report: exact p50/p95/p99 of value per event_type
+    from ONE percentile-array aggregate (a single shuffle on the
+    5-value group key; the array form computes all three quantiles in
+    one pass instead of three separate sorts). Exact interpolated
+    percentiles match DuckDB's quantile_cont definition; 4dp
+    floor-form rounding on output."""
+    t = load_tables(spark, sf_dir, ("events",))
+    q = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+            ).alias("_q"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return q.select(
+        "event_type",
+        "n_events",
+        rnd(F.col("_q")[0], 4).alias("p50"),
+        rnd(F.col("_q")[1], 4).alias("p95"),
+        rnd(F.col("_q")[2], 4).alias("p99"),
+    ).orderBy("event_type")

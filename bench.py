@@ -99,6 +99,7 @@ HEADLINE = [
     "chi2_event_type_hour",
     "max_event_gap_per_user",
     "topk_orders_per_customer_agg",
+    "latency_quantiles_by_type",
 ]
 
 

@@ -410,3 +410,37 @@ def test_prefix_filter_exact_verify_mode_agrees(spark):
     assert {tuple(r) for r in fast.collect()} == {
         tuple(r) for r in strict.collect()
     }
+
+
+def test_connected_components_driver_impl_matches_relational(spark):
+    """The driver union-find dispatch must produce identical labels to
+    the relational loop, and its pair-count cap must raise instead of
+    collecting unbounded data."""
+    import random
+
+    rng = random.Random(7)
+    edges = {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(400), rng.randrange(400))
+                          for _ in range(350)) if a != b}
+    edges.update((i, i + 1) for i in range(500, 540))
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    rel = {(r.node, r.component)
+           for r in dedup.connected_components(pairs).collect()}
+    drv = {(r.node, r.component)
+           for r in dedup.connected_components(pairs, impl="driver").collect()}
+    assert rel == drv
+    with pytest.raises(ValueError, match="driver_max_pairs"):
+        dedup.connected_components(pairs, impl="driver", driver_max_pairs=10)
+    with pytest.raises(ValueError, match="impl"):
+        dedup.connected_components(pairs, impl="magic")
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A diameter past max_iter's reach must raise loudly, never
+    return mislabeled components (the sf0.1 entity graph needed 26
+    rounds — past the old silent default)."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_iters(path, max_iter=2)
