@@ -482,6 +482,24 @@ def dedup_component_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
 
 
+def dedup_component_groups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-edge clustering with a FULL oracle: connected components
+    over the portable-md5 MinHash+LSH candidate edges
+    (operators/dedup.py minhash_lsh_pairs_portable — the hash family
+    DuckDB replays bit-identically), so the driver hash-checks the
+    entire approximate-clustering pipeline end-to-end: signatures →
+    bands → candidate join → Jaccard verify → components → keeper
+    flags. Same banded/bucketed plan shape as the xxhash64 scale
+    path (:func:`dedup_component_groups_lsh`); only the hash family
+    differs."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = dedup.minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", threshold=0.5
+    )
+    return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding centroid, emitted as (label, pos, avg) rows
     — class prototypes for a training corpus. posexplode + two-key

@@ -491,27 +491,50 @@ def main() -> None:
         with open(probe_path) as fh:
             scaling_probe = json.load(fh)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline warm-run wall-clock (cold 1st runs in queries_cold)",
-                "value": total_warm,
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "total_cold": total_cold,
-                "action_overhead_sec": overhead,
-                "queries_warm_adjusted": warm_adj,
-                "total_warm_adjusted": round(
-                    sum(warm_adj.values()), 3
-                ),
-                "streaming": streaming,
-                "scaling": scaling,
-                "scaling_probe": scaling_probe,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
+    # Full detail (cold runs, adjusted times, streaming, scaling
+    # slopes, the x10/x30 probe) goes to BENCH_DETAIL.json; the final
+    # stdout line stays compact (headline total + warm per-query map)
+    # so it fits the driver's output-capture window — BENCH_r04/r05
+    # came back "parsed": null because this line had grown past it
+    # (VERDICT r5 item 2).
+    detail = {
+        "queries_warm": warm,
+        "total_cold": total_cold,
+        "queries_cold": cold,
+        "action_overhead_sec": overhead,
+        "queries_warm_adjusted": warm_adj,
+        "total_warm_adjusted": round(sum(warm_adj.values()), 3),
+        "streaming": streaming,
+        "scaling": scaling,
+        "scaling_probe": scaling_probe,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # the driver captures only the tail of stdout (~2000 chars), so
+    # the final line must fit with margin: keep the slowest queries
+    # in the map and drop the cheapest until the serialized line is
+    # under budget (the full warm map is in BENCH_DETAIL.json).
+    budget = 1800
+    by_cost = sorted(warm, key=lambda n: (-warm[n], n))
+    keep = len(by_cost)
+    while keep > 1:
+        payload = {
+            "metric": "warm wall-clock; full detail in BENCH_DETAIL.json",
+            "value": total_warm,
+            "unit": "sec",
+            "queries": {n: warm[n] for n in by_cost[:keep]},
+            "queries_omitted": len(by_cost) - keep,
+            "sf": float(sf) if sf else sf_dir,
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+        keep -= 1
+    print(line)
 
 
 if __name__ == "__main__":

@@ -47,26 +47,44 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
+    from tests.oracle_harness import canon_duck_type, canon_spark_type
+
     Q, O = E.queries(), E.oracle_sql()
     ok, skipped, failed = [], [], []
     for name in sorted(O):
         timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
         timer.start()
         try:
+            rel = con.sql(O[name])
+            d_cols = list(rel.columns)
+            d_types = [canon_duck_type(str(t)) for t in rel.types]
             drows = sorted(
-                tuple(str(x) for x in r)
-                for r in con.execute(O[name]).fetchall()
+                tuple(str(x) for x in r) for r in rel.fetchall()
             )
             timer.cancel()
-        except Exception:
+        except duckdb.InterruptException:
             timer.cancel()
             skipped.append(name)
             print("SKIP(oracle-timeout)", name, flush=True)
             continue
+        except Exception as ex:
+            # a genuinely broken oracle (syntax, missing table, OOM)
+            # must count as a failure, not hide in the timeout bucket
+            timer.cancel()
+            failed.append((name, "oracle-error: " + repr(ex)[:150]))
+            print("FAIL(oracle)", name, repr(ex)[:150], flush=True)
+            continue
         try:
+            sdf = Q[name](spark, SF_DIR)
+            s_types = {c: canon_spark_type(t) for c, t in sdf.dtypes}
+            type_diffs = {
+                c: (s_types.get(c), dt)
+                for c, dt in zip(d_cols, d_types)
+                if s_types.get(c) != dt
+            }
+            assert not type_diffs, f"type drift {type_diffs}"
             srows = sorted(
-                tuple(str(x) for x in r)
-                for r in Q[name](spark, SF_DIR).collect()
+                tuple(str(x) for x in r) for r in sdf.collect()
             )
             assert srows == drows, f"{len(srows)} vs {len(drows)} rows"
             ok.append(name)
