@@ -898,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
                        ) AS frame
                 FROM events
+                WHERE value IS NOT NULL
             )
             SELECT user_id, event_id, ts,
                    (floor((

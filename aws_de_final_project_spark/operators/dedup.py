@@ -55,6 +55,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi")
 
 
+from aws_de_final_project_spark.operators.util import cut as _cut
 from aws_de_final_project_spark.operators.util import spread as _spread
 
 
@@ -522,6 +523,7 @@ def connected_components(
     max_iter: int = 20,
     impl: str = "relational",
     driver_max_pairs: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Labels-only connected components. Two implementations with the
     same output contract (node -> min id of its component):
@@ -541,14 +543,24 @@ def connected_components(
       count exceeds the cap rather than silently collecting big data.
     """
     if impl == "relational":
-        labels, _ = connected_components_iters(pairs, id_a, id_b, max_iter)
+        labels, _ = connected_components_iters(
+            pairs, id_a, id_b, max_iter, checkpoint_dir=checkpoint_dir
+        )
         return labels
     if impl != "driver":
         raise ValueError(f"impl must be 'relational' or 'driver', got {impl!r}")
-    capped = pairs.select(
-        F.col(id_a).cast("long").alias("a"),
-        F.col(id_b).cast("long").alias("b"),
-    ).limit(driver_max_pairs + 1)
+    # drop pairs with NULL (or non-numeric -> NULL-cast) ids up
+    # front: the relational path's equi-joins drop them implicitly,
+    # and an uncaught None here would raise an opaque TypeError
+    # inside the union-find min/max
+    capped = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"),
+            F.col(id_b).cast("long").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .limit(driver_max_pairs + 1)
+    )
     rows = capped.collect()
     if len(rows) > driver_max_pairs:
         raise ValueError(
@@ -580,6 +592,7 @@ def connected_components_iters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Connected components over a near-duplicate pair list: the step
     that turns "these documents are similar" into "keep one per
@@ -603,13 +616,16 @@ def connected_components_iters(
     size stays constant across rounds; superseded per-round
     checkpoints are dropped by the ContextCleaner as their DataFrames
     go out of scope (verified: persisted-RDD count stays flat across
-    repeated invocations).
+    repeated invocations). Pass ``checkpoint_dir`` to cut to reliable
+    ``checkpoint()`` instead — localCheckpoint blocks die with their
+    executor, so a long components run on a real cluster should cut
+    to durable storage (operators/util.py ``cut``).
 
     Returns ``(labels, n_rounds)`` — the round count rides the return
     value (no shared mutable function-attribute, so concurrent calls
     on one driver can't race each other's counters).
     """
-    edges = (
+    edges = _cut(
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
             F.col(id_b).cast("long").alias("dst"),
@@ -620,14 +636,18 @@ def connected_components_iters(
                 F.col(id_a).cast("long").alias("dst"),
             )
         )
-        .distinct()
-        .localCheckpoint()
+        # NULL (or NULL-cast) ids can't join anyway; dropping them
+        # here keeps the node set — and thus the output rows — equal
+        # to the driver union-find path's
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct(),
+        checkpoint_dir,
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
+        .select("node", F.col("node").alias("component")),
+        checkpoint_dir,
     )
     iters = 0
     for it in range(max_iter):
@@ -639,7 +659,7 @@ def connected_components_iters(
         # checkpointed: propagated feeds BOTH sides of the pointer-
         # doubling self-join below — without the cut, the edges-to-
         # labels join and min-aggregate above replay twice per round
-        propagated = (
+        propagated = _cut(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -648,8 +668,8 @@ def connected_components_iters(
                     F.col("component"),
                     F.coalesce("nbr_min", F.col("component")),
                 ).alias("component"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         # pointer doubling: comp = label[comp]; halves chain distance
         lut = propagated.select(
@@ -659,7 +679,7 @@ def connected_components_iters(
         # the convergence flag rides the checkpointed frame (computed
         # against _old carried through the round) — checking it is a
         # filter over cached blocks, NOT an extra old-vs-new join job
-        stepped = (
+        stepped = _cut(
             propagated.join(
                 lut, propagated.component == lut._c_node, "left"
             )
@@ -669,8 +689,8 @@ def connected_components_iters(
                 (
                     F.coalesce("_c_comp", "component") != F.col("_old")
                 ).alias("_chg"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = stepped.filter("_chg").limit(1).count()
         labels = stepped.drop("_chg")
@@ -699,12 +719,17 @@ def dedup_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     impl: str = "relational",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Component assignment for EVERY document: docs in some near-dup
     cluster get the cluster's min id, singletons get themselves.
     Output: (id_col, component, is_keeper). ``impl`` dispatches the
-    components step (see :func:`connected_components`)."""
-    comps = connected_components(pairs, id_a, id_b, impl=impl)
+    components step (see :func:`connected_components`);
+    ``checkpoint_dir`` selects reliable checkpointing for the
+    relational iteration."""
+    comps = connected_components(
+        pairs, id_a, id_b, impl=impl, checkpoint_dir=checkpoint_dir
+    )
     return (
         df.select(F.col(id_col).cast("long").alias("node"))
         .join(comps, "node", "left")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+from aws_de_final_project_spark.operators.util import cut as _cut
 
 
 def _driver_pagerank(
@@ -65,6 +66,7 @@ def pagerank(
     iter_impl: str = "auto",
     driver_max_nodes: int = 100_000,
     driver_max_edges: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Rank ``nodes`` by ``n_iter`` weighted-PageRank steps over
     ``edges``: pr'(v) = (1-d)/N + d * (sum over u->v of
@@ -117,14 +119,18 @@ def pagerank(
             [(v, float(p)) for v, p in pr.items()], [node_col, "pr"]
         )
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_tw"))
-    en = (
+    en = _cut(
         e.join(outw, "_src")
-        .select("_src", "_dst", (F.col("_w") / F.col("_tw")).alias("_p"))
-        .localCheckpoint()
+        .select("_src", "_dst", (F.col("_w") / F.col("_tw")).alias("_p")),
+        checkpoint_dir,
     )
-    ranks = nodes.select(
-        F.col(node_col).alias("_id"), (F.lit(1.0) / F.lit(float(n))).alias("_pr")
-    ).localCheckpoint()
+    ranks = _cut(
+        nodes.select(
+            F.col(node_col).alias("_id"),
+            (F.lit(1.0) / F.lit(float(n))).alias("_pr"),
+        ),
+        checkpoint_dir,
+    )
     base = F.lit((1.0 - damping) / float(n))
     for _ in range(n_iter):
         contrib = (
@@ -155,8 +161,8 @@ def pagerank(
                     )
                 ).alias("_pr"),
             )
-            .localCheckpoint()
         )
+        ranks = _cut(ranks, checkpoint_dir)
     return ranks.select(F.col("_id").alias(node_col), F.col("_pr").alias("pr"))
 
 
@@ -206,7 +212,12 @@ def trade_pagerank(
     )
 
 
-def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected
     graph given as an edge relation (duplicates/self-loops/reversed
     copies tolerated — canonicalized first).
@@ -231,14 +242,14 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # co-purchase self-join) — without a checkpoint Spark re-derives
     # it once per consumer (measured 4x wall-clock on the lineitem
     # graph at sf0.1).
-    e = (
+    e = _cut(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_u"),
             F.greatest(F.col(src), F.col(dst)).alias("_v"),
         )
         .where(F.col("_u") < F.col("_v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     deg = (
         e.select(F.explode(F.array("_u", "_v")).alias("_n"))
@@ -264,9 +275,9 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
             .alias("_e")
         )
         .select(F.col("_e.s").alias("_s"), F.col("_e.t").alias("_t"))
-        # both sides of the wedge self-join read this frame
-        .localCheckpoint()
     )
+    # both the adjacency build and the edge side read this frame
+    oriented = _cut(oriented, checkpoint_dir)
     # Adjacency-intersection enumeration (compact-forward): build each
     # node's sorted out-neighbor array once, attach it to both ends of
     # every oriented edge, and intersect in codegen. A triangle

@@ -5,6 +5,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def cut(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Lineage cut for iterative operators (components, PageRank,
+    triangle counting): keeps plan size constant across rounds.
+
+    Default is ``localCheckpoint()`` — blocks live on executors, fast,
+    but NOT fault-tolerant: losing an executor mid-iteration drops its
+    blocks and kills the job. On a real cluster pass ``checkpoint_dir``
+    (an HDFS/object-store path) to get a reliable ``checkpoint()``
+    instead — survives executor loss at the cost of a write per cut.
+    Both are eager, so the caller's cost model is unchanged.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    # setCheckpointDir appends a UUID subdir, so getCheckpointDir()
+    # never equals the base path — track the base we set ourselves
+    if getattr(sc, "_engine_ckpt_base", None) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        sc._engine_ckpt_base = checkpoint_dir
+    return df.checkpoint()
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Ensure per-row-heavy compute (shingling, seeded hashing, vector
     math — interpreted higher-order functions) is spread across the

@@ -1313,6 +1313,13 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["events"]
+        # NULL values must be excluded BEFORE the window: Spark's
+        # collect_list silently drops NULLs while other engines'
+        # windowed list() keeps them, so without this filter the two
+        # frames would misalign on any nullable input (the fixture
+        # has no NULL values; this pins the contract rather than
+        # relying on that)
+        .filter(F.col("value").isNotNull())
         .select(
             "user_id",
             "event_id",
