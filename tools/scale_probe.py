@@ -80,6 +80,19 @@ X30_QUERIES = [
     "dedup_prefix_filter_pairs",
 ]
 
+# round-6: the round-5 heavies (triangle enumeration over the
+# co-purchase graph, power-iteration PCA, blocked entity resolution)
+# get their own x10 tier of id-shifted lineitem / embeddings /
+# ciphered customer copies — each copy's graph/blocks are disjoint
+# from the others', so edge, Gram-row, and blocked-pair counts scale
+# exactly linearly in copies.
+MISC_X10_DIR = "/tmp/scale_probe_misc_x10"
+MISC_QUERIES = [
+    "triangle_parts_copurchase",
+    "pca_embedding_projection",
+    "entity_resolution_customers",
+]
+
 _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
@@ -117,6 +130,84 @@ def build_docs_xn(spark, src_sf: str, n: int, out_dir: str) -> None:
         out = out.unionByName(c)
     out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def build_misc_x10(spark, src_sf: str, n: int = 10) -> None:
+    """x10 tier for the graph/linear-algebra/linkage heavies.
+
+    lineitem: shift l_orderkey AND l_partkey per copy — each copy's
+    co-purchase graph is an exact isomorphic replica disjoint from
+    the others, so edges and triangles are exactly 10x. embeddings:
+    shift vec_id (Gram accumulation is row-linear; identical vectors
+    are fine). customer: shift c_custkey and apply the per-copy
+    [a-z0-9] cipher to c_name — a per-char bijection preserves
+    within-copy edit-distance structure exactly while cross-copy
+    names share no delete-variants, so blocked pair counts are 10x,
+    not 100x."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    t = load_tables(
+        spark, src_sf, ("lineitem", "embeddings", "customer"),
+        register_views=False,
+    )
+    os.makedirs(MISC_X10_DIR, exist_ok=True)
+
+    li = t["lineitem"]
+    n_ord = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    n_part = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    li_cols = [c for c in li.columns if c not in ("l_orderkey", "l_partkey")]
+    copies = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * n_ord)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i * n_part)).alias("l_partkey"),
+            *li_cols,
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(MISC_X10_DIR, "lineitem.parquet")
+    )
+
+    em = t["embeddings"]
+    n_vec = em.agg(F.max("vec_id")).collect()[0][0] + 1
+    em_cols = [c for c in em.columns if c != "vec_id"]
+    copies = [
+        em.select(
+            (F.col("vec_id") + F.lit(i * n_vec)).alias("vec_id"), *em_cols
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(MISC_X10_DIR, "embeddings.parquet")
+    )
+
+    cu = t["customer"]
+    n_cust = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
+    cu_cols = [c for c in cu.columns if c not in ("c_custkey", "c_name")]
+    copies = [
+        cu.select(
+            (F.col("c_custkey") + F.lit(i * n_cust)).alias("c_custkey"),
+            F.translate(
+                "c_name", _ALNUM, _ALNUM[i % 36:] + _ALNUM[: i % 36]
+            ).alias("c_name"),
+            *cu_cols,
+        )
+        for i in range(n)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(MISC_X10_DIR, "customer.parquet")
     )
 
 
@@ -160,17 +251,34 @@ def main() -> None:
     import __spark_entry__ as E
     from aws_de_final_project_spark.session import get_spark
 
+    # --only a,b,c restricts the probe to those queries and MERGES
+    # the new rows into the existing SCALING_PROBE.json instead of
+    # rebuilding the whole artifact (a full probe is ~45 min).
+    only: set | None = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
+    ev_queries = [q for q in QUERIES if only is None or q in only]
+    doc_queries = [q for q in DOC_QUERIES if only is None or q in only]
+    x30_queries = [q for q in X30_QUERIES if only is None or q in only]
+    misc_queries = [q for q in MISC_QUERIES if only is None or q in only]
+
     spark = get_spark()
     spark.range(10).count()
-    if not os.path.exists(os.path.join(X10_DIR, "events.parquet")):
+    if ev_queries and not os.path.exists(os.path.join(X10_DIR, "events.parquet")):
         build_x10(spark, "/root/testdata/sf0.1")
     # docs x10 uses the SAME cipher builder as x30 — the old vowel
     # rotation had only 5 distinct rotations, so copies i and i+5 were
     # exact cross-copy twins: 30k pairs over 50k docs vs the clean
     # 7.7k over 150k, which made decade-over-decade slopes compare
     # structurally different graphs
-    if not os.path.exists(os.path.join(DOCS_X10_DIR, "documents.parquet")):
+    if doc_queries and not os.path.exists(
+        os.path.join(DOCS_X10_DIR, "documents.parquet")
+    ):
         build_docs_xn(spark, "/root/testdata/sf0.1", 10, DOCS_X10_DIR)
+    if misc_queries and not os.path.exists(
+        os.path.join(MISC_X10_DIR, "customer.parquet")
+    ):
+        build_misc_x10(spark, "/root/testdata/sf0.1")
 
     def drive(df):
         df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
@@ -180,8 +288,13 @@ def main() -> None:
 
     fixed = measure_action_overhead(spark)
     rows = []
-    for name in QUERIES + DOC_QUERIES:
-        big = X10_DIR if name in QUERIES else DOCS_X10_DIR
+    for name in ev_queries + doc_queries + misc_queries:
+        if name in QUERIES:
+            big = X10_DIR
+        elif name in DOC_QUERIES:
+            big = DOCS_X10_DIR
+        else:
+            big = MISC_X10_DIR
         tiers = {
             "sf0.01": "/root/testdata/sf0.01",
             "sf0.1": "/root/testdata/sf0.1",
@@ -216,10 +329,12 @@ def main() -> None:
     # x10 is 3x data, so the linear expectation is
     # t30 ~= 3 * (t10 - fixed) + fixed; ratio_vs_linear > 1.2 means
     # superlinear growth was hiding between decades
-    if not os.path.exists(os.path.join(X30_DIR, "documents.parquet")):
+    if x30_queries and not os.path.exists(
+        os.path.join(X30_DIR, "documents.parquet")
+    ):
         build_docs_xn(spark, "/root/testdata/sf0.1", 30, X30_DIR)
     by_name = {r["query"]: r for r in rows}
-    for name in X30_QUERIES:
+    for name in x30_queries:
         row = by_name[name]
         spark.sparkContext._jvm.System.gc()
         drive(Q[name](spark, X30_DIR))  # cold/warmup
@@ -236,6 +351,17 @@ def main() -> None:
         print(json.dumps({k: row[k] for k in
                           ("query", "x10", "x30", "x30_ratio_vs_linear")}))
 
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_PROBE.json",
+    )
+    queries_map = by_name
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        merged = prior.get("queries", {})
+        merged.update(by_name)
+        queries_map = merged
     artifact = {
         "note": (
             "warm wall-clock (s) at each tier; x10 events = 10 "
@@ -243,16 +369,14 @@ def main() -> None:
             "id-shifted copies each under a distinct [a-z0-9] Caesar "
             "cipher (bijective: within-copy dup structure exact, "
             "cross-copy shingle overlap nil, so pair counts scale "
-            "linearly in copies); slopes are net of the measured "
-            "fixed action overhead"
+            "linearly in copies); x10 misc = id-shifted lineitem/"
+            "embeddings + ciphered customer copies (disjoint graphs/"
+            "blocks per copy); slopes are net of the measured fixed "
+            "action overhead"
         ),
         "action_overhead_sec": fixed,
-        "queries": by_name,
+        "queries": queries_map,
     }
-    out_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_PROBE.json",
-    )
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(f"wrote {out_path}")
