@@ -541,14 +541,24 @@ def connected_components(
       union-find. Same dispatch precedent as
       ``graphrank.pagerank(iter_impl=...)``. Raises if the pair
       count exceeds the cap rather than silently collecting big data.
+    * ``impl='auto'`` — tries the driver path's bounded collect
+      first and FALLS BACK to the relational iteration when the pair
+      list exceeds the cap, instead of raising: the dispatch a
+      pipeline wants at unknown scale (small blocked graphs stay
+      microsecond-fast; a pathological blocking key degrades to the
+      distributed path, never to an OOM or an error). Costs exactly
+      one wasted bounded collect on the fallback path, nothing on
+      the happy path.
     """
     if impl == "relational":
         labels, _ = connected_components_iters(
             pairs, id_a, id_b, max_iter, checkpoint_dir=checkpoint_dir
         )
         return labels
-    if impl != "driver":
-        raise ValueError(f"impl must be 'relational' or 'driver', got {impl!r}")
+    if impl not in ("driver", "auto"):
+        raise ValueError(
+            f"impl must be 'relational', 'driver' or 'auto', got {impl!r}"
+        )
     # drop pairs with NULL (or non-numeric -> NULL-cast) ids up
     # front: the relational path's equi-joins drop them implicitly,
     # and an uncaught None here would raise an opaque TypeError
@@ -563,6 +573,11 @@ def connected_components(
     )
     rows = capped.collect()
     if len(rows) > driver_max_pairs:
+        if impl == "auto":
+            labels, _ = connected_components_iters(
+                pairs, id_a, id_b, max_iter, checkpoint_dir=checkpoint_dir
+            )
+            return labels
         raise ValueError(
             f"pair list exceeds driver_max_pairs={driver_max_pairs}; "
             f"use impl='relational'"

@@ -1860,14 +1860,17 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_nk_a") == F.col("_nk_b"))
     )
     return (
-        # driver union-find: the blocked pair list is aggregation-
-        # sized (a few edges per entity regardless of input scale) and
-        # its min-label propagation distance at sf0.1 is 26 rounds —
-        # 26 shuffle rounds relationally vs microseconds in union-find
-        # (same dispatch rationale as graphrank.pagerank iter_impl;
-        # equivalence pinned in tests/test_dedup.py)
+        # auto dispatch: the blocked pair list is aggregation-sized
+        # (a few edges per entity regardless of input scale) so the
+        # driver union-find runs — its min-label propagation distance
+        # at sf0.1 is 26 rounds, 26 shuffle rounds relationally vs
+        # microseconds in union-find (same rationale as
+        # graphrank.pagerank iter_impl; equivalence pinned in
+        # tests/test_dedup.py). If a pathological blocking key ever
+        # pushes pairs past the 2M cap, 'auto' falls back to the
+        # distributed pointer-doubling path instead of raising.
         dedup.dedup_components(
-            names, pairs, "id", "id_a", "id_b", impl="driver"
+            names, pairs, "id", "id_a", "id_b", impl="auto"
         )
         .select(
             F.col("id").alias("c_custkey"),

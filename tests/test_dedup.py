@@ -500,3 +500,29 @@ def test_connected_components_null_pairs_dropped_in_both_impls(spark):
            for r in dedup.connected_components(pairs, impl="driver").collect()}
     assert rel == expected
     assert drv == expected
+
+
+def test_connected_components_auto_dispatch(spark):
+    """impl='auto' must use the driver union-find when the pair list
+    fits the cap, and FALL BACK to the relational iteration (same
+    labels, no error) when it exceeds the cap — the scale-safety
+    contract entity resolution relies on."""
+    import random
+
+    rng = random.Random(23)
+    edges = {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(150), rng.randrange(150))
+                          for _ in range(120)) if a != b}
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    rel = {(r.node, r.component)
+           for r in dedup.connected_components(pairs).collect()}
+    auto_small = {(r.node, r.component)
+                  for r in dedup.connected_components(
+                      pairs, impl="auto").collect()}
+    assert auto_small == rel
+    # cap of 10 forces the over-cap branch: auto falls back instead
+    # of raising (driver impl still raises, pinned elsewhere)
+    auto_over = {(r.node, r.component)
+                 for r in dedup.connected_components(
+                     pairs, impl="auto", driver_max_pairs=10).collect()}
+    assert auto_over == rel
