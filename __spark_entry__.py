@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer_agg": Q.topk_orders_per_customer_agg,
         "latency_quantiles_by_type": Q.latency_quantiles_by_type,
         "dedup_component_groups_portable": X.dedup_component_groups_portable,
+        "sketch_kmv_distinct_portable": X.sketch_kmv_distinct_portable,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2199,6 +2200,45 @@ def oracle_sql() -> dict[str, str]:
                        AS is_keeper
             FROM documents d LEFT JOIN mins m ON d.doc_id = m.node
             ORDER BY d.doc_id
+        """,
+        # KMV sketch: md5-derived uniform hashes replay bit-identically
+        # (int64 -> double rounding then division by 2^60 is exact in
+        # binary FP on both engines), so the k-th minimum and the
+        # (k-1)/u_k estimate hash-match
+        "sketch_kmv_distinct_portable": """
+            WITH d AS (
+                SELECT DISTINCT event_type, user_id FROM events
+            ),
+            h AS (
+                SELECT event_type,
+                       CAST(('0x' || substr(
+                            md5(CAST(user_id AS VARCHAR)), 1, 15
+                       ))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+                FROM d
+            ),
+            ranked AS (
+                SELECT event_type, u,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY u
+                       ) AS rn
+                FROM h
+            ),
+            sk AS (
+                SELECT event_type, count(*) AS n_in_sketch, max(u) AS uk
+                FROM ranked WHERE rn <= 64 GROUP BY event_type
+            ),
+            ex AS (
+                SELECT event_type, count(*) AS exact_users
+                FROM d GROUP BY event_type
+            )
+            SELECT sk.event_type, ex.exact_users,
+                   (floor((CASE WHEN sk.n_in_sketch < 64
+                                THEN CAST(sk.n_in_sketch AS DOUBLE)
+                                ELSE 63.0 / sk.uk END)
+                          * 100.0 + 0.5) / 100.0) AS est_users
+            FROM sk JOIN ex USING (event_type)
+            ORDER BY sk.event_type
         """,
         "dedup_embedding_cosine": """
             WITH v AS (

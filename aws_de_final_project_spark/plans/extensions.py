@@ -289,6 +289,77 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_kmv_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type —
+    the FULL-oracle twin of sketch_event_stats' HLL++ column, same
+    recipe as the portable MinHash/SimHash twins: the hash family is
+    ``int(md5(user_id)[:15 hex]) / 16^15`` (bit-identical in DuckDB),
+    so signatures, the k-th minimum, and the (k-1)/u_k estimator all
+    replay exactly and the driver hash-checks the whole sketch.
+
+    Estimator (Bar-Yossef et al.): with u_k the k-th smallest of the
+    distinct hash values in [0,1), E[distinct] = (k-1)/u_k; when a
+    group holds fewer than k distinct values the sketch IS the exact
+    set. Output pins both the estimate and the exact count, so the
+    row itself exhibits the sketch's accuracy. k=64 (~12% rel err) is
+    chosen so BOTH branches are driver-exercised: sf0.001 groups hold
+    <64 distinct users (exact branch), sf0.01+ hold more (estimator).
+
+    Scale shape: the state per group is k doubles, merged by
+    union+keep-k-smallest — this demo form computes the k-minimum via
+    a per-group rank over the distinct frame (one shuffle, same key
+    as the exact-distinct shuffle it replaces at 100 TB the real
+    deployment would use the HLL entry; THIS entry exists to make the
+    sketch family oracle-checkable at all)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from pyspark.sql.window import Window
+
+    k = 64
+    scale = float(16 ** 15)
+    d = t["events"].select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(scale)
+        ).alias("u"),
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    ranked = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_sketch"),
+            F.max("u").alias("_uk"),
+        )
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(
+                F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
+            )
+            .otherwise(F.lit(float(k - 1)) / F.col("_uk"))
+            .alias("_est"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            rnd(F.col("_est"), 2).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring rolled up per language."""
     t = load_tables(spark, sf_dir, ("documents",))

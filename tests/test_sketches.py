@@ -142,3 +142,25 @@ def test_phrase_occurrences_semantics(spark):
     assert got[5] == 1
     with pytest.raises(ValueError):
         df.select(phrase_occurrences("text", "!!!"))
+
+
+def test_kmv_sketch_exact_branch_and_estimator_accuracy(spark):
+    """KMV portable sketch: groups with < k distinct users report the
+    EXACT count (the sketch holds the whole set); larger groups use
+    the (k-1)/u_k estimator, which at k=64 must land within ~4 std
+    errors (50%) of exact on the fixture — wide enough to be
+    deterministic, tight enough to catch a broken estimator (an
+    off-by-one in rank or a wrong normalizer is 2x+ off)."""
+    from aws_de_final_project_spark.plans.extensions import (
+        sketch_kmv_distinct_portable,
+    )
+
+    rows = sketch_kmv_distinct_portable(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.exact_users < 64:
+            assert r.est_users == float(r.exact_users)
+        else:
+            assert abs(r.est_users - r.exact_users) / r.exact_users < 0.5
