@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_quantiles_by_type": Q.latency_quantiles_by_type,
         "dedup_component_groups_portable": X.dedup_component_groups_portable,
         "sketch_kmv_distinct_portable": X.sketch_kmv_distinct_portable,
+        "epoch_shuffle_docs": X.epoch_shuffle_docs,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2239,6 +2240,26 @@ def oracle_sql() -> dict[str, str]:
                           * 100.0 + 0.5) / 100.0) AS est_users
             FROM sk JOIN ex USING (event_type)
             ORDER BY sk.event_type
+        """,
+        # deterministic epoch shuffle: md5 keys + hash shards + per-
+        # shard rank replay identically
+        "epoch_shuffle_docs": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5('epoch-7:' || CAST(doc_id AS VARCHAR)) AS k,
+                       CAST(
+                           ('0x' || substr(
+                               md5('epoch-7:' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 8 AS INT
+                       ) AS shard
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY k
+                   ) AS INT) AS pos
+            FROM keyed
+            ORDER BY shard, pos
         """,
         "dedup_embedding_cosine": """
             WITH v AS (

@@ -360,6 +360,48 @@ def sketch_kmv_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-seeded corpus shuffle: the data-ordering
+    primitive of a training loop. Each doc draws a uniform key from
+    md5(epoch_seed || doc_id) — reproducible under retries, task
+    re-execution, and repartitioning (no rand()); docs are hash-
+    assigned to shards and ordered within each shard by the key.
+    Output: (doc_id, shard, pos) — a complete, deterministic epoch
+    permutation a trainer can consume shard-per-worker.
+
+    Scale shape: the shard assignment is a pure projection; the only
+    shuffle is the per-shard ordering window — partitioned by shard,
+    so it's the standard distributed-sort pattern (each shard sorts
+    its own slice; nothing global). At 100 TB you'd raise n_shards to
+    the worker count and the per-shard sort stays bounded. Fully
+    oracle-checked (md5 replays bit-identically)."""
+    from pyspark.sql.window import Window
+
+    seed = "epoch-7:"
+    n_shards = 8
+    t = load_tables(spark, sf_dir, ("documents",))
+    keyed = t["documents"].select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(seed), F.col("doc_id").cast("string"))
+        ).alias("_k"),
+    )
+    shard = F.pmod(
+        F.conv(F.substring("_k", 1, 15), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_k")
+    return (
+        keyed.select("doc_id", shard.alias("shard"), "_k")
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring rolled up per language."""
     t = load_tables(spark, sf_dir, ("documents",))
