@@ -305,20 +305,28 @@ def sketch_kmv_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen so BOTH branches are driver-exercised: sf0.001 groups hold
     <64 distinct users (exact branch), sf0.01+ hold more (estimator).
 
-    Scale shape: the state per group is k doubles, merged by
-    union+keep-k-smallest — this demo form computes the k-minimum via
-    a per-group rank over the distinct frame (one shuffle, same key
-    as the exact-distinct shuffle it replaces at 100 TB the real
-    deployment would use the HLL entry; THIS entry exists to make the
-    sketch family oracle-checkable at all)."""
+    Scale shape: KMV state is k doubles per group, merged by
+    union+keep-k-smallest — an associative merge, so the k-minimum is
+    computed in two bounded phases (the salted top-k pattern): a rank
+    within (group, salt-of-user) cells keeps each cell's k smallest
+    in parallel (no task ever sorts more than a cell), then a final
+    rank over the <= salts*k survivors per group picks the global k
+    smallest. No single task ever sees a group's full distinct set.
+    The exact_users column is the one deliberately exact (full
+    distinct) aggregate — it exists to exhibit the estimator's error
+    in the output itself; a production sketch would drop it."""
     t = load_tables(spark, sf_dir, ("events",))
     from pyspark.sql.window import Window
 
     k = 64
+    n_salts = 64
     scale = float(16 ** 15)
     d = t["events"].select("event_type", "user_id").distinct()
     h = d.select(
         "event_type",
+        F.pmod(F.crc32(F.col("user_id").cast("string")), F.lit(n_salts)).alias(
+            "_salt"
+        ),
         (
             F.conv(
                 F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
@@ -328,8 +336,18 @@ def sketch_kmv_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(scale)
         ).alias("u"),
     )
+    # phase 1: per-(group, salt) k smallest — each cell's local k-min
+    # is a superset filter for the global k-min (k smallest of a
+    # union = k smallest of the per-part k-smallest)
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("u")
+    cand = (
+        h.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .select("event_type", "u")
+    )
+    # phase 2: global k smallest over the <= n_salts*k survivors
     w = Window.partitionBy("event_type").orderBy("u")
-    ranked = h.withColumn("rn", F.row_number().over(w)).filter(
+    ranked = cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
     exact = d.groupBy("event_type").agg(
