@@ -423,7 +423,14 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["events"]
         .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            # date_trunc implicitly upcasts NTZ -> LTZ (session-tz
+            # truncation is still correct — load_tables pins UTC) but
+            # an LTZ OUTPUT localizes through the PROCESS tz at
+            # collect(); cast back to NTZ so the result is wall-time
+            # under any driver tz (caught by the Chatham-tz sweep)
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("hour_start"),
             "event_type",
         )
         .agg(
@@ -820,7 +827,12 @@ def gap_fill_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         t["events"]
         .filter(F.col("user_id") < 20)
-        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        # NTZ cast: date_trunc upcasts to LTZ, which would localize
+        # through the process tz at collect() (see hourly_event_stats)
+        .groupBy(
+            "user_id",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
+        )
         .agg(rnd(F.avg("value"), 4).alias("v"))
     )
     spine = (

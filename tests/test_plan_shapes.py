@@ -286,3 +286,21 @@ def test_q5_broadcasts_dimensions(plans):
     p = plans("q5_local_supplier_volume")
     assert p.count("BroadcastHashJoin") >= 2, p[:800]
     assert "CartesianProduct" not in p
+
+
+def test_no_ltz_output_columns_anywhere(spark):
+    """No queries() entry may output a TIMESTAMP (LTZ) column: LTZ
+    values localize through the PROCESS timezone at collect(), so an
+    LTZ output diverges from its naive-timestamp oracle under any
+    non-UTC driver tz (caught live by the Chatham-tz sweep on
+    hourly_event_stats/gap_fill_hourly_values — date_trunc silently
+    upcasts NTZ to LTZ). Plan-build only, no execution."""
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        ltz = [c for c, t in df.dtypes if t == "timestamp"]
+        if ltz:
+            offenders[name] = ltz
+    assert not offenders, f"LTZ output columns: {offenders}"

@@ -10,6 +10,20 @@ paths correct at sf0.01), not an engine limit.
 
 Usage: PYTHONPATH=/root/repo python tools/sf01_oracle_sweep.py
 Prints one `ok`/`SKIP`/`FAIL` line per entry and a JSON summary.
+
+Hostile-environment matrix (round 6): besides the non-UTC session tz
+set below, run the sweep under a non-UTC PROCESS tz and a non-English
+JVM default locale to flush out locale-sensitive case/collation or
+zone-default bugs:
+
+    TZ=Pacific/Chatham \
+    JAVA_TOOL_OPTIONS="-Duser.language=tr -Duser.country=TR" \
+    PYTHONPATH=/root/repo python tools/sf01_oracle_sweep.py
+
+(Turkish is the classic hostile locale: dotless-i breaks any
+locale-dependent lower()/upper(); Spark's and DuckDB's string
+functions are locale-independent by spec, and this run proves the
+whole query surface actually is.)
 """
 
 from __future__ import annotations
