@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_component_groups_portable": X.dedup_component_groups_portable,
         "sketch_kmv_distinct_portable": X.sketch_kmv_distinct_portable,
         "epoch_shuffle_docs": X.epoch_shuffle_docs,
+        "split_train_val_test_docs": X.split_train_val_test_docs,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2240,6 +2241,22 @@ def oracle_sql() -> dict[str, str]:
                           * 100.0 + 0.5) / 100.0) AS est_users
             FROM sk JOIN ex USING (event_type)
             ORDER BY sk.event_type
+        """,
+        # hash-range split: identical md5-derived double + thresholds
+        "split_train_val_test_docs": """
+            SELECT doc_id, lang,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(
+                            md5('split-42:' || CAST(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+                FROM documents
+            )
+            ORDER BY doc_id
         """,
         # deterministic epoch shuffle: md5 keys + hash shards + per-
         # shard rank replay identically

