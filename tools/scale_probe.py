@@ -39,6 +39,9 @@ QUERIES = [
     "asof_click_attribution",
     "range_join_event_sessions",
     "funnel_user_steps",
+    # round-6: salted two-phase KMV k-minimum — the claim is that no
+    # task ever sorts a full group's distinct set
+    "sketch_kmv_distinct_portable",
 ]
 
 # dedup/text family runs against the documents x10/x30 tiers built by
@@ -58,6 +61,10 @@ DOC_QUERIES = [
     # structures whose scaling is a design CLAIM — probe both
     "dedup_prefix_filter_pairs",
     "heavy_hitter_tokens",
+    # round-6: per-shard rank (epoch shuffle) and pure-projection
+    # hash split — both should be flat-linear by construction
+    "epoch_shuffle_docs",
+    "split_train_val_test_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
@@ -318,10 +325,16 @@ def main() -> None:
             # page-cache noise at the big tiers (measured), which is
             # enough to fake a superlinear slope
             row[tier] = round(min(reps), 3)
-        # slope net of the measured fixed action overhead
+        # slope net of the measured fixed action overhead; when both
+        # tiers are within ~overhead of zero the ratio is division
+        # noise, not a growth rate — report null (flat) instead of a
+        # large-looking artifact
         num = max(row["x10"] - fixed, 1e-3)
         den = max(row["sf0.1"] - fixed, 1e-3)
-        row["slope_x10_vs_sf0.1"] = round(num / den, 2)
+        if num < 0.25 and den < 0.25:
+            row["slope_x10_vs_sf0.1"] = None
+        else:
+            row["slope_x10_vs_sf0.1"] = round(num / den, 2)
         print(json.dumps(row))
         rows.append(row)
 
