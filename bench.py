@@ -28,6 +28,11 @@ import __spark_entry__ as entrymod  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "return_pct_by_nation",
+    # round-6 additions
+    "dedup_component_groups_portable",
+    "sketch_kmv_distinct_portable",
+    "epoch_shuffle_docs",
+    "split_train_val_test_docs",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",
