@@ -304,3 +304,37 @@ def test_no_ltz_output_columns_anywhere(spark):
         if ltz:
             offenders[name] = ltz
     assert not offenders, f"LTZ output columns: {offenders}"
+
+
+def test_hash_split_is_pure_projection(plans):
+    """The train/val/test split must stay a scan-side projection:
+    zero exchanges (its whole point is that split assignment composes
+    onto a 100 TB scan with no shuffle). The final orderBy is the
+    display sort of the query entry, not part of the operator —
+    exchanges for it only appear because of that single ORDER BY,
+    so assert exactly one Exchange (the rangepartitioning sort) and
+    no aggregation/join."""
+    p = plans("split_train_val_test_docs")
+    assert p.count("Exchange") <= 1, p
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+
+
+def test_epoch_shuffle_prunes_to_doc_id(plans):
+    """Epoch shuffle must read doc_id ONLY (the permutation never
+    needs text): a scan that drags the text column through the shard
+    shuffle multiplies exchange volume by document size."""
+    p = plans("epoch_shuffle_docs")
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+    assert "text" not in p.split("ReadSchema")[1][:200]
+
+
+def test_kmv_two_phase_no_single_group_sort(plans):
+    """The KMV k-minimum must run as the salted two-phase rank: two
+    Window operators (per-(group,salt) rank, then global-survivor
+    rank), and the first window's partitioning must include the salt
+    column — the property that stops any task from sorting a full
+    group's distinct set."""
+    p = plans("sketch_kmv_distinct_portable")
+    assert p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2, p
+    assert "_salt" in p
