@@ -65,6 +65,9 @@ DOC_QUERIES = [
     # hash split — both should be flat-linear by construction
     "epoch_shuffle_docs",
     "split_train_val_test_docs",
+    # round-6: the driver-facing full-oracle LSH clustering twin —
+    # same banded shape as dedup_component_groups_lsh, md5 family
+    "dedup_component_groups_portable",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
