@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct_portable": X.sketch_kmv_distinct_portable,
         "epoch_shuffle_docs": X.epoch_shuffle_docs,
         "split_train_val_test_docs": X.split_train_val_test_docs,
+        "bigram_logprob_scores": X.bigram_logprob_scores,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2241,6 +2242,47 @@ def oracle_sql() -> dict[str, str]:
                           * 100.0 + 0.5) / 100.0) AS est_users
             FROM sk JOIN ex USING (event_type)
             ORDER BY sk.event_type
+        """,
+        # bigram LM: identical tokenization (repetition_top_bigram's),
+        # identical add-alpha arithmetic, 4dp floor rounding
+        "bigram_logprob_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents
+            ),
+            v AS (
+                SELECT count(DISTINCT tok) AS vsz
+                FROM (SELECT unnest(ts) AS tok FROM toks)
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ts)),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS bg
+                FROM toks
+                WHERE len(ts) >= 2
+            ),
+            c12 AS (
+                SELECT bg, count(*) AS c12 FROM bg GROUP BY bg
+            ),
+            c1 AS (
+                SELECT split_part(bg, ' ', 1) AS w1,
+                       CAST(sum(c12) AS BIGINT) AS c1
+                FROM c12 GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   count(*) AS n_bigrams,
+                   floor(avg(ln(
+                       (c12.c12::DOUBLE + 0.1)
+                       / (c1.c1::DOUBLE + 0.1 * v.vsz::DOUBLE)
+                   )) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+            FROM bg b
+            JOIN c12 USING (bg)
+            JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+            CROSS JOIN v
+            GROUP BY b.doc_id
+            ORDER BY b.doc_id
         """,
         # hash-range split: identical md5-derived double + thresholds
         "split_train_val_test_docs": """

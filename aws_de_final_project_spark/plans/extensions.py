@@ -953,6 +953,73 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency filter, one model class up from
+    unigram_logprob_scores: score each document by the mean
+    natural-log conditional bigram probability of its token stream
+    under the corpus's own add-alpha-smoothed bigram LM —
+    ln((c(w1,w2) + a) / (c(w1,·) + a·V)), a=0.1, V = corpus vocab
+    size. Gibberish and boilerplate-shuffled text score low even when
+    every individual token is common — the failure mode a unigram
+    filter can't see.
+
+    Scale shape: bigrams are built in codegen (transform over the
+    token array — no position self-join), counted with one hash
+    aggregate keyed on the bigram, and docs join their bigrams back
+    on that same key; prefix counts derive FROM the bigram counts
+    (one more aggregate on the model-sized frame, never a second
+    corpus pass) and V arrives as a broadcast 1-row cross join. The
+    model-side join is left to AQE: broadcast at demo scale, shuffle
+    join keyed on the bigram at corpus scale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = d.select("doc_id", ts.alias("_ts")).filter(F.size("_ts") >= 2)
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("_ts"), i),
+            F.lit(" "),
+            F.element_at(F.col("_ts"), i + 1),
+        ),
+    )
+    doc_bg = docs.select("doc_id", F.explode(pair).alias("bg"))
+    c12 = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        c12.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vsz = (
+        d.select(F.explode(ts).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    alpha = 0.1
+    scored = (
+        doc_bg.join(c12, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12").cast("double") + F.lit(alpha))
+                / (
+                    F.col("c1").cast("double")
+                    + F.lit(alpha) * F.col("vsz").cast("double")
+                )
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            rnd(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def spatial_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join (1 km) over deterministic per-customer
     coordinates in the Chicago band — the grid-bucketed spatial pair

@@ -248,3 +248,25 @@ def test_heavy_hitters_null_keys_and_validation(spark):
         heavy_hitter_keys(df, "k", support=1.5)
     with pytest.raises(ValueError):
         heavy_hitter_keys(df, "k", support=0.01, n_counters=10)
+
+
+def test_bigram_lm_scores_gibberish_below_natural_text(spark, tmp_path):
+    """The bigram LM must separate token-shuffled gibberish from
+    natural text built of the SAME tokens — the exact signal a
+    unigram LM is blind to (identical token multiset => identical
+    unigram score)."""
+    import os
+
+    from aws_de_final_project_spark.plans.extensions import (
+        bigram_logprob_scores,
+    )
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the dog rug on cat the sat and on the sat the"
+    rows = [(i, natural) for i in range(20)] + [(99, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r.avg_logprob for r in
+           bigram_logprob_scores(spark, d).collect()}
+    assert got[99] < got[0] - 1.0, got
