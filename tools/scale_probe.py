@@ -68,6 +68,8 @@ DOC_QUERIES = [
     # round-6: the driver-facing full-oracle LSH clustering twin —
     # same banded shape as dedup_component_groups_lsh, md5 family
     "dedup_component_groups_portable",
+    # round-6: bigram LM — two corpus aggregates + a model re-join
+    "bigram_logprob_scores",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
