@@ -217,6 +217,9 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         # contingency margins ARE a cross product by definition:
         # |event_type| x |hour| rows, both margin frames tiny
         "chi2_event_type_hour",
+        # 1-row vocab-size frame broadcast into the smoothing term
+        # (same shape as the unigram entry's corpus-total cross join)
+        "bigram_logprob_scores",
     }
     for name in bench.HEADLINE:
         p = plans(name)
