@@ -33,6 +33,7 @@ HEADLINE = [
     "sketch_kmv_distinct_portable",
     "epoch_shuffle_docs",
     "split_train_val_test_docs",
+    "bigram_logprob_scores",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",
