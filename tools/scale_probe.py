@@ -90,6 +90,10 @@ X30_QUERIES = [
     # prefix-filter join: candidates must scale with true dup count
     # (cipher copies keep cross-copy shingles disjoint), not n^2
     "dedup_prefix_filter_pairs",
+    # round-6: banded md5 clustering and the bigram-model join are
+    # the two newest structures with any growth risk
+    "dedup_component_groups_portable",
+    "bigram_logprob_scores",
 ]
 
 # round-6: the round-5 heavies (triangle enumeration over the
