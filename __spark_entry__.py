@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_docs": X.epoch_shuffle_docs,
         "split_train_val_test_docs": X.split_train_val_test_docs,
         "bigram_logprob_scores": X.bigram_logprob_scores,
+        "curation_manifest_docs": X.curation_manifest_docs,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2242,6 +2243,95 @@ def oracle_sql() -> dict[str, str]:
                           * 100.0 + 0.5) / 100.0) AS est_users
             FROM sk JOIN ex USING (event_type)
             ORDER BY sk.event_type
+        """,
+        # full curation pipeline composed from the individually-proven
+        # fragments: fingerprint dedup -> per-source median quality
+        # gate (thresholds over SURVIVORS, matching the Spark stage
+        # order) -> 5-gram md5 decontamination -> hash-range split
+        "curation_manifest_docs": f"""
+            WITH corpus AS (
+                SELECT * FROM documents WHERE doc_id % 23 <> 0
+            ),
+            fps AS (
+                SELECT doc_id, md5({_NORM.format(c='text')}) AS fp
+                FROM corpus
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+            dd AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+            scored AS (
+                SELECT doc_id,
+                       (floor((greatest(0.0,
+                           least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                                  END AS double) / 100.0, 1.0)
+                           * (1 - CASE WHEN length(text) > 0
+                                  THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS double)
+                                       / CAST(length(text) AS double)
+                                  ELSE 0.0 END)
+                       )) * 10000.0 + 0.5) / 10000.0) AS quality
+                FROM dd
+            ),
+            thr AS (
+                SELECT d.source, quantile_cont(s.quality, 0.5) AS _thr
+                FROM dd d JOIN scored s USING (doc_id)
+                GROUP BY d.source
+            ),
+            gated AS (
+                SELECT d.* FROM dd d
+                JOIN scored s USING (doc_id)
+                JOIN thr t ON d.source = t.source
+                WHERE s.quality >= t._thr
+            ),
+            gw AS (
+                SELECT doc_id,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM gated
+            ),
+            gs AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 4, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 4, 1) + 1)
+                       ]) AS sh
+                FROM gw
+            ),
+            bw AS (
+                SELECT string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents WHERE doc_id % 23 = 0
+            ),
+            bh AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(u.s1), 1, 15))::BIGINT AS h
+                FROM (
+                    SELECT unnest(list_distinct([
+                        array_to_string(wd[i:least(i + 4, len(wd))], ' ')
+                        for i in range(1, greatest(len(wd) - 4, 1) + 1)
+                    ])) AS s1 FROM bw
+                ) u
+            ),
+            hit AS (
+                SELECT DISTINCT u.doc_id
+                FROM (SELECT doc_id, unnest(sh) AS s1 FROM gs) u
+                WHERE ('0x' || substr(md5(u.s1), 1, 15))::BIGINT
+                      IN (SELECT h FROM bh)
+            ),
+            clean AS (
+                SELECT g.* FROM gated g
+                WHERE g.doc_id NOT IN (SELECT doc_id FROM hit)
+            )
+            SELECT doc_id, lang, source,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, lang, source,
+                       CAST(('0x' || substr(
+                            md5('split-42:' || CAST(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+                FROM clean
+            )
+            ORDER BY doc_id
         """,
         # bigram LM: identical tokenization (repetition_top_bigram's),
         # identical add-alpha arithmetic, 4dp floor rounding

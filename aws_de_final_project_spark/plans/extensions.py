@@ -953,6 +953,64 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one driver-checkable query —
+    the manifest a corpus build hands to training: exact dedup
+    (first-id-wins fingerprint) → per-source median quality gate →
+    benchmark decontamination (drop any 5-gram overlap with the
+    doc_id%23 eval slice) → deterministic hash-range train/val/test
+    assignment. Stage ordering is curate_corpus's (operators/
+    curation.py:244): dedup before the gate so copies don't vote on
+    quantile thresholds; decontaminate after the gates so the
+    broadcast shingle join runs on the smallest surviving set.
+
+    Every stage is an individually-oracled operator; this entry pins
+    the COMPOSITION (the part curate_corpus itself can't oracle-check
+    because it writes shards and returns a dict). All stage math is
+    md5/threshold-replayable, so the DuckDB twin runs the identical
+    pipeline end-to-end."""
+    from aws_de_final_project_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    deduped = dedup.exact_dedup(corpus, "text", "doc_id")
+    gated_ids = curation.quantile_quality_filter(
+        deduped, group_col="source", q=0.5
+    ).select("doc_id")
+    gated = deduped.join(gated_ids, "doc_id", "left_semi")
+    overlap = curation.decontaminate(gated, bench, ngram=5)
+    clean_ids = overlap.filter(F.col("n_hits") == 0).select("doc_id")
+    clean = gated.join(clean_ids, "doc_id", "left_semi")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split-42:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 15))
+    )
+    return (
+        clean.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(u < 0.8, F.lit("train"))
+            .when(u < 0.9, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style fluency filter, one model class up from
     unigram_logprob_scores: score each document by the mean
