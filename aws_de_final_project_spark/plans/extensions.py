@@ -971,15 +971,21 @@ def curation_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline end-to-end."""
     from aws_de_final_project_spark.operators import curation
 
+    from aws_de_final_project_spark.operators.util import cut as _cutf
+
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     corpus = docs.filter(F.col("doc_id") % 23 != 0)
-    deduped = dedup.exact_dedup(corpus, "text", "doc_id")
+    # checkpoint the two multi-consumer stage frames (same as
+    # curate_corpus): deduped feeds the gate AND the semi-join,
+    # gated feeds decontamination AND the final semi-join — without
+    # the cuts each stage's whole subtree replays per consumer
+    deduped = _cutf(dedup.exact_dedup(corpus, "text", "doc_id"))
     gated_ids = curation.quantile_quality_filter(
         deduped, group_col="source", q=0.5
     ).select("doc_id")
-    gated = deduped.join(gated_ids, "doc_id", "left_semi")
+    gated = _cutf(deduped.join(gated_ids, "doc_id", "left_semi"))
     overlap = curation.decontaminate(gated, bench, ngram=5)
     clean_ids = overlap.filter(F.col("n_hits") == 0).select("doc_id")
     clean = gated.join(clean_ids, "doc_id", "left_semi")

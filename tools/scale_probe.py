@@ -70,6 +70,9 @@ DOC_QUERIES = [
     "dedup_component_groups_portable",
     # round-6: bigram LM — two corpus aggregates + a model re-join
     "bigram_logprob_scores",
+    # round-6: the composed curation pipeline (dedup -> gate ->
+    # decontaminate -> split) — every stage linear, so the chain is
+    "curation_manifest_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
