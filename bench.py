@@ -34,6 +34,7 @@ HEADLINE = [
     "epoch_shuffle_docs",
     "split_train_val_test_docs",
     "bigram_logprob_scores",
+    "curation_manifest_docs",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",
