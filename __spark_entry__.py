@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test_docs": X.split_train_val_test_docs,
         "bigram_logprob_scores": X.bigram_logprob_scores,
         "curation_manifest_docs": X.curation_manifest_docs,
+        "sketch_cms_token_freq": X.sketch_cms_token_freq,
+        "jl_project_embeddings": X.jl_project_embeddings,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -194,6 +196,24 @@ _NORM = (
     " '\\s+', ' ', 'g'))"
 )
 _WORDS = f"list_distinct(string_split({_NORM}, ' '))"
+
+
+def _jl_sign_rows_sql() -> str:
+    """VALUES rows (k, signs DOUBLE[]) carrying the SAME Rademacher
+    bank plans/extensions.jl_sign_bank builds for the Spark plan —
+    repr round-trips float64 exactly, so both engines dot against
+    bit-identical literals."""
+    from aws_de_final_project_spark.plans.extensions import jl_sign_bank
+
+    return ", ".join(
+        "({k}, [{vals}]::DOUBLE[])".format(
+            k=k, vals=", ".join(repr(v) for v in row)
+        )
+        for k, row in enumerate(jl_sign_bank())
+    )
+
+
+_JL_SIGN_ROWS = _jl_sign_rows_sql()
 _TOKENS_LOWER = "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
 
 _STOPWORDS = {
@@ -2389,6 +2409,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             ORDER BY doc_id
+        """,
+        # count-min sketch: identical md5 bucket family, identical
+        # top-30 query set, min-over-rows estimate replayed exactly
+        "sketch_cms_token_freq": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_NORM.format(c='text')}, ' '))
+                           AS token
+                FROM documents
+            ),
+            tok AS (SELECT token FROM toks WHERE token <> ''),
+            cells AS (
+                SELECT r,
+                       ('0x' || substr(
+                           md5('cms' || r || ':' || token), 1, 15
+                       ))::BIGINT % 512 AS b,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM tok CROSS JOIN range(4) t(r)
+                GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+                FROM tok GROUP BY token
+                ORDER BY exact_n DESC, token
+                LIMIT 30
+            )
+            SELECT e.token, e.exact_n,
+                   CAST(min(c.n) AS BIGINT) AS cms_est
+            FROM exact e
+            JOIN cells c
+              ON c.b = ('0x' || substr(
+                     md5('cms' || c.r || ':' || e.token), 1, 15
+                 ))::BIGINT % 512
+            GROUP BY e.token, e.exact_n
+            ORDER BY e.exact_n DESC, e.token
+        """,
+        # JL projection: identical Rademacher sign literals (f-string
+        # interpolation of the SAME driver-side bank the Spark plan
+        # parses), identical 1/sqrt(16) scale, 4dp floor rounding
+        "jl_project_embeddings": f"""
+            WITH s(k, signs) AS (VALUES {_JL_SIGN_ROWS}),
+            v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            )
+            SELECT vec_id, CAST(k AS INT) AS dim,
+                   floor(list_dot_product(e, signs) * 0.25
+                         * 10000.0 + 0.5) / 10000.0 AS val
+            FROM v CROSS JOIN s
+            ORDER BY vec_id, dim
         """,
         # deterministic epoch shuffle: md5 keys + hash shards + per-
         # shard rank replay identically

@@ -2206,3 +2206,180 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_occurrences") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch + Johnson-Lindenstrauss projection (round 6)
+# ---------------------------------------------------------------------------
+
+_CMS_ROWS = 4
+_CMS_WIDTH = 512
+
+
+def _cms_bucket(r: int, tok) -> F.Column:
+    """Row-r count-min bucket of a token: first 60 bits of
+    md5('cms{r}:' || token) mod width — bit-identical in DuckDB via
+    ``('0x' || substr(md5('cms' || r || ':' || token), 1, 15))::BIGINT
+    % width`` (same recipe as the portable MinHash family)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), tok)), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_CMS_WIDTH),
+    )
+
+
+def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) frequency estimates
+    for the corpus's 30 most frequent tokens, next to their exact
+    counts — the row exhibits the sketch's one-sided error
+    (cms_est >= exact_n always; equality when no bucket collision).
+
+    The sketch itself is the scale story: its state is rows x width
+    = 4 x 512 counters REGARDLESS of vocabulary size, built by one
+    groupBy over (row, bucket) whose map-side partial aggregation
+    collapses each task's token stream to <= 2048 cells before the
+    shuffle — at 100 TB the shuffle moves ~2048 rows per task, not
+    the vocabulary. The exact GROUP BY token twin column exists only
+    to exhibit the estimator's error in the output (same pattern as
+    sketch_kmv_distinct_portable's exact_users); a production sketch
+    drops it and keeps the vocabulary-independent path only.
+
+    Portable md5 hash family -> FULL DuckDB oracle: cell counts, the
+    top-30 query set, and every min-over-rows estimate replay
+    bit-identically."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select(
+            F.explode(F.split(TX.normalized_text("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    # one occurrence -> _CMS_ROWS (row, bucket) increments; count per
+    # cell. Map-side combine bounds the shuffle at rows*width cells
+    # per task.
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(r, F.col("token")).alias("b"),
+                        )
+                        for r in range(_CMS_ROWS)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # the deliberately-exact twin: top-30 tokens by true count
+    # (ties broken by token) — exists to exhibit estimator error.
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(30)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(r, F.col("token")).alias("b"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_n", "rb.r", "rb.b")
+    return (
+        F.broadcast(probes)
+        .join(cells, ["r", "b"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+        .orderBy(F.desc("exact_n"), "token")
+    )
+
+
+_JL_DIM = 64
+_JL_OUT = 16
+
+
+def jl_sign_bank() -> list[list[float]]:
+    """Deterministic Rademacher (+1/-1) projection matrix for the
+    64->16 JL transform: sign(j, k) = parity of the first hex digit
+    of md5('jl:{j}:{k}'). Driver-side literals, so the SAME floats
+    interpolate into both the Spark literal bank and the DuckDB twin
+    (the hyperplane-bank recipe from operators/similarity.py)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"jl:{j}:{k}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for j in range(_JL_DIM)
+        ]
+        for k in range(_JL_OUT)
+    ]
+
+
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding
+    corpus from 64 to 16 dims with a deterministic Rademacher sign
+    matrix, scaled by 1/sqrt(16) (Achlioptas 2003: +-1 entries
+    preserve pairwise distances with the same JL guarantee as
+    Gaussian ones, and the projection is a pure +-sum — no
+    multiplies). Output long-form (vec_id, dim, val 4dp).
+
+    The data-independent counterpart of pca_embedding_projection:
+    zero training passes, zero shuffles — the whole transform is 16
+    zip_with/aggregate folds in whole-stage codegen applied
+    scan-side, so at 100 TB it runs at scan speed with no exchange
+    at all (the explode to long form is also narrow). The sign bank
+    is built once driver-side as ONE parsed F.expr literal bank
+    (similarity._dot_lit_sql — per-plane py4j round trips measured
+    to dominate otherwise).
+
+    Fully oracle-checked: DuckDB replays the identical signs
+    (list_dot_product on the same float64 literals) and the same
+    left-to-right double fold; 4dp rounding absorbs the last-bit
+    difference between fold orders (the ann_cosine_topk precedent)."""
+    from aws_de_final_project_spark.operators.similarity import _dot_lit_sql
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    signs = jl_sign_bank()
+    scale = 1.0 / float(_JL_OUT) ** 0.5  # 0.25: exact in binary
+    proj = F.expr(
+        "array("
+        + ",".join(
+            f"({_dot_lit_sql('embedding', signs[k])}) * {scale!r}D"
+            for k in range(_JL_OUT)
+        )
+        + ")"
+    ).alias("_p")
+    return (
+        t["embeddings"]
+        .select("vec_id", proj)
+        .select("vec_id", F.posexplode("_p").alias("dim", "_v"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            rnd(F.col("_v"), 4).alias("val"),
+        )
+        .orderBy("vec_id", "dim")
+    )

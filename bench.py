@@ -35,6 +35,8 @@ HEADLINE = [
     "split_train_val_test_docs",
     "bigram_logprob_scores",
     "curation_manifest_docs",
+    "sketch_cms_token_freq",
+    "jl_project_embeddings",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",
