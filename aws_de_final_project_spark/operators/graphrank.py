@@ -291,8 +291,20 @@ def triangle_counts(
     adj = oriented.groupBy("_s").agg(
         F.sort_array(F.collect_list("_t")).alias("_nbrs")
     )
-    au = adj.select(F.col("_s").alias("_ju"), F.col("_nbrs").alias("_nu"))
-    av = adj.select(F.col("_s").alias("_jv"), F.col("_nbrs").alias("_nv"))
+    # The adjacency frame is O(n + m) — it carries EVERY oriented edge
+    # inside its arrays — so it must NEVER be the build side of a
+    # broadcast join: Catalyst's static estimate of the checkpointed
+    # frame undershoots the in-heap HashedRelation (measured ~1.4 GB
+    # at the x30 probe tier, OOMing a 16 GB driver; at 100 TB it's the
+    # whole graph). shuffle_hash pins both attach joins to hash joins
+    # co-partitioned on node id — same single shuffle the aggregate
+    # already paid, no sort, and build stays per-partition-sized.
+    au = adj.select(F.col("_s").alias("_ju"), F.col("_nbrs").alias("_nu")).hint(
+        "shuffle_hash"
+    )
+    av = adj.select(F.col("_s").alias("_jv"), F.col("_nbrs").alias("_nv")).hint(
+        "shuffle_hash"
+    )
     tris = (
         oriented.join(au, F.col("_s") == F.col("_ju"))
         # inner join: an edge whose head has no out-edges closes nothing

@@ -118,3 +118,48 @@ def test_pca_iter_impl_equivalence(planted):
         embedlin.pca_project(
             df, "embedding", "vec_id", dim=8, iter_impl="nope"
         )
+
+
+def test_jl_projection_preserves_norms(spark):
+    """JL lemma sanity on the real corpus: the 64->16 Rademacher
+    projection preserves squared norms in expectation — the mean
+    ratio ||Px||^2 / ||x||^2 over 500 vectors must sit near 1, and
+    individual ratios within the (loose) JL distortion band for
+    k=16 (eps ~ sqrt(8 ln n / k) > 1 is vacuous per-pair, so we
+    assert the aggregate instead: mean within 15%, and no vector
+    collapsing to near-zero)."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.plans.extensions import (
+        jl_project_embeddings,
+    )
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    proj_sq = (
+        jl_project_embeddings(spark, "/root/testdata/sf0.01")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("val")).alias("p2"))
+    )
+    orig_sq = (
+        load_tables(spark, "/root/testdata/sf0.01", ("embeddings",))[
+            "embeddings"
+        ]
+        .select(
+            "vec_id",
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ).alias("o2"),
+        )
+    )
+    # projection scales by 1/sqrt(16) per dim but sums 16 dims of
+    # +-1-weighted sums of 64 coords: E[||Px||^2] = ||x||^2
+    ratios = [
+        r.p2 / r.o2
+        for r in proj_sq.join(orig_sq, "vec_id").collect()
+        if r.o2 > 0
+    ]
+    mean = sum(ratios) / len(ratios)
+    assert abs(mean - 1.0) < 0.15
+    assert min(ratios) > 0.05

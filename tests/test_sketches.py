@@ -164,3 +164,31 @@ def test_kmv_sketch_exact_branch_and_estimator_accuracy(spark):
             assert r.est_users == float(r.exact_users)
         else:
             assert abs(r.est_users - r.exact_users) / r.exact_users < 0.5
+
+
+def test_cms_one_sided_error_and_accuracy(spark):
+    """CMS guarantee: estimates never undercount, and with 4x512
+    cells over this corpus's vocabulary the top-30 heavy tokens'
+    estimates stay within the epsilon*N Markov bound (w=512 ->
+    eps=e/512, failure prob e^-4 per row; the min over 4 rows makes
+    a visible violation on 30 probes astronomically unlikely)."""
+    from aws_de_final_project_spark.plans.extensions import (
+        sketch_cms_token_freq,
+    )
+    from aws_de_final_project_spark.functions.text import normalized_text
+
+    rows = sketch_cms_token_freq(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 30
+    t = load_tables(spark, "/root/testdata/sf0.01", ("documents",))
+    n_total = (
+        t["documents"]
+        .select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .count()
+    )
+    eps_n = 2.718281828 / 512.0 * n_total
+    for r in rows:
+        assert r.cms_est >= r.exact_n  # one-sided, always
+        assert r.cms_est - r.exact_n <= eps_n
