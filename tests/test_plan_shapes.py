@@ -341,3 +341,48 @@ def test_kmv_two_phase_no_single_group_sort(plans):
     p = plans("sketch_kmv_distinct_portable")
     assert p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2, p
     assert "_salt" in p
+
+
+def test_triangle_adjacency_dispatch(spark, plans):
+    """The triangle adjacency frame carries every oriented edge
+    inside its arrays (O(n + m)) — above the edge cap it must NEVER
+    be a broadcast build side (the x30 probe tier OOMed a 16 GB
+    driver when Catalyst's static estimate let it through; found
+    live in round 6). Below the cap broadcasting skips the second
+    array-carrying shuffle and is the measured win. Pin BOTH sides
+    of the dispatch."""
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.operators.graphrank import (
+        triangle_counts,
+    )
+
+    # small graph, cap forced to 0 -> the at-scale path: both attach
+    # joins shuffle hash joins, zero broadcasts anywhere
+    edges = spark.range(100).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 100).alias("dst")
+    )
+    df = triangle_counts(edges, "src", "dst", broadcast_edge_cap=0)
+    df.count()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ShuffledHashJoin") >= 2
+    assert "BroadcastHashJoin" not in p
+    # default cap at sf0.001 -> the small-graph path broadcasts
+    p = plans("triangle_parts_copurchase")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_probe_join_is_broadcast_and_jl_is_scan_only(plans):
+    """sketch_cms_token_freq: the 120-row probe side must broadcast
+    against the <=2048-cell sketch (never shuffle the cells on a
+    sort-merge); jl_project_embeddings: the projection is a pure
+    scan-side expression — any exchange before the final sort means
+    the literal bank fell out of codegen."""
+    p = plans("sketch_cms_token_freq")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    p = plans("jl_project_embeddings")
+    assert "Join" not in p
+    # one exchange only: the output ordering's range partitioning
+    assert p.count("Exchange") <= 2
