@@ -217,7 +217,6 @@ def triangle_counts(
     src: str,
     dst: str,
     checkpoint_dir: str | None = None,
-    broadcast_edge_cap: int = 5_000_000,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected
     graph given as an edge relation (duplicates/self-loops/reversed
@@ -293,24 +292,23 @@ def triangle_counts(
         F.sort_array(F.collect_list("_t")).alias("_nbrs")
     )
     # The adjacency frame is O(n + m) — it carries EVERY oriented edge
-    # inside its arrays — so whether it may be a broadcast build side
-    # is a SIZE question Catalyst gets wrong: the static estimate of
-    # the checkpointed frame undershoots the in-heap HashedRelation
-    # (measured ~1.4 GB at the x30 probe tier, OOMing a 16 GB driver).
-    # Size-aware dispatch, same pattern as dedup_components
-    # impl='auto': below the cap (~50-100 B of relation heap per
-    # edge -> ~0.5 GB at the default 5M), broadcasting skips the
-    # second array-carrying shuffle and is a measured win; above it,
-    # shuffle_hash pins both attach joins to hash joins
-    # co-partitioned on node id — build stays per-partition-sized at
-    # any graph scale. The count is ~free: `oriented` was just
-    # eagerly checkpointed, so it scans cached blocks.
-    au = adj.select(F.col("_s").alias("_ju"), F.col("_nbrs").alias("_nu"))
-    av = adj.select(F.col("_s").alias("_jv"), F.col("_nbrs").alias("_nv"))
-    if oriented.count() <= broadcast_edge_cap:
-        au, av = F.broadcast(au), F.broadcast(av)
-    else:
-        au, av = au.hint("shuffle_hash"), av.hint("shuffle_hash")
+    # inside its arrays — and must NEVER be a broadcast build side:
+    # Catalyst's static estimate of the checkpointed frame
+    # undershoots the in-heap HashedRelation (measured ~1.4 GB at the
+    # x30 probe tier, OOMing a 16 GB driver; at 100 TB it's the whole
+    # graph). A size-aware broadcast dispatch was also MEASURED and
+    # rejected: two explicit adjacency broadcasts cost 9.4 s vs 6.0 s
+    # for shuffle_hash on the sf0.1 co-purchase graph (each broadcast
+    # re-runs the aggregate and builds an array-heavy relation), so
+    # the hash join co-partitioned on node id wins at EVERY tier —
+    # same shuffle the aggregate already paid, build stays
+    # per-partition-sized at any graph scale.
+    au = adj.select(F.col("_s").alias("_ju"), F.col("_nbrs").alias("_nu")).hint(
+        "shuffle_hash"
+    )
+    av = adj.select(F.col("_s").alias("_jv"), F.col("_nbrs").alias("_nv")).hint(
+        "shuffle_hash"
+    )
     tris = (
         oriented.join(au, F.col("_s") == F.col("_ju"))
         # inner join: an edge whose head has no out-edges closes nothing

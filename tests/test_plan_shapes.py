@@ -343,33 +343,17 @@ def test_kmv_two_phase_no_single_group_sort(plans):
     assert "_salt" in p
 
 
-def test_triangle_adjacency_dispatch(spark, plans):
+def test_triangle_adjacency_never_broadcasts(plans):
     """The triangle adjacency frame carries every oriented edge
-    inside its arrays (O(n + m)) — above the edge cap it must NEVER
-    be a broadcast build side (the x30 probe tier OOMed a 16 GB
-    driver when Catalyst's static estimate let it through; found
-    live in round 6). Below the cap broadcasting skips the second
-    array-carrying shuffle and is the measured win. Pin BOTH sides
-    of the dispatch."""
-    from pyspark.sql import functions as F
-
-    from aws_de_final_project_spark.operators.graphrank import (
-        triangle_counts,
-    )
-
-    # small graph, cap forced to 0 -> the at-scale path: both attach
-    # joins shuffle hash joins, zero broadcasts anywhere
-    edges = spark.range(100).select(
-        F.col("id").alias("src"), ((F.col("id") + 1) % 100).alias("dst")
-    )
-    df = triangle_counts(edges, "src", "dst", broadcast_edge_cap=0)
-    df.count()
-    p = df._jdf.queryExecution().executedPlan().toString()
+    inside its arrays (O(n + m)) — if it ever becomes a broadcast
+    build side again, the x30 probe tier OOMs a 16 GB driver and a
+    real cluster dies at scale (found live in round 6; the explicit
+    size-dispatched broadcast was ALSO measured slower at every
+    tier). Both attach joins must stay shuffle hash joins
+    co-partitioned on node id."""
+    p = plans("triangle_parts_copurchase")
     assert p.count("ShuffledHashJoin") >= 2
     assert "BroadcastHashJoin" not in p
-    # default cap at sf0.001 -> the small-graph path broadcasts
-    p = plans("triangle_parts_copurchase")
-    assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
 
 

@@ -111,6 +111,15 @@ MISC_QUERIES = [
     "pca_embedding_projection",
     "entity_resolution_customers",
 ]
+# one more decade for the misc heavies (x30 = 18M lineitem rows /
+# 30k vectors / 450k customers — fits the memory envelope): decade-
+# over-decade ratios catch superlinearity hiding between tiers
+MISC_X30_DIR = "/tmp/scale_probe_misc_x30"
+MISC_X30_QUERIES = [
+    "triangle_parts_copurchase",
+    "pca_embedding_projection",
+    "entity_resolution_customers",
+]
 
 _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
 
@@ -152,7 +161,8 @@ def build_docs_xn(spark, src_sf: str, n: int, out_dir: str) -> None:
     )
 
 
-def build_misc_x10(spark, src_sf: str, n: int = 10) -> None:
+def build_misc_x10(spark, src_sf: str, n: int = 10,
+                   out_dir: str = MISC_X10_DIR) -> None:
     """x10 tier for the graph/linear-algebra/linkage heavies.
 
     lineitem: shift l_orderkey AND l_partkey per copy — each copy's
@@ -172,7 +182,7 @@ def build_misc_x10(spark, src_sf: str, n: int = 10) -> None:
         spark, src_sf, ("lineitem", "embeddings", "customer"),
         register_views=False,
     )
-    os.makedirs(MISC_X10_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     li = t["lineitem"]
     n_ord = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
@@ -190,7 +200,7 @@ def build_misc_x10(spark, src_sf: str, n: int = 10) -> None:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(MISC_X10_DIR, "lineitem.parquet")
+        os.path.join(out_dir, "lineitem.parquet")
     )
 
     em = t["embeddings"]
@@ -206,7 +216,7 @@ def build_misc_x10(spark, src_sf: str, n: int = 10) -> None:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(MISC_X10_DIR, "embeddings.parquet")
+        os.path.join(out_dir, "embeddings.parquet")
     )
 
     cu = t["customer"]
@@ -226,7 +236,7 @@ def build_misc_x10(spark, src_sf: str, n: int = 10) -> None:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(MISC_X10_DIR, "customer.parquet")
+        os.path.join(out_dir, "customer.parquet")
     )
 
 
@@ -265,6 +275,15 @@ def build_x10(spark, src_sf: str) -> None:
 
 
 def main() -> None:
+    # The x30 misc tier holds two generations of localCheckpoint
+    # blocks (90M-edge canonical + oriented frames) in the SAME heap
+    # the 32 task threads compute in — 16g OOMs marginally depending
+    # on how much of the previous query's block cleanup has run.
+    # The probe box has 128 GiB; size the probe JVM for its biggest
+    # tier instead of timing GC-thrash. (Engine defaults unchanged —
+    # this is probe-process-only.)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
@@ -367,6 +386,30 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             drive(Q[name](spark, X30_DIR))
+            reps.append(time.perf_counter() - t0)
+        row["x30"] = round(min(reps), 3)
+        linear = 3.0 * max(row["x10"] - fixed, 1e-3)
+        row["x30_ratio_vs_linear"] = round(
+            max(row["x30"] - fixed, 1e-3) / linear, 2
+        )
+        print(json.dumps({k: row[k] for k in
+                          ("query", "x10", "x30", "x30_ratio_vs_linear")}))
+
+    misc_x30 = [q for q in MISC_X30_QUERIES if only is None or q in only]
+    # the misc x30 loop needs the x10 row for the linear baseline
+    misc_x30 = [q for q in misc_x30 if q in by_name]
+    if misc_x30 and not os.path.exists(
+        os.path.join(MISC_X30_DIR, "customer.parquet")
+    ):
+        build_misc_x10(spark, "/root/testdata/sf0.1", 30, MISC_X30_DIR)
+    for name in misc_x30:
+        row = by_name[name]
+        spark.sparkContext._jvm.System.gc()
+        drive(Q[name](spark, MISC_X30_DIR))  # cold/warmup
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            drive(Q[name](spark, MISC_X30_DIR))
             reps.append(time.perf_counter() - t0)
         row["x30"] = round(min(reps), 3)
         linear = 3.0 * max(row["x10"] - fixed, 1e-3)
