@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_manifest_docs": X.curation_manifest_docs,
         "sketch_cms_token_freq": X.sketch_cms_token_freq,
         "jl_project_embeddings": X.jl_project_embeddings,
+        "rollup_incremental_distinct_kmv": X.rollup_incremental_distinct_kmv,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -3460,4 +3461,10 @@ def oracle_sql() -> dict[str, str]:
     # HOF path, so it shares the oracle verbatim (4dp rounding absorbs
     # BLAS-vs-left-to-right float summation order).
     sqls["ann_cosine_topk_vec"] = sqls["ann_cosine_topk"]
+    # KMV merge is exactly lossless, so the incrementally-merged
+    # rollup must equal the direct sketch of the full corpus — the
+    # shared oracle IS the mergeability proof
+    sqls["rollup_incremental_distinct_kmv"] = sqls[
+        "sketch_kmv_distinct_portable"
+    ]
     return sqls

@@ -378,6 +378,106 @@ def sketch_kmv_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_incremental_distinct_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable COUNT(DISTINCT) rollup maintenance, the portable
+    twin of rollup_maint's HLL measure: the corpus arrives as TWO
+    deltas (event_id parity split), each folded to a per-group KMV
+    sketch (k smallest md5-uniforms of its distinct users), and the
+    stored state is MERGED — union of the two k-lists, dedup (a user
+    seen in both deltas hashes to the same u), keep the k smallest.
+    KMV's merge is exactly lossless: the k smallest distinct hashes
+    of A ∪ B are contained in kmin(A) ∪ kmin(B), so the merged
+    sketch is BIT-IDENTICAL to the direct sketch of the full corpus
+    — which is what the oracle computes (it shares
+    sketch_kmv_distinct_portable's SQL verbatim). A green driver row
+    therefore proves the mergeability property itself, end-to-end:
+    at 100 TB the rollup applies each day's delta against k doubles
+    per group of stored state and never rescans history.
+
+    Scale shape: each delta's k-min uses the same salted two-phase
+    rank as the base sketch (no task ever sorts a group's full
+    distinct set); the merge input is <= 2k rows per group."""
+    t = load_tables(spark, sf_dir, ("events",))
+    from pyspark.sql.window import Window
+
+    k = 64
+    n_salts = 64
+    scale = float(16 ** 15)
+    ev = t["events"]
+    u_expr = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(scale)
+    )
+
+    def delta_sketch(df: DataFrame) -> DataFrame:
+        d = df.select(
+            "event_type",
+            F.pmod(
+                F.crc32(F.col("user_id").cast("string")), F.lit(n_salts)
+            ).alias("_salt"),
+            u_expr.alias("u"),
+        ).distinct()
+        w1 = Window.partitionBy("event_type", "_salt").orderBy("u")
+        cand = (
+            d.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .select("event_type", "u")
+        )
+        w2 = Window.partitionBy("event_type").orderBy("u")
+        return (
+            cand.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .select("event_type", "u")
+        )
+
+    b1 = delta_sketch(ev.where(F.col("event_id") % 2 == 0))
+    b2 = delta_sketch(ev.where(F.col("event_id") % 2 == 1))
+    # merge: union + dedup + keep k smallest — |state| + |delta|
+    # rows per group, never the history
+    w = Window.partitionBy("event_type").orderBy("u")
+    state = (
+        b1.unionByName(b2)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    return (
+        state.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_sketch"),
+            F.max("u").alias("_uk"),
+        )
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(
+                F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
+            )
+            .otherwise(F.lit(float(k - 1)) / F.col("_uk"))
+            .alias("_est"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            rnd(F.col("_est"), 2).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-seeded corpus shuffle: the data-ordering
     primitive of a training loop. Each doc draws a uniform key from

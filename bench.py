@@ -37,6 +37,7 @@ HEADLINE = [
     "curation_manifest_docs",
     "sketch_cms_token_freq",
     "jl_project_embeddings",
+    "rollup_incremental_distinct_kmv",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",
