@@ -42,6 +42,9 @@ QUERIES = [
     # round-6: salted two-phase KMV k-minimum — the claim is that no
     # task ever sorts a full group's distinct set
     "sketch_kmv_distinct_portable",
+    # round-6 session: the KMV MERGE path (two delta sketches folded)
+    # — same no-full-sort claim per delta, merge input <= 2k/group
+    "rollup_incremental_distinct_kmv",
 ]
 
 # dedup/text family runs against the documents x10/x30 tiers built by
@@ -73,6 +76,9 @@ DOC_QUERIES = [
     # round-6: the composed curation pipeline (dedup -> gate ->
     # decontaminate -> split) — every stage linear, so the chain is
     "curation_manifest_docs",
+    # round-6 session: CMS cells are vocabulary-independent state —
+    # the shuffle must stay ~2048 cells/task no matter the corpus
+    "sketch_cms_token_freq",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
@@ -110,6 +116,9 @@ MISC_QUERIES = [
     "triangle_parts_copurchase",
     "pca_embedding_projection",
     "entity_resolution_customers",
+    # round-6 session: scan-side literal-bank projection — the claim
+    # is pure linear scan speed, zero exchanges before output order
+    "jl_project_embeddings",
 ]
 # one more decade for the misc heavies (x30 = 18M lineitem rows /
 # 30k vectors / 450k customers — fits the memory envelope): decade-
