@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_token_freq": X.sketch_cms_token_freq,
         "jl_project_embeddings": X.jl_project_embeddings,
         "rollup_incremental_distinct_kmv": X.rollup_incremental_distinct_kmv,
+        "basket_pair_affinity": X.basket_pair_affinity,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2458,6 +2459,45 @@ def oracle_sql() -> dict[str, str]:
                          * 10000.0 + 0.5) / 10000.0 AS val
             FROM v CROSS JOIN s
             ORDER BY vec_id, dim
+        """,
+        # association rules: exact pair/item supports; identical
+        # IEEE double divisions on identical integer inputs, floor-
+        # form rounding, (lift desc, a, b) total order on both sides
+        "basket_pair_affinity": """
+            WITH li AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            no AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS _no
+                FROM li
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS a, b.l_partkey AS b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM li a
+                JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 3
+            ),
+            item AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i
+                FROM li GROUP BY 1
+            )
+            SELECT p.a, p.b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+                   floor((p.n_ab / no._no) * 1000000.0 + 0.5)
+                       / 1000000.0 AS support,
+                   floor((CAST(p.n_ab AS DOUBLE) / ia.n_i) * 10000.0 + 0.5)
+                       / 10000.0 AS confidence,
+                   floor(((p.n_ab * no._no) / (ia.n_i * ib.n_i))
+                         * 10000.0 + 0.5) / 10000.0 AS lift
+            FROM pairs p
+            JOIN item ia ON p.a = ia.l_partkey
+            JOIN item ib ON p.b = ib.l_partkey
+            CROSS JOIN no
+            ORDER BY lift DESC, a, b
+            LIMIT 30
         """,
         # deterministic epoch shuffle: md5 keys + hash shards + per-
         # shard rank replay identically

@@ -38,6 +38,7 @@ HEADLINE = [
     "sketch_cms_token_freq",
     "jl_project_embeddings",
     "rollup_incremental_distinct_kmv",
+    "basket_pair_affinity",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",

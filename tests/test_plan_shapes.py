@@ -220,6 +220,8 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         # 1-row vocab-size frame broadcast into the smoothing term
         # (same shape as the unigram entry's corpus-total cross join)
         "bigram_logprob_scores",
+        # 1-row order-count denominator frame, same shape
+        "basket_pair_affinity",
     }
     for name in bench.HEADLINE:
         p = plans(name)
