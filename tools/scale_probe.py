@@ -119,6 +119,9 @@ MISC_QUERIES = [
     # round-6 session: scan-side literal-bank projection — the claim
     # is pure linear scan speed, zero exchanges before output order
     "jl_project_embeddings",
+    # round-6 session: basket pair expansion + two hash aggregates —
+    # per-copy disjoint part ids keep pair counts exactly linear
+    "basket_pair_affinity",
 ]
 # one more decade for the misc heavies (x30 = 18M lineitem rows /
 # 30k vectors / 450k customers — fits the memory envelope): decade-
