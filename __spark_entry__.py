@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project_embeddings": X.jl_project_embeddings,
         "rollup_incremental_distinct_kmv": X.rollup_incremental_distinct_kmv,
         "basket_pair_affinity": X.basket_pair_affinity,
+        "chunk_text_cdc": X.chunk_text_cdc,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2459,6 +2460,43 @@ def oracle_sql() -> dict[str, str]:
                          * 10000.0 + 0.5) / 10000.0 AS val
             FROM v CROSS JOIN s
             ORDER BY vec_id, dim
+        """,
+        # content-defined chunking: identical rolling md5 8-gram
+        # boundaries (list comprehension twin of the HOF filter),
+        # identical 1-based substr chunk extraction + fingerprints
+        "chunk_text_cdc": """
+            WITH b AS (
+                SELECT doc_id, text, CAST(len(text) AS INT) AS n,
+                       [CAST(i AS INT)
+                        FOR i IN range(8, CAST(len(text) AS BIGINT) + 1)
+                        IF ('0x' || substr(
+                               md5(substr(text, CAST(i AS INT) - 7, 8)),
+                               1, 15))::BIGINT % 64 = 0] AS bounds
+                FROM documents
+            ),
+            pairs AS (
+                SELECT doc_id, text,
+                       unnest(list_zip(
+                           list_prepend(0, bounds),
+                           list_append(bounds, n))) AS p
+                FROM b
+            ),
+            c AS (
+                SELECT doc_id, text,
+                       CAST(p[1] AS INT) AS s,
+                       CAST(p[2] AS INT) AS e
+                FROM pairs
+                WHERE p[1] < p[2]
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s
+                   ) - 1 AS INT) AS chunk_idx,
+                   CAST(s + 1 AS INT) AS start_pos,
+                   CAST(e - s AS INT) AS chunk_len,
+                   md5(substr(text, s + 1, e - s)) AS chunk_fp
+            FROM c
+            ORDER BY doc_id, chunk_idx
         """,
         # association rules: exact pair/item supports; identical
         # IEEE double divisions on identical integer inputs, floor-

@@ -2556,3 +2556,71 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "a", "b")
         .limit(30)
     )
+
+
+def chunk_text_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split each document at positions
+    where the rolling 8-gram's md5 ≡ 0 (mod 64) — boundaries depend
+    only on LOCAL content, so an edit or shift early in a document
+    moves at most the chunk it touches while every later chunk keeps
+    its identity (the shift-stability fixed-width windows lack, and
+    the property that makes chunk-level dedup survive re-crawls;
+    pinned in tests/test_segments.py). Avg chunk ~64 chars + the
+    8-char gram. Output: (doc_id, chunk_idx, start_pos 1-based,
+    chunk_len, chunk_fp md5).
+
+    Scale shape: the ENTIRE operator is scan-side codegen — the
+    boundary scan is a HOF filter over a position sequence inside
+    the row, chunk extraction a zip/explode of the per-row boundary
+    array; there is NO shuffle anywhere except the output ordering.
+    At 100 TB it runs at scan speed. A production variant adds
+    min/max chunk-size guards (a sequential greedy pass — the
+    mapInPandas escape hatch); the pure content-only form here keeps
+    the whole operator in codegen and the oracle exact. Portable md5
+    family -> FULL DuckDB oracle (boundaries, chunk texts, and
+    fingerprints replay bit-identically)."""
+    k = 8
+    mod = 64
+    t = load_tables(spark, sf_dir, ("documents",))
+
+    def is_boundary(i):
+        gram = F.col("text").substr(i - F.lit(k - 1), F.lit(k))
+        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(mod)) == 0
+
+    n = F.length("text")
+    # sequence() auto-steps DOWN when start > stop — guard short docs
+    bounds = F.when(
+        n >= k,
+        F.filter(F.sequence(F.lit(k), n), is_boundary),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), F.col("_b"))
+    ends = F.concat(F.col("_b"), F.array(n))
+    return (
+        t["documents"]
+        .select("doc_id", "text", bounds.alias("_b"))
+        .select(
+            "doc_id",
+            "text",
+            F.arrays_zip(starts.alias("s"), ends.alias("e")).alias("_se"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.posexplode(F.filter(F.col("_se"), lambda p: p.s < p.e)).alias(
+                "chunk_idx", "_p"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("_p.s") + 1).cast("int").alias("start_pos"),
+            (F.col("_p.e") - F.col("_p.s")).cast("int").alias("chunk_len"),
+            F.md5(
+                F.col("text").substr(
+                    F.col("_p.s") + 1, F.col("_p.e") - F.col("_p.s")
+                )
+            ).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -39,6 +39,7 @@ HEADLINE = [
     "jl_project_embeddings",
     "rollup_incremental_distinct_kmv",
     "basket_pair_affinity",
+    "chunk_text_cdc",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",

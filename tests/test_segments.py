@@ -285,3 +285,48 @@ def test_hash_split_stability_under_corpus_growth(spark):
     sub = split_train_val_test_docs(spark, "/root/testdata/sf0.001")
     sub = {r.doc_id: r.split for r in sub.filter(F.col("doc_id") < 250).collect()}
     assert all(full[d] == s for d, s in sub.items())
+
+
+def test_cdc_chunks_are_shift_stable(spark, tmp_path):
+    """The property that makes content-defined chunking worth its
+    salt: PREPENDING text to a document (the classic re-crawl /
+    boilerplate-change shift) must leave the fingerprints of almost
+    all chunks intact, because boundaries depend only on local
+    8-gram content. Fixed-width windows lose every window after the
+    edit point; CDC loses at most the chunks touching it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_de_final_project_spark.plans.extensions import chunk_text_cdc
+    from aws_de_final_project_spark.sources.registry import load_tables
+
+    src = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    base = src.filter(F.length("text") > 200).limit(50)
+    shifted = base.withColumn(
+        "text", F.concat(F.lit("NEW CRAWL HEADER 2026 :: "), F.col("text"))
+    )
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "a"), exist_ok=True)
+    os.makedirs(os.path.join(d, "b"), exist_ok=True)
+    base.write.mode("overwrite").parquet(
+        os.path.join(d, "a", "documents.parquet")
+    )
+    shifted.write.mode("overwrite").parquet(
+        os.path.join(d, "b", "documents.parquet")
+    )
+    fps_a = {
+        (r.doc_id, r.chunk_fp)
+        for r in chunk_text_cdc(spark, os.path.join(d, "a")).collect()
+    }
+    fps_b = {
+        (r.doc_id, r.chunk_fp)
+        for r in chunk_text_cdc(spark, os.path.join(d, "b")).collect()
+    }
+    # every chunk except (at most) the first per doc must survive the
+    # shift: >= 60% set overlap overall, and strictly more surviving
+    # than lost per corpus (the shifted doc's first chunk differs)
+    surviving = len(fps_a & fps_b)
+    assert surviving / len(fps_a) >= 0.6, (surviving, len(fps_a))

@@ -79,6 +79,9 @@ DOC_QUERIES = [
     # round-6 session: CMS cells are vocabulary-independent state —
     # the shuffle must stay ~2048 cells/task no matter the corpus
     "sketch_cms_token_freq",
+    # round-6 session: CDC chunking is pure scan-side codegen — the
+    # claim is scan-speed linearity, zero exchanges before ordering
+    "chunk_text_cdc",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
