@@ -106,6 +106,11 @@ X30_QUERIES = [
     # the two newest structures with any growth risk
     "dedup_component_groups_portable",
     "bigram_logprob_scores",
+    # round-6 session: the 4-stage curation composition is the most
+    # expensive bench query — stress the whole chain at 1.5M docs;
+    # Misra-Gries partial summaries must stay O(k·partitions)
+    "curation_manifest_docs",
+    "heavy_hitter_tokens",
 ]
 
 # round-6: the round-5 heavies (triangle enumeration over the
