@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental_distinct_kmv": X.rollup_incremental_distinct_kmv,
         "basket_pair_affinity": X.basket_pair_affinity,
         "chunk_text_cdc": X.chunk_text_cdc,
+        "dedup_containment_pairs": X.dedup_containment_pairs,
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -2460,6 +2461,44 @@ def oracle_sql() -> dict[str, str]:
                          * 10000.0 + 0.5) / 10000.0 AS val
             FROM v CROSS JOIN s
             ORDER BY vec_id, dim
+        """,
+        # containment: identical 3-gram shingle sets (the ngram-
+        # jaccard recipe), intersection via equi-join twin, integer-
+        # arithmetic threshold so the 0.9 boundary is engine-exact
+        "dedup_containment_pairs": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 2, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 2, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            sz AS (
+                SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s
+            ),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM e a JOIN e b
+                  ON a.g = b.g AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b, i.n_common,
+                   sa.n AS n_a, sb.n AS n_b,
+                   floor((CAST(i.n_common AS DOUBLE) / sa.n)
+                         * 10000.0 + 0.5) / 10000.0 AS containment
+            FROM inter i
+            JOIN sz sa ON i.doc_a = sa.doc_id
+            JOIN sz sb ON i.doc_b = sb.doc_id
+            WHERE i.n_common * 100 >= sa.n * 90
+            ORDER BY i.doc_a, i.doc_b
         """,
         # content-defined chunking: identical rolling md5 8-gram
         # boundaries (list comprehension twin of the HOF filter),

@@ -1239,3 +1239,67 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 90,
+    ngram: int = 3,
+) -> DataFrame:
+    """Ordered containment pairs: C(a, b) = |S(a) ∩ S(b)| / |S(a)|
+    >= threshold_pct/100 over word-``ngram`` shingle sets — the
+    ASYMMETRIC near-dup relation Jaccard misses: a short document
+    pasted inside a much larger one has tiny J but C(short, long)
+    ≈ 1, and MinHash cannot estimate it (the denominator is one
+    side's set size, not the union). This is the quote/boilerplate-
+    wrap detector a curation pipeline runs next to symmetric dedup.
+
+    The threshold compares in INTEGER arithmetic
+    (``n_common·100 >= n_a·threshold_pct``) so the boundary is exact
+    in every engine — no 0.9-is-not-binary float edge.
+
+    Scale shape: candidates come from the shingle EQUI-join (only
+    pairs sharing >= 1 shingle materialize, grouped to intersection
+    counts by one hash aggregate); join volume is Σ_g df(g)² over
+    shingle doc-frequencies — fine for high-entropy 3-gram shingles,
+    and the documented production hardening for hot shingles is the
+    same rare-first prefix filter :func:`prefix_filter_jaccard_pairs`
+    uses (size-ordered for containment, Bayardo et al.).
+    """
+    s = _shingle_sets(df, text_col, id_col, ngram)
+    sh = s.select("_id", F.explode("_words").alias("_sh"))
+    sizes = s.select("_id", F.size("_words").cast("long").alias("_n"))
+    a = sh.select(F.col("_id").alias("doc_a"), "_sh")
+    b = sh.select(F.col("_id").alias("doc_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("n_b")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_common") * F.lit(100)
+            >= F.col("n_a") * F.lit(threshold_pct)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            rnd(
+                F.col("n_common").cast("double") / F.col("n_a"), 4
+            ).alias("containment"),
+        )
+    )

@@ -2624,3 +2624,15 @@ def chunk_text_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs C(a,b) >= 0.9 over word-3-gram
+    shingles (operators/dedup.containment_pairs) — the contained-
+    document detector (quotes, boilerplate wraps) symmetric Jaccard
+    and MinHash structurally miss. Candidates via shingle equi-join,
+    exact integer-arithmetic threshold; full DuckDB oracle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.containment_pairs(
+        t["documents"], "text", "doc_id", threshold_pct=90, ngram=3
+    ).orderBy("doc_a", "doc_b")

@@ -40,6 +40,7 @@ HEADLINE = [
     "rollup_incremental_distinct_kmv",
     "basket_pair_affinity",
     "chunk_text_cdc",
+    "dedup_containment_pairs",
     "filter_disjunctive",
     "dim_join_rollup",
     "window_rank_orders",

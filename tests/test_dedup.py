@@ -526,3 +526,32 @@ def test_connected_components_auto_dispatch(spark):
                  for r in dedup.connected_components(
                      pairs, impl="auto", driver_max_pairs=10).collect()}
     assert auto_over == rel
+
+
+def test_containment_asymmetry_on_embedded_doc(spark):
+    """A short document pasted inside a much larger one: high
+    C(short, long), low C(long, short), and Jaccard misses the pair
+    entirely at the same threshold — the reason the asymmetric
+    relation exists."""
+    from aws_de_final_project_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"unrelated filler token{i} body" for i in range(40))
+    long_doc = filler + " " + short + " " + filler.replace("token", "word")
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "совсем другой текст без общих слов")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold_pct=90
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9
+    assert (2, 1) not in pairs  # asymmetric: the long doc isn't contained
+    j = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert not [r for r in j if {r.doc_a, r.doc_b} == {1, 2}]

@@ -82,6 +82,9 @@ DOC_QUERIES = [
     # round-6 session: CDC chunking is pure scan-side codegen — the
     # claim is scan-speed linearity, zero exchanges before ordering
     "chunk_text_cdc",
+    # round-6 session: containment shingle equi-join — cipher copies
+    # keep cross-copy shingles disjoint, so pair volume stays linear
+    "dedup_containment_pairs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
