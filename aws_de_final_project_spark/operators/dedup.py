@@ -1268,7 +1268,12 @@ def containment_pairs(
     same rare-first prefix filter :func:`prefix_filter_jaccard_pairs`
     uses (size-ordered for containment, Bayardo et al.).
     """
-    s = _shingle_sets(df, text_col, id_col, ngram)
+    # the shingle-set subtree feeds FOUR consumers (two join sides +
+    # two size attaches) — without a checkpoint Spark recomputes the
+    # normalize/split/shingle pipeline once per consumer (the same
+    # multi-consumer recompute measured 4x on prefix-filter/triangle;
+    # cutting here took the sf0.1 entry from 8.6 s to ~threefold less)
+    s = _cut(_shingle_sets(df, text_col, id_col, ngram), None)
     sh = s.select("_id", F.explode("_words").alias("_sh"))
     sizes = s.select("_id", F.size("_words").cast("long").alias("_n"))
     a = sh.select(F.col("_id").alias("doc_a"), "_sh")
