@@ -2479,7 +2479,11 @@ def oracle_sql() -> dict[str, str]:
                        ]) AS sh
                 FROM w
             ),
-            e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            e AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS h
+                FROM (SELECT doc_id, unnest(sh) AS g FROM s) u
+            ),
             sz AS (
                 SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s
             ),
@@ -2487,7 +2491,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        CAST(count(*) AS BIGINT) AS n_common
                 FROM e a JOIN e b
-                  ON a.g = b.g AND a.doc_id <> b.doc_id
+                  ON a.h = b.h AND a.doc_id <> b.doc_id
                 GROUP BY 1, 2
             )
             SELECT i.doc_a, i.doc_b, i.n_common,

@@ -1274,7 +1274,16 @@ def containment_pairs(
     # multi-consumer recompute measured 4x on prefix-filter/triangle;
     # cutting here took the sf0.1 entry from 8.6 s to ~threefold less)
     s = _cut(_shingle_sets(df, text_col, id_col, ngram), None)
-    sh = s.select("_id", F.explode("_words").alias("_sh"))
+    # join on the first 60 bits of md5(shingle), not the ~30 B shingle
+    # string — 8 B shuffle keys (~4x fewer join-stage bytes, the x30
+    # probe's flag); same recipe as curation's decontamination join,
+    # bit-identical in the DuckDB twin, exact up to md5 collisions
+    sh = s.select("_id", F.explode("_words").alias("_shs")).select(
+        "_id",
+        F.conv(F.substring(F.md5(F.col("_shs")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_sh"),
+    )
     sizes = s.select("_id", F.size("_words").cast("long").alias("_n"))
     a = sh.select(F.col("_id").alias("doc_a"), "_sh")
     b = sh.select(F.col("_id").alias("doc_b"), "_sh")

@@ -2596,6 +2596,22 @@ def chunk_text_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))
     starts = F.concat(F.array(F.lit(0)), F.col("_b"))
     ends = F.concat(F.col("_b"), F.array(n))
+    # Fingerprint each chunk IN-ROW (transform over the pair array)
+    # and DROP text before exploding: the naive explode-then-substr
+    # carried the full document text on every chunk row — an
+    # O(chunks x doc_len) intermediate the x30 probe caught going
+    # superlinear (12.6 s vs a ~4.8 s linear expectation at 1.5M
+    # docs). In-row extraction keeps the exploded stage at exactly
+    # output size.
+    chunks = F.transform(
+        F.filter(F.col("_se"), lambda p: p.s < p.e),
+        lambda p, i: F.struct(
+            i.cast("int").alias("idx"),
+            (p.s + 1).cast("int").alias("start_pos"),
+            (p.e - p.s).cast("int").alias("chunk_len"),
+            F.md5(F.col("text").substr(p.s + 1, p.e - p.s)).alias("fp"),
+        ),
+    )
     return (
         t["documents"]
         .select("doc_id", "text", bounds.alias("_b"))
@@ -2604,23 +2620,13 @@ def chunk_text_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             F.arrays_zip(starts.alias("s"), ends.alias("e")).alias("_se"),
         )
+        .select("doc_id", F.explode(chunks).alias("_c"))
         .select(
             "doc_id",
-            "text",
-            F.posexplode(F.filter(F.col("_se"), lambda p: p.s < p.e)).alias(
-                "chunk_idx", "_p"
-            ),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            (F.col("_p.s") + 1).cast("int").alias("start_pos"),
-            (F.col("_p.e") - F.col("_p.s")).cast("int").alias("chunk_len"),
-            F.md5(
-                F.col("text").substr(
-                    F.col("_p.s") + 1, F.col("_p.e") - F.col("_p.s")
-                )
-            ).alias("chunk_fp"),
+            F.col("_c.idx").alias("chunk_idx"),
+            F.col("_c.start_pos").alias("start_pos"),
+            F.col("_c.chunk_len").alias("chunk_len"),
+            F.col("_c.fp").alias("chunk_fp"),
         )
         .orderBy("doc_id", "chunk_idx")
     )
