@@ -114,6 +114,10 @@ X30_QUERIES = [
     # Misra-Gries partial summaries must stay O(k·partitions)
     "curation_manifest_docs",
     "heavy_hitter_tokens",
+    # round-6 session: shingle-equi-join containment and scan-side
+    # CDC chunking at 1.5M docs
+    "dedup_containment_pairs",
+    "chunk_text_cdc",
 ]
 
 # round-6: the round-5 heavies (triangle enumeration over the
@@ -142,6 +146,8 @@ MISC_X30_QUERIES = [
     "triangle_parts_copurchase",
     "pca_embedding_projection",
     "entity_resolution_customers",
+    # round-6 session: basket pair expansion + aggregates at 18M rows
+    "basket_pair_affinity",
 ]
 
 _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
