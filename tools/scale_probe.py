@@ -85,6 +85,16 @@ DOC_QUERIES = [
     # round-6 session: containment shingle equi-join — cipher copies
     # keep cross-copy shingles disjoint, so pair volume stays linear
     "dedup_containment_pairs",
+    # round-6 session sweep: the remaining doc-family scaling claims
+    # never probed — line-level dedup (md5-keyed line shuffle),
+    # two-phase prefix-sum packing + token-budget sharding, and the
+    # retrieval stack (scan-side term filter + broadcast stats)
+    "line_dedup_docs",
+    "pack_training_sequences",
+    "shard_docs_by_token_budget",
+    "bm25_doc_scores",
+    "inverted_index_postings",
+    "tfidf_top_terms",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
