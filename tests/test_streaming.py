@@ -550,3 +550,67 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
         ).collect()[0].psi
         # streamed batch order == file order (b0, b1)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """Streaming KMV distinct-count state fold == the batch sketch of
+    the full history, EXACTLY — the associativity of the KMV merge
+    observed end-to-end through applyInPandasWithState micro-batches
+    (same claim rollup_incremental_distinct_kmv's shared oracle
+    proves for the two-delta batch fold)."""
+    import os
+    import time
+
+    from aws_de_final_project_spark.plans.extensions import (
+        sketch_kmv_distinct_portable,
+    )
+    from aws_de_final_project_spark.sources.registry import load_tables
+    from aws_de_final_project_spark.streaming.sketch import kmv_distinct_stream
+
+    t = load_tables(
+        spark, "/root/testdata/sf0.001", ("events",), register_views=False
+    )
+    events = t["events"].select("event_type", "user_id", "event_id")
+
+    src = str(tmp_path / "kmv_src")
+    os.makedirs(src)
+    parts = [events.filter(events.event_id % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        d = f"{src}/part{i}"
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        dst = f"{src}/f{i}.parquet"
+        os.rename(f"{d}/{f}", dst)
+        now = time.time()
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        kmv_distinct_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        """SELECT event_type, n_in_sketch, est_users FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY n_batches DESC
+               ) AS rn FROM kmv_stream) WHERE rn = 1"""
+    ).collect()
+    got = {r.event_type: (r.n_in_sketch, r.est_users) for r in rows}
+    truth = {
+        r.event_type: r.est_users
+        for r in sketch_kmv_distinct_portable(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    for et, (_n, est) in got.items():
+        assert est == truth[et], (et, est, truth[et])
