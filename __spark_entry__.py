@@ -911,7 +911,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             toks AS (SELECT DISTINCT doc_id, token FROM raw)
             SELECT token, count(*) AS doc_freq,
-                   list_sort(list(doc_id)) AS postings
+                   array_to_string(list_sort(list(doc_id)), ',')
+                       AS postings
             FROM toks
             GROUP BY token
             ORDER BY token

@@ -2207,8 +2207,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate on the token; postings stay bounded because a
     posting list is by definition the doc-frequency long — the heavy
     hitters (stopwords) that would skew it are exactly what
-    heavy_hitter_tokens identifies for a stop list. Sorted arrays
-    make the output deterministic across partitionings."""
+    heavy_hitter_tokens identifies for a stop list. The posting list
+    is serialized to a comma-joined string (numeric sort first, then
+    stringify) so the output schema is flat — the driver's pandas
+    canonicalizer cannot hash array-typed cells, and the no-array
+    output contract is pinned in tests/test_entry_contract.py."""
     t = load_tables(spark, sf_dir, ("documents",))
     toks = t["documents"].select(
         "doc_id",
@@ -2222,7 +2225,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .orderBy("token")
     )

@@ -1,0 +1,37 @@
+"""Driver-surface schema contract: no queries() entry may return an
+array/map/struct-typed column.
+
+The driver canonicalizes results with pandas ``sort_values`` before
+hashing; list- or dict-valued cells raise ``TypeError: unhashable
+type`` inside pandas' lexsort (this produced the only red driver row
+in round 6, ``inverted_index_postings``, whose values were correct).
+Complex types are fine as intermediates — only the FINAL schema of a
+``queries()`` entry is constrained. Serialize with ``array_join`` /
+``to_json`` at the tail of the plan instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_complex_output_columns(name, spark):
+    df = _QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} returns complex-typed column(s) {bad}; the driver's "
+        "pandas canonicalizer cannot hash list/dict cells — serialize "
+        "to a string at the tail of the plan"
+    )
