@@ -2481,7 +2481,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
             ),
             e AS (
-                SELECT doc_id,
+                -- per-doc DISTINCT hashes: mirrors array_distinct on
+                -- the Spark side so the hash-set intersection size
+                -- equals this join-count unconditionally (not just
+                -- absent a within-doc 60-bit md5 collision)
+                SELECT DISTINCT doc_id,
                        ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS h
                 FROM (SELECT doc_id, unnest(sh) AS g FROM s) u
             ),

@@ -1241,6 +1241,107 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def _containment_hashed_sets(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """id -> (string-set size ``_n``, distinct 60-bit md5 hash set
+    ``_h``) for the containment join, checkpointed once (the subtree
+    feeds the df aggregate, the prefix build, and both verify sides —
+    without a cut Spark recomputes the normalize/split/shingle
+    pipeline per consumer; cutting took the sf0.1 entry from 8.6 s to
+    ~threefold less). 60-bit md5 prefixes, not the ~30 B shingle
+    string, keep shuffle keys at 8 bytes (same recipe as curation's
+    decontamination join); per-doc hash sets are array_distinct'ed,
+    mirrored by DISTINCT in the DuckDB twin, so the
+    count == intersect-size equivalence is unconditional."""
+    s = _cut(_shingle_sets(df, text_col, id_col, ngram), None)
+    return _cut(
+        s.select(
+            "_id",
+            F.size("_words").cast("long").alias("_n"),
+            F.array_distinct(
+                F.transform(
+                    F.col("_words"),
+                    lambda w: F.conv(
+                        F.substring(F.md5(w), 1, 15), 16, 10
+                    ).cast("long"),
+                )
+            ).alias("_h"),
+        ),
+        None,
+    )
+
+
+def _containment_candidates(
+    hs: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """Candidate (``doc_a``, ``doc_b``) pairs for the asymmetric
+    containment prefix filter over a ``(_id, _n, _h)`` hashed-set
+    frame — exposed (like :func:`_prefix_filter_candidates`) so tests
+    can measure the candidate count against the unguarded Σdf² join
+    directly.
+
+    Probe side keeps each set's ``|H| − ceil(t·n) + 1`` rarest hashes
+    (global document frequency ascending, ties by hash value); the
+    index side keeps all; the size prune ``n_b·100 ≥ n_a·t_pct``
+    (containment forces |B| ≥ t·|A|) runs before the distinct. The
+    filter is lossless for the threshold — see
+    :func:`containment_pairs` for the argument.
+    """
+    tok_df = (
+        hs.select(F.explode("_h").alias("_sh"))
+        .groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_dfreq"))
+    )
+    # ceil(n_a·t_pct/100) in pure integer arithmetic — no float nudge
+    alpha = F.floor(
+        (F.col("_n") * F.lit(threshold_pct) + F.lit(99)) / F.lit(100)
+    ).cast("long")
+    # |H_a| is the collected list's length (the hash set is distinct,
+    # so the post-aggregate _ord has exactly one entry per hash)
+    plen = F.greatest(
+        F.size("_ord").cast("long") - alpha + F.lit(1),
+        F.lit(1).cast("long"),
+    ).cast("int")
+    probe = (
+        hs.select("_id", "_n", F.explode("_h").alias("_sh"))
+        .join(tok_df, "_sh")
+        .groupBy("_id", "_n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_dfreq", "_sh"))
+            ).alias("_ord")
+        )
+        .select(
+            F.col("_id").alias("doc_a"),
+            F.col("_n").alias("n_a"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_ord"), F.lit(1), plen),
+                    lambda x: x["_sh"],
+                )
+            ).alias("_sh"),
+        )
+    )
+    index = hs.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_n").alias("n_b"),
+        F.explode("_h").alias("_sh"),
+    )
+    return (
+        probe.join(index, "_sh")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (
+                F.col("n_b") * F.lit(100)
+                >= F.col("n_a") * F.lit(threshold_pct)
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -1260,47 +1361,51 @@ def containment_pairs(
     (``n_common·100 >= n_a·threshold_pct``) so the boundary is exact
     in every engine — no 0.9-is-not-binary float edge.
 
-    Scale shape: candidates come from the shingle EQUI-join (only
-    pairs sharing >= 1 shingle materialize, grouped to intersection
-    counts by one hash aggregate); join volume is Σ_g df(g)² over
-    shingle doc-frequencies — fine for high-entropy 3-gram shingles,
-    and the documented production hardening for hot shingles is the
-    same rare-first prefix filter :func:`prefix_filter_jaccard_pairs`
-    uses (size-ordered for containment, Bayardo et al.).
+    Scale shape — HOT-SHINGLE GUARD (the asymmetric prefix filter,
+    Bayardo et al. "Scaling Up All Pairs"): a naive shingle equi-join
+    has volume Σ_g df(g)² over shingle doc-frequencies, which explodes
+    quadratically on boilerplate shingles (a header shingle with
+    df=10⁶ alone creates a 10¹²-row join). Instead the PROBE side
+    (doc_a) contributes only its ``|H_a| − ceil(t·n_a) + 1`` RAREST
+    hashed shingles (ascending global document frequency, ties by
+    hash value): if C(a,b) ≥ t then |H_a ∩ H_b| ≥ ceil(t·n_a), and a
+    set missing every prefix element retains only ceil(t·n_a) − 1
+    elements — too few to cover the intersection — so the filter is
+    LOSSLESS for the threshold regardless of the chosen order; the
+    rarest-first order is what makes it cheap (a hot shingle sorts
+    last and enters a prefix only for documents so small the prefix
+    is the whole set). The index side (doc_b) keeps all shingles, so
+    candidate volume is Σ_g df_prefix(g)·df(g) with df_prefix ≈ 0 on
+    hot shingles; a ``n_b·100 ≥ n_a·t_pct`` size prune (containment
+    forces |B| ≥ t·|A|) runs before the distinct. Exact intersection
+    counts are then recomputed per CANDIDATE pair via
+    ``array_intersect`` on the hashed sets — output is identical to
+    the unfiltered join. Planted-hot-shingle bound + recall pinned in
+    tests/test_dedup.py.
     """
-    # the shingle-set subtree feeds FOUR consumers (two join sides +
-    # two size attaches) — without a checkpoint Spark recomputes the
-    # normalize/split/shingle pipeline once per consumer (the same
-    # multi-consumer recompute measured 4x on prefix-filter/triangle;
-    # cutting here took the sf0.1 entry from 8.6 s to ~threefold less)
-    s = _cut(_shingle_sets(df, text_col, id_col, ngram), None)
-    # join on the first 60 bits of md5(shingle), not the ~30 B shingle
-    # string — 8 B shuffle keys (~4x fewer join-stage bytes, the x30
-    # probe's flag); same recipe as curation's decontamination join,
-    # bit-identical in the DuckDB twin, exact up to md5 collisions
-    sh = s.select("_id", F.explode("_words").alias("_shs")).select(
-        "_id",
-        F.conv(F.substring(F.md5(F.col("_shs")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("_sh"),
+    hs = _containment_hashed_sets(df, text_col, id_col, ngram)
+    cand = _containment_candidates(hs, threshold_pct)
+    ha = hs.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_h").alias("_h_a"),
     )
-    sizes = s.select("_id", F.size("_words").cast("long").alias("_n"))
-    a = sh.select(F.col("_id").alias("doc_a"), "_sh")
-    b = sh.select(F.col("_id").alias("doc_b"), "_sh")
-    inter = (
-        a.join(b, "_sh")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    hb = hs.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_h").alias("_h_b"),
     )
     return (
-        inter.join(
-            sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("n_a")),
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
             "doc_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("n_b")),
             "doc_b",
+            F.size(F.array_intersect("_h_a", "_h_b"))
+            .cast("long")
+            .alias("n_common"),
+            "n_a",
+            "n_b",
         )
         .where(
             F.col("n_common") * F.lit(100)

@@ -555,3 +555,58 @@ def test_containment_asymmetry_on_embedded_doc(spark):
     assert (2, 1) not in pairs  # asymmetric: the long doc isn't contained
     j = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
     assert not [r for r in j if {r.doc_a, r.doc_b} == {1, 2}]
+
+
+def test_containment_hot_shingle_guard(spark):
+    """Planted hot shingle (one 3-gram in ~50% of docs): the prefix
+    filter keeps the candidate count bounded by the TRUE near-pair
+    structure instead of the hot shingle's df² blowup, and recall on
+    the planted containment pairs is unchanged (the filter is
+    lossless for the threshold)."""
+    import random
+
+    from aws_de_final_project_spark.operators.dedup import (
+        _containment_candidates,
+        _containment_hashed_sets,
+        containment_pairs,
+    )
+
+    rng = random.Random(7)
+    n_docs = 200
+    hot = "shared boilerplate header"  # one 3-gram shingle
+    rows = []
+    for i in range(n_docs):
+        body = " ".join(
+            f"w{rng.randrange(10**9)}x{i} t{rng.randrange(10**9)}"
+            for _ in range(25)
+        )
+        text = (hot + " " + body) if i % 2 == 0 else body
+        rows.append((i, text))
+    # planted true pairs: doc 1000+i is doc i's text verbatim plus a
+    # small unique suffix -> C(i, 1000+i) == 1.0
+    planted = []
+    for i in range(0, 20):
+        rows.append((1000 + i, rows[i][1] + f" uniq{ i } suffix tail"))
+        planted.append((i, 1000 + i))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    hs = _containment_hashed_sets(df, "text", "doc_id", 3)
+    n_cand = _containment_candidates(hs, 90).count()
+    # unguarded join volume on the hot shingle alone would be
+    # ~df² = 110² ≈ 12k candidate pairs sharing only boilerplate;
+    # the guard keeps candidates proportional to true pairs
+    assert n_cand < 500, n_cand
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold_pct=90
+        ).collect()
+    }
+    for p in planted:
+        assert p in got, p
+    # no hot-shingle-only pair qualifies (their true containment is
+    # one shared shingle out of dozens)
+    spurious = got - set(planted) - {(b, a) for a, b in planted}
+    for a, b in spurious:
+        assert a >= 1000 or b >= 1000, (a, b)
