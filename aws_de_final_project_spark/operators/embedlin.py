@@ -36,6 +36,7 @@ from aws_de_final_project_spark.operators.similarity import (
     ARROW_AUTO_DIM,
     _resolve_impl,
 )
+from aws_de_final_project_spark.operators.util import cut as _cut
 from aws_de_final_project_spark.operators.util import spread as _spread
 
 
@@ -244,6 +245,7 @@ def pca_project(
     impl: str = "auto",
     iter_impl: str = "auto",
     decimals: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Project every vector onto the top ``n_components`` principal
     directions of the column's covariance: (id_col, pc1[, pc2, ...]),
@@ -265,6 +267,12 @@ def pca_project(
     below 4M cells (32 MB), relational above. Both run the identical
     program (same start vector, same step count, same deflation) and
     land inside the same rounded output.
+
+    ``checkpoint_dir``: as in operators/util.py::cut — default
+    ``localCheckpoint()`` (fast, executor-resident, not fault-
+    tolerant); pass an HDFS/object-store path on a real cluster for
+    reliable ``checkpoint()`` of the covariance and each iteration
+    frame, surviving executor loss mid-iteration.
     """
     if n_components < 1:
         raise ValueError("n_components must be >= 1")
@@ -282,10 +290,11 @@ def pca_project(
     # into a near-no-op. ~1M cells per partition keeps even dim=4096
     # (16M cells) at a sane width.
     n_cov_parts = max(1, (dim * dim) // 1_000_000)
-    cov = (
-        covariance_entries(df, vec_col, id_col, dim, impl, n=n)
-        .coalesce(n_cov_parts)
-        .localCheckpoint()
+    cov = _cut(
+        covariance_entries(df, vec_col, id_col, dim, impl, n=n).coalesce(
+            n_cov_parts
+        ),
+        checkpoint_dir,
     )
     if iter_impl == "driver":
         vecs = _driver_components(
@@ -300,10 +309,12 @@ def pca_project(
     else:
         comps = []
         for _ in range(n_components):
-            comp = power_component(cov, spark, dim, n_iter).localCheckpoint()
+            comp = _cut(
+                power_component(cov, spark, dim, n_iter), checkpoint_dir
+            )
             comps.append(comp)
             if len(comps) < n_components:
-                cov = deflate(cov, comp).localCheckpoint()
+                cov = _cut(deflate(cov, comp), checkpoint_dir)
 
     e = _elements(df, vec_col, id_col)
     means = e.groupBy("i").agg((F.sum("x") / F.lit(n)).alias("m"))

@@ -15,6 +15,16 @@ def cut(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     (an HDFS/object-store path) to get a reliable ``checkpoint()``
     instead — survives executor loss at the cost of a write per cut.
     Both are eager, so the caller's cost model is unchanged.
+
+    RETENTION: reliable checkpoints are NOT reclaimed by default — an
+    iterative operator writes up to a few frames per round (~26 rounds
+    for connected components on a long chain), and superseded rounds
+    accumulate in durable storage for the life of the application. Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at
+    SESSION BUILD time (it is a SparkContext conf, immutable
+    afterwards — which is why this function cannot set it for you) so
+    checkpoints whose RDDs go out of scope are deleted by the
+    ContextCleaner; otherwise clean ``checkpoint_dir`` after the job.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint()
