@@ -450,6 +450,38 @@ def bench_scaling(spark, sf_dir, queries, warm, overhead) -> dict:
     return out
 
 
+LINE_BUDGET = 1800
+
+
+def final_line(warm: dict, total_warm: float, sf) -> str:
+    """The driver-visible stdout line, guaranteed <= LINE_BUDGET chars.
+
+    The driver captures only the tail of stdout (~2000 chars), so the
+    final line must fit with margin: keep the slowest queries in the
+    map and drop the cheapest until the serialized line is under
+    budget (the full warm map is in BENCH_DETAIL.json). Iterates down
+    to keep == 0 so a line is ALWAYS built — the last candidate, the
+    empty-queries payload, is ~160 chars, within budget by
+    construction (pinned in tests/test_bench_line.py; BENCH_r04/r05
+    came back \"parsed\": null when this line outgrew the window).
+    """
+    by_cost = sorted(warm, key=lambda n: (-warm[n], n))
+    line = None
+    for keep in range(len(by_cost), -1, -1):
+        payload = {
+            "metric": "warm wall-clock; full detail in BENCH_DETAIL.json",
+            "value": total_warm,
+            "unit": "sec",
+            "queries": {n: warm[n] for n in by_cost[:keep]},
+            "queries_omitted": len(by_cost) - keep,
+            "sf": sf,
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= LINE_BUDGET:
+            break
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -531,23 +563,7 @@ def main() -> None:
     # the final line must fit with margin: keep the slowest queries
     # in the map and drop the cheapest until the serialized line is
     # under budget (the full warm map is in BENCH_DETAIL.json).
-    budget = 1800
-    by_cost = sorted(warm, key=lambda n: (-warm[n], n))
-    keep = len(by_cost)
-    while keep > 1:
-        payload = {
-            "metric": "warm wall-clock; full detail in BENCH_DETAIL.json",
-            "value": total_warm,
-            "unit": "sec",
-            "queries": {n: warm[n] for n in by_cost[:keep]},
-            "queries_omitted": len(by_cost) - keep,
-            "sf": float(sf) if sf else sf_dir,
-        }
-        line = json.dumps(payload, separators=(",", ":"))
-        if len(line) <= budget:
-            break
-        keep -= 1
-    print(line)
+    print(final_line(warm, total_warm, float(sf) if sf else sf_dir))
 
 
 if __name__ == "__main__":
