@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": X.mixture_rebalance,
         "line_dedup_docs": X.line_dedup_docs,
         "chunk_text_windows": X.chunk_text_windows,
+        "url_canonicalize": X.url_canonicalize_docs,
+        "host_quality_stats": X.host_quality_stats_docs,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -219,6 +221,84 @@ def _jl_sign_rows_sql() -> str:
 
 _JL_SIGN_ROWS = _jl_sign_rows_sql()
 _TOKENS_LOWER = "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+
+# deterministic messy-URL fixture shared by the url_canonicalize /
+# host_quality_stats twins (documents has no URL column; both engines
+# derive the same URL from doc_id/source — see plans/extensions.py
+# _messy_url, which this mirrors expression-for-expression)
+_MESSY_URL = """
+    'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+    source || '.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+    CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+    '/Docs/' || CAST(doc_id AS VARCHAR) ||
+    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+    '?utm_source=feed&b=2&a=1' ||
+    CASE WHEN doc_id % 4 = 0 THEN '&gclid=XYZ' ELSE '' END ||
+    '#frag'
+"""
+
+# DuckDB twin of operators/webcrawl.canonicalize_url — same six rules,
+# RE2 dialect (\\1 backrefs; all patterns anchored so first-match
+# replace == global replace). Input column: url. Output column: the
+# expression yields canon_url given CTEs below.
+_URL_CANON_CTES = """
+    defrag AS (
+        SELECT *, regexp_replace(url, '#.*$', '') AS _u FROM urls
+    ),
+    split1 AS (
+        SELECT *,
+               regexp_extract(_u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)
+                   AS _auth0,
+               substr(_u, length(regexp_extract(
+                   _u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) + 1)
+                   AS _rest
+        FROM defrag
+    ),
+    split2 AS (
+        SELECT *,
+               regexp_replace(regexp_replace(regexp_replace(
+                   lower(_auth0),
+                   '^(http://[^/:?]+):80$', '\\1'),
+                   '^(https://[^/:?]+):443$', '\\1'),
+                   '^([a-z][a-z0-9+.-]*://)(www\\.)+', '\\1') AS _auth,
+               regexp_extract(_rest, '^([^?]*)', 1) AS _path0
+        FROM split1
+    ),
+    split3 AS (
+        SELECT *,
+               CASE WHEN length(_rest) > length(_path0)
+                    THEN substr(_rest, length(_path0) + 2)
+                    ELSE '' END AS _query
+        FROM split2
+    ),
+    canon AS (
+        SELECT *,
+               _auth || regexp_replace(_path0, '/+$', '') ||
+               CASE WHEN _qc = '' THEN '' ELSE '?' || _qc END AS canon_url
+        FROM (
+            SELECT *, array_to_string(list_sort(list_filter(
+                       string_split(_query, '&'),
+                       p -> length(p) > 0 AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|gclid|fbclid|msclkid|igshid|ref|ref_src)=')
+                   )), '&') AS _qc
+            FROM split3
+        )
+    ),
+    withhost AS (
+        SELECT *,
+               regexp_extract(canon_url,
+                   '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
+        FROM canon
+    ),
+    withdomain AS (
+        SELECT *,
+               CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
+                    THEN host
+                    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+               END AS domain
+        FROM withhost
+    )
+"""
 
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
@@ -3581,6 +3661,35 @@ def oracle_sql() -> dict[str, str]:
                      AS digits_removed
             FROM customer
             ORDER BY c_custkey
+        """,
+        # webcrawl canonicalizer: six string rules, RE2-replayed; the
+        # messy-URL fixture is the shared deterministic construction
+        "url_canonicalize": f"""
+            WITH urls AS (
+                SELECT doc_id, {_MESSY_URL} AS url FROM documents
+            ),
+            {_URL_CANON_CTES}
+            SELECT doc_id, url, canon_url, host, domain
+            FROM withdomain
+            ORDER BY doc_id
+        """,
+        "host_quality_stats": f"""
+            WITH urls AS (
+                SELECT doc_id, n_chars, {_MESSY_URL} AS url
+                FROM documents
+            ),
+            {_URL_CANON_CTES}
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   (floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0)
+                       AS mean_chars,
+                   (floor((avg(CASE WHEN n_chars < 200
+                                    THEN 1.0 ELSE 0.0 END))
+                          * 10000.0 + 0.5) / 10000.0)
+                       AS short_doc_share
+            FROM withdomain
+            GROUP BY domain
+            ORDER BY domain
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

@@ -1,0 +1,159 @@
+"""Web-crawl curation: URL canonicalization + host-level aggregates.
+
+North-star extension (the reference has no web-crawl surface): the
+first preprocessing steps of a crawl-derived training corpus à la
+C4/RefinedWeb — normalize URLs so exact-URL dedup and host-level
+blocklists have a stable key, derive the registered domain, and
+aggregate per-host document statistics (the input to host-level
+quality filtering).
+
+Everything is pure string codegen (`regexp_replace` / `regexp_extract`
+/ `split` / `array_sort`) — zero UDFs, zero shuffles for the
+canonicalizer itself (it is a projection), one hash aggregate for the
+host stats — so the whole family replays exactly in the DuckDB oracle
+and whole-stage codegen keeps it scan-side at 100 TB.
+
+Canonical form (documented, deliberately minimal — each rule is
+idempotent so canon(canon(u)) == canon(u), property-pinned in
+tests/test_webcrawl.py):
+
+1. strip the fragment (``#...``);
+2. lowercase the scheme and authority (host:port) — path/query case
+   is preserved (paths are case-sensitive per RFC 3986);
+3. drop default ports (``http://...:80``, ``https://...:443``);
+4. strip ALL leading ``www.`` labels from the host (``(www\\.)+`` in
+   one anchored match, so a pathological ``www.www.x.com`` still
+   canonicalizes in one pass — single-label stripping would break
+   idempotence);
+5. strip trailing slashes from the path;
+6. drop tracking parameters (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``igshid``, ``ref``, ``ref_src``) and SORT the
+   surviving query parameters bytewise (param order is almost never
+   semantic; sorting makes ``?a=1&b=2`` and ``?b=2&a=1`` one key);
+   an emptied query drops its ``?``.
+
+``registered_domain`` is the last-two-labels heuristic — a real
+deployment swaps in the public-suffix list (not vendorable here); the
+heuristic is wrong exactly on multi-label suffixes (``.co.uk``),
+which the docstring of :func:`host_quality_stats` calls out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
+
+# tracking params dropped during canonicalization; the alternation is
+# mirrored verbatim in the DuckDB oracle (__spark_entry__.py)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|ref|ref_src)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL as one codegen expression (rules in the module
+    docstring). Input anything URL-shaped; non-URL strings pass
+    through mostly unchanged (no scheme -> rules 2-4 find nothing to
+    rewrite, which is the safe behavior for a cleaning pass)."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 1. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # split: authority = scheme://host[:port], rest = /path?query
+    auth = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(u, F.length(auth) + 1, F.lit(1 << 30))
+    # 2. lowercase scheme+authority
+    auth = F.lower(auth)
+    # 3. default ports
+    auth = F.regexp_replace(auth, r"^(http://[^/:?]+):80$", "$1")
+    auth = F.regexp_replace(auth, r"^(https://[^/:?]+):443$", "$1")
+    # 4. every leading www. label in one anchored match (idempotence)
+    auth = F.regexp_replace(auth, r"^([a-z][a-z0-9+.-]*://)(www\.)+", "$1")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.when(
+        F.length(rest) > F.length(path),
+        F.substring(rest, F.length(path) + 2, F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    # 5. trailing slashes
+    path = F.regexp_replace(path, r"/+$", "")
+    # 6. drop tracking params, sort the rest bytewise
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0)
+            & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qcanon = F.array_join(kept, "&")
+    return F.concat(
+        auth,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qcanon)
+        ),
+    )
+
+
+def url_host(canon: Column) -> Column:
+    """Host of an (already canonical) URL."""
+    return F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+
+
+def registered_domain(host: Column) -> Column:
+    """Last-two-labels registered-domain heuristic (see module
+    docstring for the public-suffix caveat); single-label hosts
+    (``localhost``) pass through unchanged."""
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two == "", host).otherwise(two)
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str, out_col: str = "canon_url"
+) -> DataFrame:
+    """Attach ``out_col``, ``host`` and ``domain`` — a pure projection
+    (zero shuffles; at 100 TB this runs inside the scan stage)."""
+    canon = canonicalize_url(url_col)
+    return df.withColumn(out_col, canon).withColumns(
+        {
+            "host": url_host(F.col(out_col)),
+            "domain": registered_domain(url_host(F.col(out_col))),
+        }
+    )
+
+
+def host_quality_stats(
+    df: DataFrame,
+    url_col: str,
+    size_col: str,
+    short_doc_chars: int = 200,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-registered-domain aggregates for host-level filtering
+    (RefinedWeb/C4-style blocklisting): document count, mean document
+    size, and the share of short documents — the three cheapest
+    host-quality signals. One hash aggregate on the derived domain
+    (map-side combinable; domain cardinality is tiny next to docs, so
+    the shuffle moves one partial row per domain per task).
+
+    Domain is the last-two-labels heuristic of
+    :func:`registered_domain` — multi-label public suffixes
+    (``.co.uk``) group one level too coarse until a public-suffix
+    table is joined in."""
+    dom = registered_domain(url_host(canonicalize_url(url_col)))
+    return (
+        df.select(
+            dom.alias("domain"),
+            F.col(size_col).cast("long").alias("_sz"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            rnd(F.avg("_sz"), decimals).alias("mean_chars"),
+            rnd(
+                F.avg(
+                    (F.col("_sz") < short_doc_chars).cast("double")
+                ),
+                decimals,
+            ).alias("short_doc_share"),
+        )
+        .orderBy("domain")
+    )

@@ -2651,3 +2651,60 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         t["documents"], "text", "doc_id", threshold_pct=90, ngram=3
     ).orderBy("doc_a", "doc_b")
+
+
+def _messy_url() -> "F.Column":
+    """Deterministic synthetic crawl URL per document — the documents
+    table has no URL column, so both twins derive the same messy URL
+    (mixed-case scheme/host, www. on every 3rd, default :80 port on
+    every 5th, trailing slash on every 2nd, unsorted query with
+    tracking params, gclid on every 4th, a fragment on all) from
+    doc_id/source; the operator under test is the canonicalizer, the
+    construction is just the fixture."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Site"),
+        (d % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b=2&a=1"),
+        F.when(d % 4 == 0, F.lit("&gclid=XYZ")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+
+
+def url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/webcrawl): fragment strip,
+    scheme/authority lowercase, default-port drop, www-label strip,
+    trailing-slash strip, tracking-param drop + bytewise param sort —
+    plus host and registered domain. A pure projection (zero
+    shuffles, scan-side codegen at 100 TB); idempotence is
+    property-pinned in tests/test_webcrawl.py; FULL DuckDB oracle
+    (string ops replay exactly)."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", _messy_url().alias("url"))
+    return WC.with_canonical_url(d, "url").select(
+        "doc_id", "url", "canon_url", "host", "domain"
+    ).orderBy("doc_id")
+
+
+def host_quality_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus stats (operators/webcrawl):
+    doc count, mean document size, short-doc share — the host-level
+    signals a C4/RefinedWeb-style blocklist pass filters on. One
+    map-side-combinable hash aggregate over the derived domain."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(_messy_url().alias("url"), "n_chars")
+    return WC.host_quality_stats(
+        d, "url", "n_chars", short_doc_chars=200
+    )

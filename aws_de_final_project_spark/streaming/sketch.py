@@ -7,7 +7,13 @@ the SAME lossless merge (union + keep-k-smallest), folded per
 micro-batch into per-key executor state instead of a stored rollup.
 Because the merge is exactly associative, the stream's final estimate
 is BIT-IDENTICAL to the batch sketch of the full history — pinned in
-tests/test_streaming.py against the batch entry.
+tests/test_streaming.py against the batch entry. ASSUMPTION of that
+equivalence: the stream dedups by hash VALUE u (np.unique) while the
+batch entry dedups by distinct (event_type, user_id) before hashing,
+so bit-identity holds absent a 60-bit md5 collision between two
+distinct user ids of one event type (batch would keep both ranks, the
+stream would collapse them). P ~ (distinct ids per key)²/2⁶¹ —
+astronomically small, but it is the assumption the claim rests on.
 
 Scale shape: state is <= k doubles per key BY CONSTRUCTION — unlike a
 windowed agg there is nothing for a watermark to evict, the sketch IS

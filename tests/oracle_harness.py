@@ -65,7 +65,13 @@ def canon_duck_type(t: str) -> str:
     if t.startswith("DECIMAL"):
         return "decimal"
     if t.startswith("TIMESTAMP"):
-        return "ts"
+        # tz flavor stays distinct so LTZ-vs-NTZ drift fails the gate
+        # (LTZ output localizes through the PROCESS tz at collect() —
+        # the driver-tz bomb pinned plan-side by
+        # test_no_ltz_output_columns_anywhere): DuckDB's
+        # TIMESTAMP WITH TIME ZONE pairs with Spark 'timestamp' (LTZ),
+        # naive TIMESTAMP/TIMESTAMP_NS with Spark 'timestamp_ntz'
+        return "ts_ltz" if "WITH TIME ZONE" in t or t == "TIMESTAMPTZ" else "ts_ntz"
     if t.startswith("STRUCT"):
         return "struct"
     m = {
@@ -90,7 +96,8 @@ def canon_spark_type(t: str) -> str:
     if t.startswith("decimal"):
         return "decimal"
     if t.startswith("timestamp"):
-        return "ts"
+        # see canon_duck_type: the tz dimension is part of the contract
+        return "ts_ntz" if t.startswith("timestamp_ntz") else "ts_ltz"
     if t.startswith("struct"):
         return "struct"
     m = {

@@ -1,0 +1,112 @@
+"""URL canonicalization (operators/webcrawl): rule-by-rule unit cases,
+the idempotence property canon(canon(u)) == canon(u) over generated
+adversarial URLs, and the host-stats aggregate. Oracle parity for the
+registered entries lives in tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_de_final_project_spark.operators import webcrawl as WC
+
+CASES = [
+    # (input, expected canonical)
+    ("HTTP://WWW.Example.COM:80/Docs/1/?b=2&a=1#frag",
+     "http://example.com/Docs/1?a=1&b=2"),
+    ("https://Example.com:443/", "https://example.com"),
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    ("http://www.www.example.com/a", "http://example.com/a"),
+    ("https://example.com/a?utm_source=x&utm_medium=y&gclid=1",
+     "https://example.com/a"),
+    ("https://example.com/a?fbclid=1&keep=1&ref=z",
+     "https://example.com/a?keep=1"),
+    ("https://example.com/CaseSensitive/Path",
+     "https://example.com/CaseSensitive/Path"),
+    ("https://example.com/a///", "https://example.com/a"),
+    ("https://example.com", "https://example.com"),
+    ("not a url at all", "not a url at all"),
+    ("https://example.com/?", "https://example.com"),
+    ("https://sub.domain.example.co/x?z=1&y=2&z=0",
+     "https://sub.domain.example.co/x?y=2&z=0&z=1"),
+]
+
+
+def _canon_all(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], ["i", "url"]
+    )
+    rows = (
+        df.select("i", WC.canonicalize_url("url").alias("c"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r.c for r in rows]
+
+
+def test_canonicalize_rule_cases(spark):
+    got = _canon_all(spark, [u for u, _ in CASES])
+    for (u, want), c in zip(CASES, got):
+        assert c == want, (u, c, want)
+
+
+def test_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) for the unit cases AND a generated
+    grid of messy URLs (every combination of scheme case, www depth,
+    default/odd port, trailing slashes, tracking/plain params,
+    fragments)."""
+    gen = []
+    for scheme in ("http://", "HTTPS://", "HtTp://"):
+        for www in ("", "www.", "WWW.www."):
+            for port in ("", ":80", ":443", ":8080"):
+                for tail in ("", "/", "/A/b/", "/x?b=2&a=1&utm_x=1#f",
+                             "/x?utm_a=1&utm_b=2", "?ref=r&Z=26&a=1#x"):
+                    gen.append(f"{scheme}{www}Host{len(gen)}.ORG{port}{tail}")
+    once = _canon_all(spark, gen)
+    twice = _canon_all(spark, once)
+    assert once == twice
+
+
+def test_host_and_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "HTTP://WWW.a.B.Example.COM/x"), (2, "https://localhost/y")],
+        ["doc_id", "url"],
+    )
+    rows = WC.with_canonical_url(df, "url").orderBy("doc_id").collect()
+    assert rows[0].host == "a.b.example.com"
+    assert rows[0].domain == "example.com"
+    assert rows[1].host == "localhost"
+    assert rows[1].domain == "localhost"
+
+
+def test_host_quality_stats(spark):
+    rows = [
+        (1, "https://a.com/1", 100),
+        (2, "http://WWW.A.com/2", 300),
+        (3, "https://b.org/1", 50),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    got = {
+        r.domain: r
+        for r in WC.host_quality_stats(
+            df, "url", "n_chars", short_doc_chars=200
+        ).collect()
+    }
+    assert got["a.com"].n_docs == 2
+    assert got["a.com"].mean_chars == 200.0
+    assert got["a.com"].short_doc_share == 0.5
+    assert got["b.org"].short_doc_share == 1.0
+
+
+def test_canonicalizer_is_shuffle_free(spark):
+    """The canonicalizer must stay a projection — no exchange in the
+    plan (at 100 TB it runs inside the scan stage)."""
+    df = spark.range(10).select(
+        F.concat(F.lit("https://example.com/"), F.col("id")).alias("url")
+    )
+    plan = (
+        df.select(WC.canonicalize_url("url").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
