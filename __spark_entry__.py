@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text_windows": X.chunk_text_windows,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
+        "mixture_plan_rates": X.mixture_plan_rates_docs,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -3690,6 +3691,79 @@ def oracle_sql() -> dict[str, str]:
             FROM withdomain
             GROUP BY domain
             ORDER BY domain
+        """,
+        # water-filling mixture planner: same sorted-prefix-sum
+        # program (capped set = prefix of the avail/weight sort via
+        # one monotone predicate); integer supplies + binary-fraction
+        # weights make every sum exact, so the capped set and the
+        # water level replay bit-identically
+        "mixture_plan_rates": """
+            WITH counts AS (
+                SELECT source,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS avail_tokens
+                FROM documents GROUP BY source
+            ),
+            wts AS (
+                SELECT source, avail_tokens,
+                       CASE
+                           WHEN source = 'src19' THEN 12.0/64
+                           WHEN CAST(substr(source, 4) AS INT) >= 12
+                               THEN 4.0/64
+                           ELSE 2.0/64
+                       END AS target_weight
+                FROM counts
+            ),
+            tot AS (
+                SELECT *,
+                       CAST(avail_tokens AS DOUBLE) AS _a,
+                       CAST(avail_tokens AS DOUBLE) / target_weight
+                           AS _ratio,
+                       sum(target_weight) OVER () AS _totW,
+                       floor(0.6 * sum(CAST(avail_tokens AS DOUBLE))
+                             OVER ()) AS _budget
+                FROM wts
+            ),
+            pref AS (
+                SELECT *,
+                       coalesce(sum(_a) OVER (
+                           ORDER BY _ratio, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0.0) AS _prefA,
+                       coalesce(sum(target_weight) OVER (
+                           ORDER BY _ratio, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0.0) AS _prefW
+                FROM tot
+            ),
+            cap AS (
+                SELECT *,
+                       (_ratio * (_totW - _prefW) <= _budget - _prefA)
+                           AS capped
+                FROM pref
+            ),
+            lamf AS (
+                SELECT *,
+                       sum(CASE WHEN capped THEN _a ELSE 0.0 END)
+                           OVER () AS _cappedA,
+                       sum(CASE WHEN capped THEN target_weight
+                                ELSE 0.0 END) OVER () AS _cappedW
+                FROM cap
+            )
+            SELECT source, avail_tokens, target_weight,
+                   (floor((CASE WHEN capped THEN _a
+                           ELSE target_weight * ((_budget - _cappedA)
+                                / (_totW - _cappedW)) END)
+                          * 10000.0 + 0.5) / 10000.0) AS take_tokens,
+                   (floor((CASE WHEN _a > 0 THEN
+                           (CASE WHEN capped THEN _a
+                            ELSE target_weight * ((_budget - _cappedA)
+                                 / (_totW - _cappedW)) END) / _a
+                           ELSE 0.0 END)
+                          * 1000000.0 + 0.5) / 1000000.0) AS rate,
+                   capped
+            FROM lamf
+            ORDER BY source
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

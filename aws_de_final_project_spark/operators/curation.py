@@ -373,3 +373,97 @@ def heavy_hitter_keys(
         .where(F.col("cnt").cast("double") > F.lit(support) * F.col("_n"))
         .drop("_n")
     )
+
+
+def mixture_plan_rates(
+    avail: DataFrame,
+    budget,
+    group_col: str = "source",
+    avail_col: str = "avail_tokens",
+    weight_col: str = "target_weight",
+    decimals: int = 6,
+) -> DataFrame:
+    """The planner that derives :func:`mixture_sample`'s rates: given
+    per-source available token counts, target mixture weights (sum 1,
+    each > 0), and a total token budget, compute the achievable
+    per-source take and sampling rate by WATER-FILLING — a source
+    whose target share exceeds its supply is capped at its supply and
+    its deficit is redistributed to the uncapped sources in proportion
+    to their weights (the standard max-min fair allocation).
+
+    Fully relational — no driver loop: sources sorted by
+    ``ratio = avail/weight`` ascending saturate in that order, so the
+    capped set is a PREFIX of the sort and one monotone predicate per
+    row selects it exactly:
+    ``ratio·(totW − prefW) <= budget − prefA`` (prefix sums exclude
+    the current row). The water level is then
+    ``λ = (budget − Σ_capped avail) / (totW − Σ_capped weight)`` and
+    ``take = avail`` if capped else ``weight·λ``. Conservation
+    (Σ take = min(budget, Σ avail)) and rate ∈ [0, 1] are property-
+    pinned in tests/test_curation.py against a numpy reference.
+
+    The frame is ONE ROW PER SOURCE (mixture sources are inherently
+    few), so the single-partition windows are driver-cheap by
+    construction — the data-sized work is the upstream count
+    aggregate the caller runs.
+
+    ``budget`` may be a float or a Column evaluated against the
+    aggregated frame (e.g. ``floor(0.6 * sum(avail) over ())`` for a
+    fraction-of-corpus budget). Determinism note: with integer avails
+    and binary-fraction weights every prefix/total sum is exact, so
+    the capped set and λ replay bit-identically in the DuckDB twin.
+    """
+    from pyspark.sql.window import Window
+
+    ga = F.col(avail_col).cast("double")
+    gw = F.col(weight_col).cast("double")
+    b = budget if isinstance(budget, Column) else F.lit(float(budget))
+    whole = (
+        Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    base = avail.select(
+        group_col,
+        avail_col,
+        weight_col,
+        b.cast("double").alias("_budget"),
+        (ga / gw).alias("_ratio"),
+    )
+    prev = Window.orderBy("_ratio", group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s2 = base.select(
+        "*",
+        F.coalesce(F.sum(ga).over(prev), F.lit(0.0)).alias("_prefA"),
+        F.coalesce(F.sum(gw).over(prev), F.lit(0.0)).alias("_prefW"),
+        F.sum(gw).over(whole).alias("_totW"),
+    )
+    s3 = s2.select(
+        "*",
+        (
+            F.col("_ratio") * (F.col("_totW") - F.col("_prefW"))
+            <= F.col("_budget") - F.col("_prefA")
+        ).alias("capped"),
+    )
+    s4 = s3.select(
+        "*",
+        F.sum(F.when(F.col("capped"), ga).otherwise(F.lit(0.0)))
+        .over(whole)
+        .alias("_cappedA"),
+        F.sum(F.when(F.col("capped"), gw).otherwise(F.lit(0.0)))
+        .over(whole)
+        .alias("_cappedW"),
+    )
+    lam = (F.col("_budget") - F.col("_cappedA")) / (
+        F.col("_totW") - F.col("_cappedW")
+    )
+    take = F.when(F.col("capped"), ga).otherwise(gw * lam)
+    rate = F.when(ga > 0, take / ga).otherwise(F.lit(0.0))
+    return s4.select(
+        group_col,
+        F.col(avail_col).cast("long").alias(avail_col),
+        weight_col,
+        rnd(take, 4).alias("take_tokens"),
+        rnd(rate, decimals).alias("rate"),
+        "capped",
+    ).orderBy(group_col)

@@ -2708,3 +2708,46 @@ def host_quality_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WC.host_quality_stats(
         d, "url", "n_chars", short_doc_chars=200
     )
+
+
+def mixture_plan_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (operators/curation
+    .mixture_plan_rates): per-source whitespace-token supply vs a
+    skewed target mixture (weights i/32, deliberately oversubscribing
+    the last source) against a 60%-of-corpus budget — the water-
+    filling planner caps the short source at its supply and
+    redistributes the deficit to the others. Weights are exact binary
+    fractions and supplies are integers, so every sum in the plan is
+    exact and the DuckDB twin replays bit-identically."""
+    from pyspark.sql.window import Window
+
+    from aws_de_final_project_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    counts = (
+        t["documents"]
+        .select("source", F.size(F.split("text", " ")).alias("_ntok"))
+        .groupBy("source")
+        .agg(F.sum("_ntok").cast("long").alias("avail_tokens"))
+    )
+    # 20 sources, exact binary-fraction weights summing to 1
+    # (src0-11: 2/64, src12-18: 4/64, src19: 12/64) — the 12/64
+    # target on a ~1/20 supply forces a cap; exact weights make every
+    # window sum order-independent, hence engine-identical
+    wt = F.when(F.col("source") == "src19", F.lit(12.0 / 64))
+    for i in range(12):
+        wt = wt.when(F.col("source") == f"src{i}", F.lit(2.0 / 64))
+    for i in range(12, 19):
+        wt = wt.when(F.col("source") == f"src{i}", F.lit(4.0 / 64))
+    counts = counts.select(
+        "source", "avail_tokens", wt.otherwise(F.lit(0.0)).alias(
+            "target_weight"
+        )
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    budget = F.floor(
+        F.lit(0.6) * F.sum(F.col("avail_tokens").cast("double")).over(whole)
+    ).cast("double")
+    return curation.mixture_plan_rates(counts, budget)

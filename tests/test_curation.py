@@ -270,3 +270,62 @@ def test_bigram_lm_scores_gibberish_below_natural_text(spark, tmp_path):
     got = {r.doc_id: r.avg_logprob for r in
            bigram_logprob_scores(spark, d).collect()}
     assert got[99] < got[0] - 1.0, got
+
+
+def test_mixture_plan_rates_properties(spark):
+    """Water-filling planner vs a numpy reference on randomized
+    supply/weight/budget draws: rates in [0,1], conservation
+    (sum take == min(budget, sum avail)), capped sources take exactly
+    their supply, uncapped takes proportional to weights (deficit
+    redistribution conserves the total)."""
+    import random
+
+    from aws_de_final_project_spark.operators.curation import (
+        mixture_plan_rates,
+    )
+
+    rng = random.Random(13)
+    for trial in range(6):
+        n = rng.randint(2, 9)
+        avails = [rng.randint(0, 10_000) for _ in range(n)]
+        # exact binary weights summing to 1 (k/64 split)
+        ks = [1] * n
+        left = 64 - n
+        for _ in range(left):
+            ks[rng.randrange(n)] += 1
+        weights = [k / 64.0 for k in ks]
+        budget = float(rng.randint(0, sum(avails) + 5_000))
+        rows = [
+            (f"s{i:02d}", avails[i], weights[i]) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "source string, avail_tokens long, target_weight double"
+        )
+        got = {
+            r.source: r
+            for r in mixture_plan_rates(df, budget).collect()
+        }
+        assert len(got) == n
+        # numpy-free reference water-filling (exact same math)
+        order = sorted(range(n), key=lambda i: (avails[i] / weights[i],
+                                                f"s{i:02d}"))
+        capped, remB, remW = set(), budget, 1.0
+        for i in order:
+            if avails[i] / weights[i] * remW <= remB:
+                capped.add(i)
+                remB -= avails[i]
+                remW -= weights[i]
+            else:
+                break
+        lam = remB / remW if remW > 0 else 0.0
+        total_take = 0.0
+        for i in range(n):
+            r = got[f"s{i:02d}"]
+            want = avails[i] if i in capped else weights[i] * lam
+            assert abs(r.take_tokens - want) <= 1e-3, (trial, i, r, want)
+            assert r.capped == (i in capped)
+            assert 0.0 <= r.rate <= 1.0 + 1e-9, r
+            if avails[i]:
+                assert abs(r.rate - want / avails[i]) <= 1e-5
+            total_take += r.take_tokens
+        assert abs(total_take - min(budget, sum(avails))) <= 1e-2, trial
