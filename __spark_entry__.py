@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
+        "streaming_kmv_replay": X.streaming_kmv_replay,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -3764,6 +3765,42 @@ def oracle_sql() -> dict[str, str]:
                    capped
             FROM lamf
             ORDER BY source
+        """,
+        # the stream-fold's final state must equal the batch KMV of
+        # the full history (associative merge) — the oracle computes
+        # the batch sketch, so a green row proves the stateful
+        # streaming path end-to-end
+        "streaming_kmv_replay": """
+            WITH d AS (
+                SELECT DISTINCT event_type, user_id FROM events
+            ),
+            h AS (
+                SELECT event_type,
+                       CAST(('0x' || substr(
+                            md5(CAST(user_id AS VARCHAR)), 1, 15
+                       ))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+                FROM d
+            ),
+            ranked AS (
+                SELECT event_type, u,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY u
+                       ) AS rn
+                FROM h
+            ),
+            sk AS (
+                SELECT event_type, count(*) AS n_in_sketch, max(u) AS uk
+                FROM ranked WHERE rn <= 64 GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n_in_sketch AS BIGINT) AS n_in_sketch,
+                   (floor((CASE WHEN n_in_sketch < 64
+                                THEN CAST(n_in_sketch AS DOUBLE)
+                                ELSE 63.0 / uk END)
+                          * 100.0 + 0.5) / 100.0) AS est_users
+            FROM sk
+            ORDER BY event_type
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

@@ -2751,3 +2751,75 @@ def mixture_plan_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.6) * F.sum(F.col("avail_tokens").cast("double")).over(whole)
     ).cast("double")
     return curation.mixture_plan_rates(counts, budget)
+
+
+def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING KMV distinct-count path (streaming/sketch
+    .kmv_distinct_stream, applyInPandasWithState) driven end-to-end
+    over a bounded 3-slice replay of the events table — the one
+    queries() entry whose value IS a stream-fold result, so the
+    driver's oracle gate covers the stateful streaming machinery, not
+    just batch plans. Events are split by event_id % 3 into three
+    time-ordered files, maxFilesPerTrigger=1 + availableNow makes
+    them three micro-batches, and the final per-key state (max
+    n_batches) is returned. Because the KMV merge is associative, the
+    result equals the batch sketch of the full history — which is
+    exactly what the DuckDB oracle computes; the fold order is proven
+    irrelevant by the oracle match itself. Result is materialized
+    (tiny: one row per event_type) before the temp replay dir is
+    removed."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from aws_de_final_project_spark.streaming.sketch import (
+        kmv_distinct_stream,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    events = t["events"].select("event_type", "user_id", "event_id")
+    tmp = tempfile.mkdtemp(prefix="kmv_replay_")
+    try:
+        for i in range(3):
+            d = os.path.join(tmp, f"part{i}")
+            (
+                events.filter(F.col("event_id") % 3 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+            dst = os.path.join(tmp, f"f{i}.parquet")
+            os.rename(os.path.join(d, f), dst)
+            now = time.time()
+            os.utime(dst, (now + i * 10, now + i * 10))
+            shutil.rmtree(d)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        qname = f"kmv_replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            kmv_distinct_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.sql(
+            f"""SELECT event_type, n_in_sketch, est_users FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY event_type ORDER BY n_batches DESC
+                    ) AS rn FROM {qname}) WHERE rn = 1"""
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema).orderBy(
+            "event_type"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
