@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
         "streaming_kmv_replay": X.streaming_kmv_replay,
+        "dedup_url_canonical": X.dedup_url_canonical,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -3801,6 +3802,34 @@ def oracle_sql() -> dict[str, str]:
                           * 100.0 + 0.5) / 100.0) AS est_users
             FROM sk
             ORDER BY event_type
+        """,
+        # URL-keyed dedup: coarse fixture (path = doc_id % 100,
+        # flipped param order, gclid noise) so raw-distinct URLs
+        # collapse onto canonical keys; same canon CTE chain
+        "dedup_url_canonical": f"""
+            WITH urls AS (
+                SELECT doc_id,
+                       'HTTP://' ||
+                       CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                            ELSE '' END ||
+                       source || '.Site.COM' ||
+                       CASE WHEN doc_id % 5 = 0 THEN ':80'
+                            ELSE '' END ||
+                       '/Page/' || CAST(doc_id % 100 AS VARCHAR) ||
+                       CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+                       CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+                            ELSE '?a=1&b=2' END ||
+                       CASE WHEN doc_id % 4 = 0 THEN '&gclid=XYZ'
+                            ELSE '' END AS url
+                FROM documents
+            ),
+            {_URL_CANON_CTES}
+            SELECT canon_url,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM canon
+            GROUP BY canon_url
+            ORDER BY canon_url
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

@@ -157,3 +157,25 @@ def host_quality_stats(
         )
         .orderBy("domain")
     )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Exact-URL dedup on the CANONICAL key — the reason the
+    canonicalizer exists: raw crawl URLs differ in tracking params,
+    param order, www/port/slash noise while naming the same resource.
+    Output one row per canonical URL: copy count and the keeper (min
+    id — deterministic under any partitioning). One hash aggregate on
+    the canonical string (map-side combinable); the canonicalization
+    itself fuses into the scan."""
+    canon = canonicalize_url(url_col)
+    return (
+        df.select(canon.alias("canon_url"), F.col(id_col).alias("_id"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("_id").alias("keeper_id"),
+        )
+        .orderBy("canon_url")
+    )

@@ -2823,3 +2823,32 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed exact dedup (operators/webcrawl.dedup_by_url): a
+    coarse messy-URL fixture (path = doc_id % 100, param order
+    flipped on odd ids, gclid noise on every 4th) gives many raw-
+    distinct URLs per canonical resource; the canonical key collapses
+    them and one hash aggregate picks copy counts + min-id keepers.
+    FULL DuckDB oracle (same fixture + canon CTEs + group)."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Site.COM"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (d % 100).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(d % 4 == 0, F.lit("&gclid=XYZ")).otherwise(F.lit("")),
+    )
+    docs = t["documents"].select("doc_id", url.alias("url"))
+    return WC.dedup_by_url(docs, "url", "doc_id")

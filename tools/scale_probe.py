@@ -396,13 +396,33 @@ def main() -> None:
             # enough to fake a superlinear slope
             row[tier] = round(min(reps), 3)
         # slope net of the measured fixed action overhead; when both
-        # tiers are within ~overhead of zero the ratio is division
-        # noise, not a growth rate — report null (flat) instead of a
-        # large-looking artifact
+        # tiers are within ~overhead of zero a single-shot ratio is
+        # division noise — re-measure with a 10-action loop so the
+        # variable cost is amplified 10x against the same per-action
+        # overhead, and report the looped slope (non-null for every
+        # probed entry, VERDICT r6 #3) with the loop factor recorded
         num = max(row["x10"] - fixed, 1e-3)
         den = max(row["sf0.1"] - fixed, 1e-3)
         if num < 0.25 and den < 0.25:
-            row["slope_x10_vs_sf0.1"] = None
+            loops = 10
+            looped = {}
+            for tier, d in (("sf0.1", tiers["sf0.1"]), ("x10", tiers["x10"])):
+                spark.sparkContext._jvm.System.gc()
+                df = Q[name](spark, d)
+                drive(df)  # warmup
+                reps = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _i in range(loops):
+                        drive(df)
+                    reps.append(time.perf_counter() - t0)
+                looped[tier] = min(reps)
+            lnum = max(looped["x10"] - loops * fixed, 1e-3)
+            lden = max(looped["sf0.1"] - loops * fixed, 0.05)
+            row["slope_x10_vs_sf0.1"] = round(lnum / lden, 2)
+            row["slope_loop_factor"] = loops
+            row["looped_sf0.1"] = round(looped["sf0.1"], 3)
+            row["looped_x10"] = round(looped["x10"], 3)
         else:
             row["slope_x10_vs_sf0.1"] = round(num / den, 2)
         print(json.dumps(row))
@@ -426,13 +446,24 @@ def main() -> None:
             t0 = time.perf_counter()
             drive(Q[name](spark, X30_DIR))
             reps.append(time.perf_counter() - t0)
-        row["x30"] = round(min(reps), 3)
+        # report min (the structural cost), the median, AND the
+        # spread: a ratio whose residual is attributed to JVM noise
+        # must show the noise (VERDICT r6 #3 on containment's 1.85)
+        reps.sort()
+        row["x30"] = round(reps[0], 3)
+        row["x30_median"] = round(reps[1], 3)
+        row["x30_spread"] = [round(reps[0], 3), round(reps[-1], 3)]
         linear = 3.0 * max(row["x10"] - fixed, 1e-3)
         row["x30_ratio_vs_linear"] = round(
             max(row["x30"] - fixed, 1e-3) / linear, 2
         )
+        row["x30_ratio_vs_linear_median"] = round(
+            max(row["x30_median"] - fixed, 1e-3) / linear, 2
+        )
         print(json.dumps({k: row[k] for k in
-                          ("query", "x10", "x30", "x30_ratio_vs_linear")}))
+                          ("query", "x10", "x30", "x30_median",
+                           "x30_ratio_vs_linear",
+                           "x30_ratio_vs_linear_median")}))
 
     misc_x30 = [q for q in MISC_X30_QUERIES if only is None or q in only]
     # the misc x30 loop needs the x10 row for the linear baseline
@@ -450,13 +481,21 @@ def main() -> None:
             t0 = time.perf_counter()
             drive(Q[name](spark, MISC_X30_DIR))
             reps.append(time.perf_counter() - t0)
-        row["x30"] = round(min(reps), 3)
+        reps.sort()
+        row["x30"] = round(reps[0], 3)
+        row["x30_median"] = round(reps[1], 3)
+        row["x30_spread"] = [round(reps[0], 3), round(reps[-1], 3)]
         linear = 3.0 * max(row["x10"] - fixed, 1e-3)
         row["x30_ratio_vs_linear"] = round(
             max(row["x30"] - fixed, 1e-3) / linear, 2
         )
+        row["x30_ratio_vs_linear_median"] = round(
+            max(row["x30_median"] - fixed, 1e-3) / linear, 2
+        )
         print(json.dumps({k: row[k] for k in
-                          ("query", "x10", "x30", "x30_ratio_vs_linear")}))
+                          ("query", "x10", "x30", "x30_median",
+                           "x30_ratio_vs_linear",
+                           "x30_ratio_vs_linear_median")}))
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
