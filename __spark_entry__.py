@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_rates": X.mixture_plan_rates_docs,
         "streaming_kmv_replay": X.streaming_kmv_replay,
         "dedup_url_canonical": X.dedup_url_canonical,
+        "html_extract_text": X.html_extract_docs,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -3830,6 +3831,53 @@ def oracle_sql() -> dict[str, str]:
             FROM canon
             GROUP BY canon_url
             ORDER BY canon_url
+        """,
+        # HTML visible-text extraction: script/style elements with
+        # contents, comments, tags, six entities (&amp; last), then
+        # whitespace collapse — inline (?is)/(?s) RE2 flags + 'g'
+        "html_extract_text": """
+            WITH wrapped AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '</title><SCRIPT type="text/javascript">var x = 1;'
+                       || ' // <p>not text</p></SCRIPT>' ||
+                       '<style>.c { color: red }</style></head>' ||
+                       '<body><!-- boilerplate' || chr(10) ||
+                       'comment --><p>' || text || '</p>' ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '<div class="foot">Q&amp;A &lt;tag&gt;'
+                                 || '&nbsp;&#39;quoted&#39;</div>'
+                            ELSE '' END ||
+                       '</body></html>' AS html
+                FROM documents
+            ),
+            stripped AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                               '(?is)<script\\b[^>]*>.*?</script>', ' ',
+                               'g'),
+                           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]*>', ' ', 'g') AS t
+                FROM wrapped
+            ),
+            decoded AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(
+                           t, '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', chr(39)),
+                           '&nbsp;', ' '), '&amp;', '&') AS t
+                FROM stripped
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(t, '\\s+', ' ', 'g'))
+                       AS extracted,
+                   CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g')))
+                        AS BIGINT) AS n_chars_extracted
+            FROM decoded
+            ORDER BY doc_id
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

@@ -179,3 +179,40 @@ def dedup_by_url(
         )
         .orderBy("canon_url")
     )
+
+
+def html_extract_text(html: Column | str) -> Column:
+    """Visible text from raw HTML as one codegen expression — the
+    extraction step between crawl fetch and quality filtering.
+    Deliberately rule-based (a full DOM parse is a different tool):
+
+    1. drop ``<script>``/``<style>`` ELEMENTS with their contents
+       (``(?is)`` — case-insensitive, dot-matches-newline; lazy body);
+    2. drop HTML comments ``<!-- ... -->``;
+    3. replace every remaining tag ``<...>`` with a space (block/
+       inline distinction sacrificed for engine portability);
+    4. decode the six entities that dominate real text (&amp; &lt;
+       &gt; &quot; &#39; &nbsp;) — &amp; LAST so ``&amp;lt;`` decodes
+       to the literal ``&lt;`` the author wrote, not ``<``;
+    5. collapse whitespace runs to one space and trim.
+
+    Pure regexp_replace chain: scan-side, zero shuffles, replays in
+    the DuckDB oracle (RE2 supports the same (?is)/lazy syntax; the
+    oracle passes the 'g' flag where Java replaces globally by
+    default)."""
+    t = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

@@ -2852,3 +2852,41 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = t["documents"].select("doc_id", url.alias("url"))
     return WC.dedup_by_url(docs, "url", "doc_id")
+
+
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML visible-text extraction (operators/webcrawl
+    .html_extract_text) over a deterministic HTML wrapping of each
+    document (head with script/style noise, comments, block tags, an
+    entity-bearing footer on even ids) — the fetch->text step of a
+    crawl pipeline, as a pure scan-side regexp chain. FULL DuckDB
+    oracle (same construction, same RE2-compatible rules)."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title><SCRIPT type=\"text/javascript\">var x = 1;"
+              " // <p>not text</p></SCRIPT>"
+              "<style>.c { color: red }</style></head>"
+              "<body><!-- boilerplate\ncomment --><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            d % 2 == 0,
+            F.lit("<div class=\"foot\">Q&amp;A &lt;tag&gt;"
+                  "&nbsp;&#39;quoted&#39;</div>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    docs = t["documents"].select("doc_id", html.alias("html"))
+    return docs.select(
+        "doc_id",
+        WC.html_extract_text("html").alias("extracted"),
+    ).select(
+        "doc_id",
+        "extracted",
+        F.length("extracted").cast("long").alias("n_chars_extracted"),
+    ).orderBy("doc_id")

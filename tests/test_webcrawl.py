@@ -110,3 +110,29 @@ def test_canonicalizer_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_html_extract_text(spark):
+    cases = [
+        # script/style contents (with tags inside) are dropped whole
+        ("<p>Hello</p><script>var a = '<p>no</p>';</script><b>World</b>",
+         "Hello World"),
+        ("<STYLE media=all>.x{..}</STYLE>before<!-- c1\nc2 -->after",
+         "before after"),
+        # entities: &amp; decoded last so '&amp;lt;' stays literal
+        ("A &amp; B &lt;x&gt; &amp;lt;", "A & B <x> &lt;"),
+        ("a\n\t b   c", "a b c"),
+        ("plain text, no markup", "plain text, no markup"),
+        ("<div><ul><li>one</li><li>two</li></ul></div>", "one two"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"]
+    )
+    got = [
+        r.t
+        for r in df.select(
+            "i", WC.html_extract_text("html").alias("t")
+        ).orderBy("i").collect()
+    ]
+    for (h, want), t in zip(cases, got):
+        assert t == want, (h, t, want)
