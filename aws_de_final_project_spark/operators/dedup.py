@@ -1253,8 +1253,15 @@ def _containment_hashed_sets(
     string, keep shuffle keys at 8 bytes (same recipe as curation's
     decontamination join); per-doc hash sets are array_distinct'ed,
     mirrored by DISTINCT in the DuckDB twin, so the
-    count == intersect-size equivalence is unconditional."""
-    s = _cut(_shingle_sets(df, text_col, id_col, ngram), None)
+    count == intersect-size equivalence is unconditional.
+
+    Only the HASHED frame is checkpointed: the string shingle subtree
+    now has exactly one consumer (this select), so a second cut there
+    would just double the executor-resident block footprint — at the
+    x30 probe tier the stacked string+hash checkpoints were ~3 GB of
+    dead blocks per build, the main source of the 25-42 s rep
+    spread."""
+    s = _shingle_sets(df, text_col, id_col, ngram)
     return _cut(
         s.select(
             "_id",
@@ -1297,30 +1304,41 @@ def _containment_candidates(
     alpha = F.floor(
         (F.col("_n") * F.lit(threshold_pct) + F.lit(99)) / F.lit(100)
     ).cast("long")
-    # |H_a| is the collected list's length (the hash set is distinct,
-    # so the post-aggregate _ord has exactly one entry per hash)
+    # prefix selection via ONE streaming rank window, NOT
+    # collect_list + slice: both need the same per-doc shuffle+sort,
+    # but row_number emits rows as they stream past while
+    # collect_list buffers every doc's (dfreq, hash) structs on-heap
+    # before slicing (the r7 probe's 25-42 s x30 spread was that
+    # buffer's GC churn). |H_a| is taken as size(_h) BEFORE the
+    # explode so no second (whole-partition-buffering) count window
+    # is needed — a count-over-partition frame would hold each doc's
+    # rows until group end and give the buffering right back.
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("_id").orderBy("_dfreq", "_sh")
     plen = F.greatest(
-        F.size("_ord").cast("long") - alpha + F.lit(1),
-        F.lit(1).cast("long"),
-    ).cast("int")
+        F.col("_hn") - alpha + F.lit(1), F.lit(1).cast("long")
+    )
     probe = (
-        hs.select("_id", "_n", F.explode("_h").alias("_sh"))
-        .join(tok_df, "_sh")
-        .groupBy("_id", "_n")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("_dfreq", "_sh"))
-            ).alias("_ord")
+        hs.select(
+            "_id",
+            "_n",
+            F.size("_h").cast("long").alias("_hn"),
+            F.explode("_h").alias("_sh"),
         )
+        .join(tok_df, "_sh")
+        .select(
+            "_id",
+            "_n",
+            "_sh",
+            F.row_number().over(wr).alias("_rn"),
+            plen.alias("_plen"),
+        )
+        .where(F.col("_rn") <= F.col("_plen"))
         .select(
             F.col("_id").alias("doc_a"),
             F.col("_n").alias("n_a"),
-            F.explode(
-                F.transform(
-                    F.slice(F.col("_ord"), F.lit(1), plen),
-                    lambda x: x["_sh"],
-                )
-            ).alias("_sh"),
+            "_sh",
         )
     )
     index = hs.select(
