@@ -28,6 +28,13 @@ import __spark_entry__ as entrymod  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "return_pct_by_nation",
+    # round-7 additions
+    "url_canonicalize",
+    "host_quality_stats",
+    "dedup_url_canonical",
+    "html_extract_text",
+    "mixture_plan_rates",
+    "streaming_kmv_replay",
     # round-6 additions
     "dedup_component_groups_portable",
     "sketch_kmv_distinct_portable",
