@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_replay": X.streaming_kmv_replay,
         "dedup_url_canonical": X.dedup_url_canonical,
         "html_extract_text": X.html_extract_docs,
+        "pii_scrub_docs": X.pii_scrub_docs,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -3877,6 +3878,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g')))
                         AS BIGINT) AS n_chars_extracted
             FROM decoded
+            ORDER BY doc_id
+        """,
+        # PII scrub: same injection fixture, same RE2 patterns in the
+        # same order (emails first), counts before each redaction step
+        "pii_scrub_docs": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' contact user' ||
+                                 CAST(doc_id AS VARCHAR) || '@mail' ||
+                                 CAST(doc_id % 5 AS VARCHAR) || '.com'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN ' from 10.' ||
+                                 CAST(doc_id % 256 AS VARCHAR) ||
+                                 '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN ' call 555-01' ||
+                                 lpad(CAST(doc_id % 100 AS VARCHAR),
+                                      2, '0')
+                            ELSE '' END AS t
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id, t,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM injected
+            ),
+            s2 AS (
+                SELECT *,
+                       regexp_replace(t1,
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2,
+                       '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b|\\b[0-9]{3}-[0-9]{4}\\b',
+                       '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                       AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                       '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b|\\b[0-9]{3}-[0-9]{4}\\b'))
+                       AS BIGINT) AS n_phones
+            FROM s2
             ORDER BY doc_id
         """,
     }

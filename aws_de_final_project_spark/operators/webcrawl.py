@@ -216,3 +216,47 @@ def html_extract_text(html: Column | str) -> Column:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+# PII patterns, deliberately RE2-compatible so the DuckDB oracle runs
+# byte-identical regexes. Order matters: emails first (they contain
+# dots and digits an IP/phone pattern could partially claim).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Crawl-grade PII scrub: emails -> <EMAIL>, IPv4 literals ->
+    <IP>, NANP-style phone numbers -> <PHONE> — the pre-training
+    redaction pass (the typed placeholders keep the token stream
+    well-formed so LM training sees a category, not a secret). Pure
+    regexp codegen: scan-side, zero shuffles, a free rider on the
+    ingest scan at 100 TB. Deliberately pattern-based — a learned NER
+    scrubber is a different tool with a different recall contract."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4_RE, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE_RE, "<PHONE>")
+    return t
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-row audit counts matching :func:`scrub_pii`'s patterns
+    (count BEFORE redaction; the scrub itself never needs them)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(t, F.lit(PII_EMAIL_RE)),
+        "n_ips": F.regexp_count(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_IPV4_RE),
+        ),
+        "n_phones": F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_IPV4_RE,
+                "<IP>",
+            ),
+            F.lit(PII_PHONE_RE),
+        ),
+    }

@@ -2890,3 +2890,55 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted",
         F.length("extracted").cast("long").alias("n_chars_extracted"),
     ).orderBy("doc_id")
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-grade PII redaction (operators/webcrawl.scrub_pii):
+    emails/IPv4/phones replaced with typed placeholders over a
+    deterministic PII-injected fixture (documents carry none, so both
+    twins append the same synthetic contact block per doc — every 3rd
+    doc an email, every 4th an IP, every 5th a phone). Output keeps
+    audit counts so the row exhibits what was removed. Pure scan-side
+    regexp codegen, RE2-replayed; FULL DuckDB oracle."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@mail"),
+                (d % 5).cast("string"),
+                F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((d % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = t["documents"].select("doc_id", text.alias("_t"))
+    counts = WC.pii_counts(F.col("_t"))
+    return docs.select(
+        "doc_id",
+        WC.scrub_pii(F.col("_t")).alias("scrubbed"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+    ).orderBy("doc_id")

@@ -35,6 +35,7 @@ HEADLINE = [
     "html_extract_text",
     "mixture_plan_rates",
     "streaming_kmv_replay",
+    "pii_scrub_docs",
     # round-6 additions
     "dedup_component_groups_portable",
     "sketch_kmv_distinct_portable",

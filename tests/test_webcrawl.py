@@ -136,3 +136,31 @@ def test_html_extract_text(spark):
     ]
     for (h, want), t in zip(cases, got):
         assert t == want, (h, t, want)
+
+
+def test_scrub_pii(spark):
+    cases = [
+        ("mail me at a.b+c@x-y.example.org today",
+         "mail me at <EMAIL> today", (1, 0, 0)),
+        ("server 192.168.001.1 and 10.0.0.7 up",
+         "server <IP> and <IP> up", (0, 2, 0)),
+        ("call 555-0134 or 800-555-0199",
+         "call <PHONE> or <PHONE>", (0, 0, 2)),
+        # an email's host must not be half-claimed as an IP/phone
+        ("x 1.2.3.4@mail.com y", "x <EMAIL> y", (1, 0, 0)),
+        ("no pii here 12345", "no pii here 12345", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(cases)], ["i", "t"]
+    )
+    counts = WC.pii_counts("t")
+    rows = df.select(
+        "i",
+        WC.scrub_pii("t").alias("s"),
+        counts["n_emails"].alias("e"),
+        counts["n_ips"].alias("p4"),
+        counts["n_phones"].alias("ph"),
+    ).orderBy("i").collect()
+    for (t, want, (e, i4, ph)), r in zip(cases, rows):
+        assert r.s == want, (t, r.s, want)
+        assert (r.e, r.p4, r.ph) == (e, i4, ph), (t, r)
