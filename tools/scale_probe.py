@@ -95,6 +95,17 @@ DOC_QUERIES = [
     "bm25_doc_scores",
     "inverted_index_postings",
     "tfidf_top_terms",
+    # round-7: the web-crawl curation family — canonicalize/host-stats/
+    # URL-dedup/HTML-extract/PII-scrub are scan-side regexp chains or
+    # single hash aggregates, so the claim is flat-linear scan speed
+    "url_canonicalize",
+    "host_quality_stats",
+    "dedup_url_canonical",
+    "html_extract_text",
+    "pii_scrub_docs",
+    # round-7: water-filling planner — one count aggregate + tiny
+    # single-row-per-source windows; cost must be the count scan
+    "mixture_plan_rates",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
