@@ -164,3 +164,22 @@ def test_scrub_pii(spark):
     for (t, want, (e, i4, ph)), r in zip(cases, rows):
         assert r.s == want, (t, r.s, want)
         assert (r.e, r.p4, r.ph) == (e, i4, ph), (t, r)
+
+
+def test_html_and_pii_are_shuffle_free(spark):
+    """html_extract_text and scrub_pii must stay projections — no
+    exchange anywhere in the plan (at 100 TB both run inside the
+    ingest scan stage, same pin as the canonicalizer)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.concat(F.lit("<p>x</p> a@b.co 1.2.3.4 "), F.col("id")).alias("t")
+    )
+    for expr in (WC.html_extract_text("t"), WC.scrub_pii("t")):
+        plan = (
+            df.select(expr.alias("o"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
