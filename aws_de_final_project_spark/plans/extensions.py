@@ -2802,15 +2802,27 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tmp)
         )
         qname = f"kmv_replay_{uuid.uuid4().hex[:8]}"
-        q = (
-            kmv_distinct_stream(stream)
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # the stateful exchange follows the SESSION's shuffle
+        # partition count; a driver session at the 200 default spends
+        # the whole replay scheduling ~600 empty tasks for a handful
+        # of keys. Pin a small transient value for the bounded replay
+        # and restore — a production stream sizes this to its key
+        # cardinality at startup instead.
+        conf = spark.conf
+        prior = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                kmv_distinct_stream(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prior)
         final = spark.sql(
             f"""SELECT event_type, n_in_sketch, est_users FROM (
                     SELECT *, row_number() OVER (
