@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_canonical": X.dedup_url_canonical,
         "html_extract_text": X.html_extract_docs,
         "pii_scrub_docs": X.pii_scrub_docs,
+        "jsonl_roundtrip_stats": X.jsonl_roundtrip_stats,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -3932,6 +3933,17 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_phones
             FROM s2
             ORDER BY doc_id
+        """,
+        # the oracle aggregates the parquet ORIGINAL — a green row
+        # proves the JSONL write+read roundtrip lossless
+        "jsonl_roundtrip_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

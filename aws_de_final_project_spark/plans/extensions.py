@@ -2954,3 +2954,48 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ips"].cast("long").alias("n_ips"),
         counts["n_phones"].cast("long").alias("n_phones"),
     ).orderBy("doc_id")
+
+
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink (sources/jsonl) proven through the driver
+    gate: documents are written as gzipped JSONL shards, read back
+    with an explicit schema, and aggregated per lang — the oracle
+    computes the same aggregate over the parquet original, so a green
+    row proves the roundtrip lossless (the interchange contract every
+    public text corpus relies on). Result is materialized before the
+    temp dir is removed."""
+    import shutil
+    import tempfile
+
+    from aws_de_final_project_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        write_jsonl(
+            t["documents"].select("doc_id", "text", "lang", "n_chars"),
+            tmp,
+            n_shards=4,
+        )
+        back = read_jsonl(
+            spark,
+            tmp,
+            schema="doc_id bigint, text string, lang string,"
+            " n_chars bigint",
+        )
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("lang")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

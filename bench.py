@@ -36,6 +36,7 @@ HEADLINE = [
     "mixture_plan_rates",
     "streaming_kmv_replay",
     "pii_scrub_docs",
+    "jsonl_roundtrip_stats",
     # round-6 additions
     "dedup_component_groups_portable",
     "sketch_kmv_distinct_portable",
