@@ -3,13 +3,16 @@ interchange format of training corpora (every public text dataset
 ships as .jsonl / .jsonl.gz shards).
 
 North-star extension (the reference ingests CSV/parquet only;
-capability implied by the training-data-pipeline north star). Built
-on Spark's native json reader/writer so the scan distributes like any
-file source: one task per split, codec inferred from the extension
-(.gz shards are NOT splittable — the reader docstring says so loudly
-because a single 50 GB .jsonl.gz is the classic one-task trap at
-100 TB; write many shards instead, which `write_jsonl` does by
-construction).
+capability implied by the training-data-pipeline north star). The
+READ path is `sources/compaction.read_jsonl` — text scan +
+``from_json`` rather than the JSON file source, because the file
+source forbids queries touching only the corrupt column
+(UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which is
+exactly what a quarantine branch does; this module adds the
+convenience split and the WRITE path. One task per split; codec
+inferred from the extension (.gz shards are NOT splittable — a single
+50 GB .jsonl.gz is the classic one-task trap at 100 TB; write many
+shards instead, which `write_jsonl` does by construction).
 """
 
 from __future__ import annotations
@@ -17,35 +20,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from aws_de_final_project_spark.sources.compaction import (
+    read_jsonl as _read_parsed,
+)
+from aws_de_final_project_spark.sources.compaction import split_corrupt
+
 CORRUPT_COL = "_corrupt_record"
 
 
 def read_jsonl(
     spark: SparkSession,
     path: str,
-    schema: T.StructType | str | None = None,
+    schema: T.StructType | str,
     keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Read a JSONL directory/file/glob.
+    """Read a JSONL directory/file/glob with an EXPLICIT schema
+    (inference would be a second full pass and a contract that drifts
+    with whatever this crawl happened to contain).
 
-    ``schema``: ALWAYS pass one in production — schema inference runs
-    an extra full pass over the data (2x the scan cost at 100 TB) and
-    type-widens on whatever this crawl happened to contain, so two
-    ingests of different shards can disagree. With an explicit schema
-    the read is one pass and the contract is stable.
-
-    Malformed lines: a 100 TB crawl WILL contain broken lines, and
-    failing the job on line 80 billion is worse than counting the
-    damage. Default (``keep_corrupt=False``) reads DROPMALFORMED —
-    broken/ill-typed lines silently vanish and no corrupt column ever
-    exists (Spark forbids queries that reference ONLY a PERMISSIVE
-    corrupt column, so the clean path must not carry one).
-    ``keep_corrupt=True`` reads PERMISSIVE with ``_corrupt_record``
-    materialized so the caller can route rejects to a quarantine sink
-    (the dead-letter pattern, same as streaming/ingest's) — when
-    inspecting it, select at least one data column alongside it (a
-    quarantine WRITER naturally does) or cache first, per the same
-    Spark restriction.
+    Malformed lines — a 100 TB crawl WILL contain them, and failing
+    the job on line 80 billion is worse than counting the damage:
+    with ``keep_corrupt=False`` (default) broken/ill-typed lines are
+    dropped and the clean frame returned; with ``keep_corrupt=True``
+    the raw line survives in ``_corrupt_record`` so the caller routes
+    rejects to a quarantine sink (the dead-letter pattern — use
+    :func:`sources.compaction.split_corrupt` for the two-way split
+    over one shared scan).
 
     gzip shards are read transparently but are NOT splittable — one
     task per .gz file, so shard size (not corpus size) bounds
@@ -54,23 +54,11 @@ def read_jsonl(
     """
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    if not keep_corrupt:
-        reader = spark.read.option("mode", "DROPMALFORMED")
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.json(path)
-    reader = spark.read.option("mode", "PERMISSIVE").option(
-        "columnNameOfCorruptRecord", CORRUPT_COL
-    )
-    if schema is not None:
-        # PERMISSIVE only materializes the corrupt column if it is in
-        # the read schema
-        schema = T.StructType(
-            list(schema.fields)
-            + [T.StructField(CORRUPT_COL, T.StringType(), True)]
-        )
-        reader = reader.schema(schema)
-    return reader.json(path)
+    df = _read_parsed(spark, path, schema, corrupt_col=CORRUPT_COL)
+    if keep_corrupt:
+        return df
+    good, _bad = split_corrupt(df, corrupt_col=CORRUPT_COL)
+    return good
 
 
 def write_jsonl(
