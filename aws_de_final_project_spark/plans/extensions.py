@@ -2999,3 +2999,31 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("lang")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.nfc_normalize — the
+    Arrow-vectorized pandas UDF, Spark's one missing text built-in)
+    over a deterministic denormalization fixture: every 2nd doc gets a
+    decomposed 'cafe\\u0301' suffix (NFC -> composed U+00E9), every
+    3rd the Angstrom sign U+212B (NFC -> U+00C5). The DuckDB twin is
+    the built-in nfc_normalize — both sides implement Unicode-standard
+    NFC, so the driver hash-checks the vectorized-UDF path itself."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, F.lit(" café")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" Ångström")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = t["documents"].select("doc_id", raw.alias("_raw"))
+    norm = TX.nfc_normalize(F.col("_raw"))
+    return docs.select(
+        "doc_id",
+        norm.alias("normalized"),
+        (F.length("_raw") - F.length(norm)).cast("long").alias(
+            "codepoints_composed"
+        ),
+    ).orderBy("doc_id")

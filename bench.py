@@ -37,6 +37,7 @@ HEADLINE = [
     "streaming_kmv_replay",
     "pii_scrub_docs",
     "jsonl_roundtrip_stats",
+    "unicode_nfc_docs",
     # round-6 additions
     "dedup_component_groups_portable",
     "sketch_kmv_distinct_portable",

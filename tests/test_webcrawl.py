@@ -183,3 +183,34 @@ def test_html_and_pii_are_shuffle_free(spark):
             .toString()
         )
         assert "Exchange" not in plan, plan
+
+
+def test_nfc_normalize(spark):
+    """NFC: decomposed sequences compose, composed text is untouched,
+    NULLs pass through — and the result matches Python's own
+    unicodedata ground truth."""
+    import unicodedata
+
+    from aws_de_final_project_spark.functions.text import nfc_normalize
+
+    cases = [
+        "café",                    # e + combining acute -> é
+        "Ångström",           # Angstrom sign + o+diaeresis
+        "already composed éÅ",
+        "plain ascii",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], ["i", "t"]
+    )
+    got = [
+        r.n
+        for r in df.select("i", nfc_normalize("t").alias("n"))
+        .orderBy("i")
+        .collect()
+    ]
+    for c, n in zip(cases, got):
+        want = unicodedata.normalize("NFC", c) if c is not None else None
+        assert n == want, (repr(c), repr(n), repr(want))
+    assert got[0] == "café"
+    assert got[1] == "Ångström"
