@@ -106,6 +106,9 @@ DOC_QUERIES = [
     # round-7: water-filling planner — one count aggregate + tiny
     # single-row-per-source windows; cost must be the count scan
     "mixture_plan_rates",
+    # round-7: the one Arrow-pandas-UDF scan in the probe set — the
+    # claim is linear scan speed plus a constant Arrow serialize cost
+    "unicode_nfc_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
