@@ -1082,25 +1082,28 @@ def _prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
     # fewer) - correctness is one-sided.
     alpha = F.ceil(F.col("_sz") * F.lit(threshold) - F.lit(1e-9))
     plen = F.greatest(F.col("_sz") - alpha + 1, F.lit(1)).cast("int")
+    # prefix selection via ONE streaming rank window, NOT
+    # collect_list + slice: both need the same per-id shuffle+sort,
+    # but row_number emits rows as they stream past while
+    # collect_list buffers every set's (dfreq, token) structs on-heap
+    # before slicing — the same buffer whose GC churn produced the
+    # containment operator's 25-42 s x30 rep spread (fixed there in
+    # r7; this is the identical fix for the symmetric-Jaccard family;
+    # _sz is the pre-explode set size, so no count window is needed)
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("_id").orderBy("_dfreq", "_tok")
     prefixes = (
         sized.select("_id", "_sz", F.explode("_words").alias("_tok"))
         .join(tok_df, "_tok")
-        .groupBy("_id", "_sz")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("_dfreq", "_tok"))
-            ).alias("_ord")
-        )
         .select(
             "_id",
             "_sz",
-            F.explode(
-                F.transform(
-                    F.slice(F.col("_ord"), F.lit(1), plen),
-                    lambda s: s["_tok"],
-                )
-            ).alias("_tok"),
+            "_tok",
+            F.row_number().over(wr).alias("_rn"),
         )
+        .where(F.col("_rn") <= plen)
+        .select("_id", "_sz", "_tok")
         .localCheckpoint()
     )
     right = prefixes.select(
