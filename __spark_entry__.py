@@ -29,16 +29,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Flagship first; then the 22 entries the driver has never
-        # sampled in rounds 1-5 (the sample is a deterministic
-        # prefix-weighted subset of dict order — CORRECTNESS_r05
-        # confirms it took exactly the first 50), then the new
-        # full-oracle LSH-clustering entry and the three entries
-        # whose oracles were re-cast to BIGINT this round (so r6
-        # shows them green); previously-green entries follow in
-        # their original order, the no-oracle xxhash64 LSH variant
-        # last (its portable twin now carries the driver check).
+        # Flagship first; then (round 8) the 15 entries that have
+        # never had a green driver CORRECTNESS row — the 9 round-7
+        # additions that landed below the driver's first-50 sample
+        # window plus ann_lsh/ivf and the 4 multimodal entries whose
+        # only samples were r1 `no_oracle` rows predating their
+        # oracles (VERDICT r7 item #1). Previously-green entries
+        # follow in their prior order; the no-oracle xxhash64 LSH
+        # variant stays last (its portable twin carries the check).
         "return_pct_by_nation": Q.return_pct_by_nation,
+        "url_canonicalize": X.url_canonicalize_docs,
+        "host_quality_stats": X.host_quality_stats_docs,
+        "mixture_plan_rates": X.mixture_plan_rates_docs,
+        "streaming_kmv_replay": X.streaming_kmv_replay,
+        "dedup_url_canonical": X.dedup_url_canonical,
+        "html_extract_text": X.html_extract_docs,
+        "pii_scrub_docs": X.pii_scrub_docs,
+        "jsonl_roundtrip_stats": X.jsonl_roundtrip_stats,
+        "unicode_nfc_docs": X.unicode_nfc_docs,
+        "ann_lsh_topk": X.ann_lsh_topk,
+        "ann_ivf_topk": X.ann_ivf_topk,
+        "multimodal_decode_features": X.multimodal_decode_features,
+        "multimodal_resize_stats": X.multimodal_resize_stats,
+        "multimodal_feature_knn": X.multimodal_feature_knn,
+        "multimodal_frame_sample": X.multimodal_frame_sample,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -73,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pair_affinity": X.basket_pair_affinity,
         "chunk_text_cdc": X.chunk_text_cdc,
         "dedup_containment_pairs": X.dedup_containment_pairs,
+        # --- end of the driver's ~50-entry sample window (r8) ---
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -88,15 +103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": X.mixture_rebalance,
         "line_dedup_docs": X.line_dedup_docs,
         "chunk_text_windows": X.chunk_text_windows,
-        "url_canonicalize": X.url_canonicalize_docs,
-        "host_quality_stats": X.host_quality_stats_docs,
-        "mixture_plan_rates": X.mixture_plan_rates_docs,
-        "streaming_kmv_replay": X.streaming_kmv_replay,
-        "dedup_url_canonical": X.dedup_url_canonical,
-        "html_extract_text": X.html_extract_docs,
-        "pii_scrub_docs": X.pii_scrub_docs,
-        "jsonl_roundtrip_stats": X.jsonl_roundtrip_stats,
-        "unicode_nfc_docs": X.unicode_nfc_docs,
         "pack_training_sequences": X.pack_training_sequences,
         "dq_orders_suite": X.dq_orders_suite,
         "dedup_semantic_clustered": X.dedup_semantic_clustered,
@@ -108,7 +114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_shipment_pairs": X.overlap_shipment_pairs,
         "token_entropy_scores": X.token_entropy_scores,
         "rolling_1h_user_value": X.rolling_1h_user_value,
-        # --- end of the driver's ~50-entry sample window ---
         "dq_documents_suite": X.dq_documents_suite,
         "semi_join_fast_parts": X.semi_join_fast_parts,
         "unpivot_part_metrics": X.unpivot_part_metrics,
@@ -181,8 +186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_order_stats": Q.grouping_sets_order_stats,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "ann_cosine_topk": X.ann_cosine_topk,
-        "ann_lsh_topk": X.ann_lsh_topk,
-        "ann_ivf_topk": X.ann_ivf_topk,
         "text_stats_by_lang": X.text_stats_by_lang,
         "token_counts": X.token_counts,
         "sketch_event_stats": X.sketch_event_stats,
@@ -190,10 +193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": X.doc_winnow_fingerprints,
         "lang_id_heuristic": X.lang_id_heuristic,
         "multimodal_byte_stats": X.multimodal_byte_stats,
-        "multimodal_decode_features": X.multimodal_decode_features,
-        "multimodal_resize_stats": X.multimodal_resize_stats,
-        "multimodal_feature_knn": X.multimodal_feature_knn,
-        "multimodal_frame_sample": X.multimodal_frame_sample,
         # intentionally last: rows-only by design (xxhash64 edges
         # have no DuckDB twin); the clustering capability's driver
         # check now rides on dedup_component_groups_portable above
