@@ -462,8 +462,40 @@ def bench_scaling(spark, sf_dir, queries, warm, overhead) -> dict:
 
 LINE_BUDGET = 1800
 
+# A warm query whose rep spread exceeds half its median was measured
+# under interference (GC storm, noisy neighbor); flagging these lets
+# the driver distinguish a real regression from a loaded box
+# (VERDICT r7 item 1: BENCH_r07's headline was contention-inflated by
+# ~50% and the artifact could not say so).
+NOISY_SPREAD_FRACTION = 0.5
 
-def final_line(warm: dict, total_warm: float, sf) -> str:
+
+def run_quality(load_start, load_end, warm, spread) -> dict:
+    """Self-describing run-quality block for the bench artifacts.
+
+    ``noisy`` is True when either (a) the 1-min load average BEFORE
+    this process started any Spark work already showed substantial
+    external CPU demand (> 25% of the cores this bench assumes it
+    owns), or (b) a meaningful share of queries (> max(3, 10%))
+    had rep spread > NOISY_SPREAD_FRACTION of their median — the
+    within-run signature of cross-process contention."""
+    ncpu = os.cpu_count() or 32
+    noisy_queries = sorted(
+        n for n in warm
+        if spread.get(n, 0.0) > NOISY_SPREAD_FRACTION * max(warm[n], 1e-3)
+    )
+    external_load = load_start[0] > ncpu / 4
+    widespread = len(noisy_queries) > max(3, len(warm) // 10)
+    return {
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "cpus": ncpu,
+        "noisy_queries": noisy_queries,
+        "noisy": bool(external_load or widespread),
+    }
+
+
+def final_line(warm: dict, total_warm: float, sf, quality: dict | None = None) -> str:
     """The driver-visible stdout line, guaranteed <= LINE_BUDGET chars.
 
     The driver captures only the tail of stdout (~2000 chars), so the
@@ -479,13 +511,16 @@ def final_line(warm: dict, total_warm: float, sf) -> str:
     line = None
     for keep in range(len(by_cost), -1, -1):
         payload = {
-            "metric": "warm wall-clock; full detail in BENCH_DETAIL.json",
+            "metric": "median-of-3 warm wall-clock; full detail in BENCH_DETAIL.json",
             "value": total_warm,
             "unit": "sec",
             "queries": {n: warm[n] for n in by_cost[:keep]},
             "queries_omitted": len(by_cost) - keep,
             "sf": sf,
         }
+        if quality is not None:
+            payload["noisy"] = quality["noisy"]
+            payload["load1_start"] = quality["loadavg_start"][0]
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= LINE_BUDGET:
             break
@@ -494,6 +529,9 @@ def final_line(warm: dict, total_warm: float, sf) -> str:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sample external load BEFORE any Spark work: once the bench is
+    # running, loadavg mostly measures the bench itself
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/codegen paths so query timings are not startup noise
@@ -502,6 +540,7 @@ def main() -> None:
     queries = entrymod.queries()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         # JMH-style forced GC between trials: without it, garbage from
@@ -514,17 +553,20 @@ def main() -> None:
         t0 = time.perf_counter()
         drive(fn(spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
-        # runs 2-3: warm/steady-state — codegen cached; what a
-        # resident engine (and a TPC-style power run) measures. Min of
-        # two reps: single-rep numbers showed 2-3x GC-driven wobble on
-        # the heavier queries, and min-of-N is the standard
-        # steady-state estimator under one-sided noise.
+        # runs 2-4: warm/steady-state — codegen cached; what a
+        # resident engine (and a TPC-style power run) measures.
+        # MEDIAN of three reps (VERDICT r7): min-of-2 let one clean
+        # rep hide systematic contention while one dirty rep dragged
+        # the other metric; the median tolerates a single outlier in
+        # either direction and the recorded spread (max-min) makes
+        # residual interference visible in the artifact.
         reps = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             drive(fn(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
-        warm[name] = round(min(reps), 3)
+        warm[name] = round(sorted(reps)[1], 3)
+        warm_spread[name] = round(max(reps) - min(reps), 3)
     total_warm = round(sum(warm.values()), 3)
     total_cold = round(sum(cold.values()), 3)
     overhead = measure_action_overhead(spark)
@@ -552,8 +594,11 @@ def main() -> None:
     # so it fits the driver's output-capture window — BENCH_r04/r05
     # came back "parsed": null because this line had grown past it
     # (VERDICT r5 item 2).
+    quality = run_quality(load_start, os.getloadavg(), warm, warm_spread)
     detail = {
         "queries_warm": warm,
+        "queries_warm_spread": warm_spread,
+        "run_quality": quality,
         "total_cold": total_cold,
         "queries_cold": cold,
         "action_overhead_sec": overhead,
@@ -573,7 +618,8 @@ def main() -> None:
     # the final line must fit with margin: keep the slowest queries
     # in the map and drop the cheapest until the serialized line is
     # under budget (the full warm map is in BENCH_DETAIL.json).
-    print(final_line(warm, total_warm, float(sf) if sf else sf_dir))
+    print(final_line(warm, total_warm, float(sf) if sf else sf_dir,
+                     quality=quality))
 
 
 if __name__ == "__main__":

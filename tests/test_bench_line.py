@@ -12,12 +12,35 @@ import bench
 
 
 def _check(warm):
-    line = bench.final_line(warm, round(sum(warm.values()), 3), 0.1)
+    quality = bench.run_quality(
+        (1.23, 1.0, 0.9), (30.0, 20.0, 10.0), warm,
+        {n: 0.0 for n in warm},
+    )
+    line = bench.final_line(warm, round(sum(warm.values()), 3), 0.1,
+                            quality=quality)
     assert len(line) <= bench.LINE_BUDGET, len(line)
     payload = json.loads(line)
     assert payload["unit"] == "sec"
     assert payload["queries_omitted"] == len(warm) - len(payload["queries"])
+    assert payload["noisy"] is False  # zero spread + idle start load
+    assert payload["load1_start"] == 1.23
     return payload
+
+
+def test_run_quality_flags_contention():
+    warm = {f"q{i}": 1.0 for i in range(40)}
+    # (a) external load before the run started
+    q = bench.run_quality((20.0, 5.0, 2.0), (30.0,) * 3, warm,
+                          {n: 0.0 for n in warm})
+    assert q["noisy"] is True and q["noisy_queries"] == []
+    # (b) widespread within-run spread: 5 of 40 queries > 50% spread
+    spread = {n: (0.9 if i < 5 else 0.1) for i, n in enumerate(warm)}
+    q = bench.run_quality((0.5, 0.5, 0.5), (30.0,) * 3, warm, spread)
+    assert q["noisy"] is True and len(q["noisy_queries"]) == 5
+    # a couple of noisy queries alone is normal GC wobble, not a flag
+    spread = {n: (0.9 if i < 2 else 0.1) for i, n in enumerate(warm)}
+    q = bench.run_quality((0.5, 0.5, 0.5), (30.0,) * 3, warm, spread)
+    assert q["noisy"] is False and len(q["noisy_queries"]) == 2
 
 
 def test_empty_and_tiny_maps():
