@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_de_final_project_spark.operators import webcrawl as _WC
 from aws_de_final_project_spark.plans import extensions as X
 from aws_de_final_project_spark.plans import queries as Q
 
@@ -3836,7 +3837,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HTML visible-text extraction: script/style elements with
         # contents, comments, tags, six entities (&amp; last), then
-        # whitespace collapse — inline (?is)/(?s) RE2 flags + 'g'
+        # whitespace collapse — inline (?is)/(?s) RE2 flags + 'g'.
+        # The whitespace class is interpolated from webcrawl.WS_RE
+        # (explicit [ \t\n\x0B\f\r]: Java \s matches U+000B, RE2 \s
+        # does not) and every 3rd doc plants a vertical tab so the
+        # dialect edge stays oracle-exercised (ADVICE r7)
         "html_extract_text": """
             WITH wrapped AS (
                 SELECT doc_id,
@@ -3850,6 +3855,9 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 2 = 0
                             THEN '<div class="foot">Q&amp;A &lt;tag&gt;'
                                  || '&nbsp;&#39;quoted&#39;</div>'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '<p>vt' || chr(11) || 'split</p>'
                             ELSE '' END ||
                        '</body></html>' AS html
                 FROM documents
@@ -3874,15 +3882,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM stripped
             )
             SELECT doc_id,
-                   trim(regexp_replace(t, '\\s+', ' ', 'g'))
+                   trim(regexp_replace(t, '__WS_RE__', ' ', 'g'))
                        AS extracted,
-                   CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g')))
+                   CAST(length(trim(regexp_replace(t, '__WS_RE__', ' ', 'g')))
                         AS BIGINT) AS n_chars_extracted
             FROM decoded
             ORDER BY doc_id
-        """,
-        # PII scrub: same injection fixture, same RE2 patterns in the
-        # same order (emails first), counts before each redaction step
+        """.replace("__WS_RE__", _WC.WS_RE),
+        # PII scrub: same injection fixture, and the PATTERNS ARE THE
+        # MODULE CONSTANTS (webcrawl.PII_*_RE interpolated below), so
+        # the Spark operator and the oracle literally share regex
+        # bytes; same order (emails, IPv6, IPv4, phones), counts at
+        # the same pipeline position each redaction applies. The %8
+        # injection (version string + ISO date) must SURVIVE — the
+        # hash match pins false-positive behavior too.
         "pii_scrub_docs": """
             WITH injected AS (
                 SELECT doc_id,
@@ -3901,39 +3914,61 @@ def oracle_sql() -> dict[str, str]:
                             THEN ' call 555-01' ||
                                  lpad(CAST(doc_id % 100 AS VARCHAR),
                                       2, '0')
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 6 = 0
+                            THEN ' office (312) 555-01' ||
+                                 lpad(CAST(doc_id % 100 AS VARCHAR),
+                                      2, '0')
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 7 = 0
+                            THEN ' via 2001:db8::' ||
+                                 CAST(doc_id % 9999 AS VARCHAR)
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 8 = 0
+                            THEN ' running v1.2.3.4 since 2026-08-15'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 11 = 0
+                            THEN ' cell +1 312-555-' ||
+                                 lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                      4, '0')
                             ELSE '' END AS t
                 FROM documents
             ),
             s1 AS (
                 SELECT doc_id, t,
-                       regexp_replace(t,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                           '<EMAIL>', 'g') AS t1
+                       regexp_replace(t, '__EMAIL_RE__',
+                                      '<EMAIL>', 'g') AS t1
                 FROM injected
             ),
             s2 AS (
                 SELECT *,
-                       regexp_replace(t1,
-                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
-                           '<IP>', 'g') AS t2
+                       regexp_replace(t1, '__IPV6_RE__',
+                                      '<IP>', 'g') AS t2
                 FROM s1
+            ),
+            s3 AS (
+                SELECT *,
+                       regexp_replace(t2, '__IPV4_RE__',
+                                      '<IP>', 'g') AS t3
+                FROM s2
             )
             SELECT doc_id,
-                   regexp_replace(t2,
-                       '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b|\\b[0-9]{3}-[0-9]{4}\\b',
-                       '<PHONE>', 'g') AS scrubbed,
-                   CAST(len(regexp_extract_all(t,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   regexp_replace(t3, '__PHONE_RE__',
+                                  '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(t, '__EMAIL_RE__'))
                        AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(t1,
-                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                   CAST(len(regexp_extract_all(t1, '__IPV6_RE__'))
+                       AS BIGINT) AS n_ipv6,
+                   CAST(len(regexp_extract_all(t2, '__IPV4_RE__'))
                        AS BIGINT) AS n_ips,
-                   CAST(len(regexp_extract_all(t2,
-                       '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b|\\b[0-9]{3}-[0-9]{4}\\b'))
+                   CAST(len(regexp_extract_all(t3, '__PHONE_RE__'))
                        AS BIGINT) AS n_phones
-            FROM s2
+            FROM s3
             ORDER BY doc_id
-        """,
+        """.replace("__EMAIL_RE__", _WC.PII_EMAIL_RE)
+           .replace("__IPV6_RE__", _WC.PII_IPV6_RE)
+           .replace("__IPV4_RE__", _WC.PII_IPV4_RE)
+           .replace("__PHONE_RE__", _WC.PII_PHONE_RE),
         # the oracle aggregates the parquet ORIGINAL — a green row
         # proves the JSONL write+read roundtrip lossless
         "jsonl_roundtrip_stats": """

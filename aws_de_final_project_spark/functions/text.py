@@ -299,13 +299,10 @@ def nfc_normalize(col: Column | str) -> Column:
 
     @pandas_udf("string")
     def _nfc(s: pd.Series) -> pd.Series:
-        import unicodedata
-
-        return s.map(
-            lambda x: unicodedata.normalize("NFC", x)
-            if x is not None
-            else None
-        )
+        # pandas' vectorized normalizer (NaN/None pass through); the
+        # unicodedata ground-truth equivalence is pinned in
+        # tests/test_webcrawl.py
+        return s.str.normalize("NFC")
 
     c = F.col(col) if isinstance(col, str) else col
     return _nfc(c)

@@ -214,20 +214,54 @@ def html_extract_text(html: Column | str) -> Column:
         ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
-    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, WS_RE, " ")
     return F.trim(t)
 
 
-# PII patterns, deliberately RE2-compatible so the DuckDB oracle runs
-# byte-identical regexes. Order matters: emails first (they contain
-# dots and digits an IP/phone pattern could partially claim).
+# Whitespace run, as an EXPLICIT class rather than \s: Java's \s
+# includes vertical tab U+000B while RE2's (DuckDB's) does not, so a
+# document containing \x0B would silently diverge between the Spark
+# operator and its oracle twin (ADVICE r7). The explicit class parses
+# identically in both dialects; the oracle fixture plants a \x0B to
+# keep the edge exercised.
+WS_RE = r"[ \t\n\x0B\f\r]+"
+
+# PII patterns, deliberately RE2-compatible (no lookaround — RE2 has
+# none) so the DuckDB oracle runs byte-identical regexes; the oracle
+# SQL interpolates THESE constants, so the two sides cannot drift.
+# Order matters: emails first (they contain dots and digits an
+# IP/phone pattern could partially claim), IPv6 before IPv4 (hex
+# groups never contain dots, but scrubbing colons first keeps any
+# future mixed-notation extension ordered correctly).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b|\b[0-9]{3}-[0-9]{4}\b"
+# Three IPv6 shapes, lookaround-free: full 8-group form; inner
+# ``::``-compression with groups on both sides (the {1,6}/{1,6}
+# split only matches when an empty group — the double colon — is
+# present, never plain a:b:c); leading ``::`` (loopback/mapped).
+# Trailing-``::`` forms (fe80::) are documented OUT of scope: without
+# negative lookahead they cannot be bounded portably.
+PII_IPV6_RE = (
+    r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\b"
+    r"|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}\b"
+)
+# NANP phone shapes, longest-first so the full span is one
+# placeholder: +1 prefixed, parenthesized area code, dashed 10-digit,
+# then the bare 7-digit local form. The last one DELIBERATELY trades
+# precision for recall: it also matches 7-digit order codes like
+# 123-4567 — acceptable for a crawl scrub and pinned by a
+# false-positive test documenting the intent.
+PII_PHONE_RE = (
+    r"\+1[ -][0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+    r"|\([0-9]{3}\) ?[0-9]{3}-[0-9]{4}\b"
+    r"|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+    r"|\b[0-9]{3}-[0-9]{4}\b"
+)
 
 
 def scrub_pii(text: Column | str) -> Column:
-    """Crawl-grade PII scrub: emails -> <EMAIL>, IPv4 literals ->
+    """Crawl-grade PII scrub: emails -> <EMAIL>, IPv6/IPv4 literals ->
     <IP>, NANP-style phone numbers -> <PHONE> — the pre-training
     redaction pass (the typed placeholders keep the token stream
     well-formed so LM training sees a category, not a secret). Pure
@@ -236,27 +270,24 @@ def scrub_pii(text: Column | str) -> Column:
     scrubber is a different tool with a different recall contract."""
     t = F.col(text) if isinstance(text, str) else text
     t = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV6_RE, "<IP>")
     t = F.regexp_replace(t, PII_IPV4_RE, "<IP>")
     t = F.regexp_replace(t, PII_PHONE_RE, "<PHONE>")
     return t
 
 
 def pii_counts(text: Column | str) -> dict[str, Column]:
-    """Per-row audit counts matching :func:`scrub_pii`'s patterns
-    (count BEFORE redaction; the scrub itself never needs them)."""
+    """Per-row audit counts matching :func:`scrub_pii`'s patterns,
+    each counted at the same pipeline position the scrub applies its
+    redaction (emails on raw text, IPv6 post-email, IPv4 post-IPv6,
+    phones post-IP)."""
     t = F.col(text) if isinstance(text, str) else text
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV6_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
     return {
         "n_emails": F.regexp_count(t, F.lit(PII_EMAIL_RE)),
-        "n_ips": F.regexp_count(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-            F.lit(PII_IPV4_RE),
-        ),
-        "n_phones": F.regexp_count(
-            F.regexp_replace(
-                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-                PII_IPV4_RE,
-                "<IP>",
-            ),
-            F.lit(PII_PHONE_RE),
-        ),
+        "n_ipv6": F.regexp_count(t1, F.lit(PII_IPV6_RE)),
+        "n_ips": F.regexp_count(t2, F.lit(PII_IPV4_RE)),
+        "n_phones": F.regexp_count(t3, F.lit(PII_PHONE_RE)),
     }

@@ -2739,10 +2739,18 @@ def mixture_plan_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         wt = wt.when(F.col("source") == f"src{i}", F.lit(2.0 / 64))
     for i in range(12, 19):
         wt = wt.when(F.col("source") == f"src{i}", F.lit(4.0 / 64))
+    # fail loudly on a source outside src0..src19: the planner's
+    # contract requires weights > 0, and a silent 0.0 default would
+    # make _ratio NULL (divide-by-zero) and corrupt the plan ordering
+    # if the testdata source set ever changes (ADVICE r7)
     counts = counts.select(
-        "source", "avail_tokens", wt.otherwise(F.lit(0.0)).alias(
-            "target_weight"
-        )
+        "source", "avail_tokens",
+        F.when(wt.isNotNull(), wt).otherwise(
+            F.raise_error(F.concat(
+                F.lit("mixture_plan_rates_docs: unmatched source "),
+                F.col("source"),
+            ))
+        ).alias("target_weight"),
     )
     whole = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2796,34 +2804,32 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             now = time.time()
             os.utime(dst, (now + i * 10, now + i * 10))
             shutil.rmtree(d)
+        # the stateful exchange follows the SESSION's shuffle
+        # partition count; a driver session at the 200 default spends
+        # the whole replay scheduling ~600 empty tasks for a handful
+        # of keys. Run the replay on an ISOLATED session (same
+        # SparkContext, private SQLConf + catalog) so the small pin
+        # can never leak into queries running concurrently on the
+        # caller's session (ADVICE r7) — a production stream sizes
+        # this to its key cardinality at startup instead.
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", "8")
         stream = (
-            spark.readStream.schema(events.schema)
+            iso.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(tmp)
         )
         qname = f"kmv_replay_{uuid.uuid4().hex[:8]}"
-        # the stateful exchange follows the SESSION's shuffle
-        # partition count; a driver session at the 200 default spends
-        # the whole replay scheduling ~600 empty tasks for a handful
-        # of keys. Pin a small transient value for the bounded replay
-        # and restore — a production stream sizes this to its key
-        # cardinality at startup instead.
-        conf = spark.conf
-        prior = conf.get("spark.sql.shuffle.partitions")
-        conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (
-                kmv_distinct_stream(stream)
-                .writeStream.format("memory")
-                .queryName(qname)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            conf.set("spark.sql.shuffle.partitions", prior)
-        final = spark.sql(
+        q = (
+            kmv_distinct_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = iso.sql(
             f"""SELECT event_type, n_in_sketch, est_users FROM (
                     SELECT *, row_number() OVER (
                         PARTITION BY event_type ORDER BY n_batches DESC
@@ -2891,6 +2897,13 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<div class=\"foot\">Q&amp;A &lt;tag&gt;"
                   "&nbsp;&#39;quoted&#39;</div>"),
         ).otherwise(F.lit("")),
+        # every 3rd doc carries a VERTICAL TAB (U+000B): Java's \s
+        # matches it, RE2's does not — the explicit whitespace class
+        # (webcrawl.WS_RE) keeps both twins byte-identical here, and
+        # this plant keeps that dialect edge oracle-exercised
+        F.when(
+            d % 3 == 0, F.lit("<p>vt\x0bsplit</p>")
+        ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
     docs = t["documents"].select("doc_id", html.alias("html"))
@@ -2906,12 +2919,17 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-grade PII redaction (operators/webcrawl.scrub_pii):
-    emails/IPv4/phones replaced with typed placeholders over a
+    emails/IPv6/IPv4/phones replaced with typed placeholders over a
     deterministic PII-injected fixture (documents carry none, so both
     twins append the same synthetic contact block per doc — every 3rd
-    doc an email, every 4th an IP, every 5th a phone). Output keeps
-    audit counts so the row exhibits what was removed. Pure scan-side
-    regexp codegen, RE2-replayed; FULL DuckDB oracle."""
+    doc an email, every 4th an IPv4, every 5th a bare phone, every
+    6th a parenthesized phone, every 7th an IPv6, every 11th a +1
+    phone; every 8th gets a version string + ISO date that must
+    SURVIVE the scrub, so false-positive behavior is itself
+    oracle-pinned). Output keeps audit counts so the row exhibits
+    what was removed. Pure scan-side regexp codegen, RE2-replayed
+    (the oracle interpolates the module's pattern constants, so the
+    dialects cannot drift); FULL DuckDB oracle."""
     from aws_de_final_project_spark.operators import webcrawl as WC
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -2944,6 +2962,31 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lpad((d % 100).cast("string"), 2, "0"),
             ),
         ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit(" office (312) 555-01"),
+                F.lpad((d % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" via 2001:db8::"),
+                (d % 9999).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 8 == 0,
+            F.lit(" running v1.2.3.4 since 2026-08-15"),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit(" cell +1 312-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
     )
     docs = t["documents"].select("doc_id", text.alias("_t"))
     counts = WC.pii_counts(F.col("_t"))
@@ -2951,6 +2994,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         WC.scrub_pii(F.col("_t")).alias("scrubbed"),
         counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ipv6"].cast("long").alias("n_ipv6"),
         counts["n_ips"].cast("long").alias("n_ips"),
         counts["n_phones"].cast("long").alias("n_phones"),
     ).orderBy("doc_id")

@@ -139,16 +139,26 @@ def test_html_extract_text(spark):
 
 
 def test_scrub_pii(spark):
+    # (text, scrubbed, (n_emails, n_ipv6, n_ips, n_phones))
     cases = [
         ("mail me at a.b+c@x-y.example.org today",
-         "mail me at <EMAIL> today", (1, 0, 0)),
+         "mail me at <EMAIL> today", (1, 0, 0, 0)),
         ("server 192.168.001.1 and 10.0.0.7 up",
-         "server <IP> and <IP> up", (0, 2, 0)),
+         "server <IP> and <IP> up", (0, 0, 2, 0)),
         ("call 555-0134 or 800-555-0199",
-         "call <PHONE> or <PHONE>", (0, 0, 2)),
+         "call <PHONE> or <PHONE>", (0, 0, 0, 2)),
         # an email's host must not be half-claimed as an IP/phone
-        ("x 1.2.3.4@mail.com y", "x <EMAIL> y", (1, 0, 0)),
-        ("no pii here 12345", "no pii here 12345", (0, 0, 0)),
+        ("x 1.2.3.4@mail.com y", "x <EMAIL> y", (1, 0, 0, 0)),
+        ("no pii here 12345", "no pii here 12345", (0, 0, 0, 0)),
+        # IPv6: full form, inner ::-compression, leading ::
+        ("at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 now",
+         "at <IP> now", (0, 1, 0, 0)),
+        ("gw 2001:db8::8a2e:370 and lo ::1 up",
+         "gw <IP> and lo <IP> up", (0, 2, 0, 0)),
+        # parenthesized + +1 phone forms redact as ONE span
+        ("office (312) 555-0134 x9", "office <PHONE> x9", (0, 0, 0, 1)),
+        ("cell +1 312-555-0134 now", "cell <PHONE> now", (0, 0, 0, 1)),
+        ("intl +1-312-555-0134 now", "intl <PHONE> now", (0, 0, 0, 1)),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _, _) in enumerate(cases)], ["i", "t"]
@@ -158,12 +168,42 @@ def test_scrub_pii(spark):
         "i",
         WC.scrub_pii("t").alias("s"),
         counts["n_emails"].alias("e"),
+        counts["n_ipv6"].alias("p6"),
         counts["n_ips"].alias("p4"),
         counts["n_phones"].alias("ph"),
     ).orderBy("i").collect()
-    for (t, want, (e, i4, ph)), r in zip(cases, rows):
+    for (t, want, (e, i6, i4, ph)), r in zip(cases, rows):
         assert r.s == want, (t, r.s, want)
-        assert (r.e, r.p4, r.ph) == (e, i4, ph), (t, r)
+        assert (r.e, r.p6, r.p4, r.ph) == (e, i6, i4, ph), (t, r)
+
+
+def test_scrub_pii_false_positives(spark):
+    """Intent pins for the precision/recall trade (VERDICT r7 #3):
+    version strings, ISO dates, times, and plain hex words SURVIVE;
+    a bare 7-digit 123-4567 is DELIBERATELY redacted (the NANP local
+    form — accepted recall>precision trade for a crawl scrub, and it
+    equally claims 7-digit order codes)."""
+    survivors = [
+        "running v1.2.3.4 since 2026-08-15",
+        "build 10.2.3 at 12:30:45",        # 3-octet version + time
+        "cafe:face is not an address",     # hex words, no :: or 8 groups
+        "range 1-800 and 12-3456 stay",    # wrong digit-group shapes
+    ]
+    redacted = [("order 123-4567 shipped", "order <PHONE> shipped")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(survivors)], ["i", "t"]
+    )
+    got = [r.s for r in df.select(
+        "i", WC.scrub_pii("t").alias("s")).orderBy("i").collect()]
+    for t, s in zip(survivors, got):
+        assert s == t, (t, s)
+    df2 = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(redacted)], ["i", "t"]
+    )
+    got2 = [r.s for r in df2.select(
+        "i", WC.scrub_pii("t").alias("s")).orderBy("i").collect()]
+    for (t, want), s in zip(redacted, got2):
+        assert s == want, (t, s, want)
 
 
 def test_html_and_pii_are_shuffle_free(spark):

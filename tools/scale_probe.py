@@ -422,16 +422,22 @@ def main() -> None:
             looped = {}
             for tier, d in (("sf0.1", tiers["sf0.1"]), ("x10", tiers["x10"])):
                 spark.sparkContext._jvm.System.gc()
-                df = Q[name](spark, d)
-                drive(df)  # warmup
+                drive(Q[name](spark, d))  # warmup
                 reps = []
                 for _ in range(3):
                     t0 = time.perf_counter()
                     for _i in range(loops):
-                        drive(df)
+                        # REBUILD the frame each drive: re-driving one
+                        # DataFrame object lets Spark skip still-
+                        # materialized shuffle map stages on the
+                        # identical lineage, so the loop would amplify
+                        # only post-shuffle work and understate the
+                        # slope for shuffle-bearing entries (ADVICE r7)
+                        drive(Q[name](spark, d))
                     reps.append(time.perf_counter() - t0)
                 looped[tier] = min(reps)
-            lnum = max(looped["x10"] - loops * fixed, 1e-3)
+            # same floor both sides: asymmetric floors bias the ratio
+            lnum = max(looped["x10"] - loops * fixed, 0.05)
             lden = max(looped["sf0.1"] - loops * fixed, 0.05)
             row["slope_x10_vs_sf0.1"] = round(lnum / lden, 2)
             row["slope_loop_factor"] = loops
