@@ -235,7 +235,10 @@ _TOKENS_LOWER = "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
 # _messy_url, which this mirrors expression-for-expression)
 _MESSY_URL = """
     'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
-    source || '.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+    source || '.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+    CASE WHEN doc_id % 11 = 0 THEN '.CO.UK'
+         WHEN doc_id % 13 = 0 THEN '.GitHub.IO'
+         ELSE '.COM' END ||
     CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
     '/Docs/' || CAST(doc_id AS VARCHAR) ||
     CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
@@ -299,13 +302,23 @@ _URL_CANON_CTES = """
     ),
     withdomain AS (
         SELECT *,
-               CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
-                    THEN host
-                    ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+               CASE WHEN _last2 = '' THEN host
+                    WHEN _last2 IN (__PSL_2L_IN__) AND _last3 <> ''
+                    THEN _last3
+                    ELSE _last2
                END AS domain
-        FROM withhost
+        FROM (
+            SELECT *,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS _last2,
+                   regexp_extract(host,
+                       '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS _last3
+            FROM withhost
+        )
     )
-"""
+""".replace(
+    "__PSL_2L_IN__",
+    ", ".join(f"'{s}'" for s in _WC.PUBLIC_SUFFIXES_2L),
+)
 
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],

@@ -32,10 +32,10 @@ tests/test_webcrawl.py):
    semantic; sorting makes ``?a=1&b=2`` and ``?b=2&a=1`` one key);
    an emptied query drops its ``?``.
 
-``registered_domain`` is the last-two-labels heuristic — a real
-deployment swaps in the public-suffix list (not vendorable here); the
-heuristic is wrong exactly on multi-label suffixes (``.co.uk``),
-which the docstring of :func:`host_quality_stats` calls out.
+``registered_domain`` consults a vendored high-traffic subset of the
+public-suffix list (see ``PUBLIC_SUFFIXES_2L``) so ``a.co.uk`` and
+``b.co.uk`` are distinct registered domains; hosts under a suffix
+outside the subset fall back to the last-two-labels heuristic.
 """
 
 from __future__ import annotations
@@ -98,12 +98,110 @@ def url_host(canon: Column) -> Column:
     return F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
 
 
+# Vendored high-traffic subset of the Mozilla public-suffix list
+# (publicsuffix.org — public data): the two-label suffixes under which
+# registration happens one level deeper, so ``bbc.co.uk`` is the
+# registered domain, not ``co.uk``. Covers the ccTLD second-level
+# registries that dominate crawl traffic plus the busiest "private"
+# platform suffixes (github.io etc.). Hosts under suffixes outside
+# this subset fall back to last-two-labels — documented, monotone
+# degradation (grouping one level too coarse), never an error.
+PUBLIC_SUFFIXES_2L = (
+    # UK / IE
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "plc.uk",
+    "ltd.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz",
+    # Japan / Korea / Taiwan / Hong Kong / Singapore
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    # China / India / Indonesia / Malaysia / Philippines / Vietnam /
+    # Thailand / Pakistan / Bangladesh
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "in.th", "or.th", "ac.th", "go.th",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    # Brazil / Mexico / Argentina / rest of Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    "blog.br", "eco.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "co.ve",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt",
+    "com.sv", "org.sv", "edu.sv", "gob.sv",
+    "com.ni", "org.ni", "edu.ni", "gob.ni",
+    "com.pa", "net.pa", "org.pa", "edu.pa", "gob.pa",
+    "co.cr", "or.cr", "ac.cr", "go.cr",
+    # Europe (multi-label registries) / Israel / Turkey / Ukraine /
+    # Russia-adjacent
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "gen.tr",
+    "web.tr", "bel.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.ro", "org.ro", "nt.ro", "tm.ro",
+    # Africa / Middle East
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "co.tz", "or.tz", "ac.tz", "go.tz",
+    "co.ug", "or.ug", "ac.ug", "go.ug",
+    "com.gh", "org.gh", "edu.gh", "gov.gh",
+    "com.ae", "net.ae", "org.ae", "ac.ae", "gov.ae",
+    "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa",
+    "com.kw", "net.kw", "org.kw", "edu.kw",
+    "com.lb", "net.lb", "org.lb", "edu.lb", "gov.lb",
+    # high-traffic "private" platform suffixes (PSL private section)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "azurewebsites.net",
+    "cloudfront.net", "web.app", "pages.dev", "workers.dev",
+    "firebaseapp.com", "appspot.com", "readthedocs.io", "tumblr.com",
+)
+
+
 def registered_domain(host: Column) -> Column:
-    """Last-two-labels registered-domain heuristic (see module
-    docstring for the public-suffix caveat); single-label hosts
-    (``localhost``) pass through unchanged."""
+    """Registered domain via the vendored public-suffix subset: when
+    the host's last two labels are a known public suffix (``co.uk``,
+    ``github.io``) the registered domain is the last THREE labels;
+    otherwise the last two. Single-label hosts (``localhost``) and a
+    host that IS a bare public suffix pass through unchanged.
+
+    Pure codegen: the suffix test is a literal ``IN`` set (~200
+    entries — Catalyst compiles it to a constant hash-set probe, O(1)
+    per row inside the scan stage). That is strictly cheaper at 100 TB
+    than the equivalent broadcast join: no build side, no join node,
+    nothing to ship per executor beyond the compiled plan."""
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(two == "", host).otherwise(two)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return (
+        F.when(two == "", host)
+        .when(two.isin(*PUBLIC_SUFFIXES_2L) & (three != ""), three)
+        .otherwise(two)
+    )
 
 
 def with_canonical_url(
@@ -134,10 +232,10 @@ def host_quality_stats(
     (map-side combinable; domain cardinality is tiny next to docs, so
     the shuffle moves one partial row per domain per task).
 
-    Domain is the last-two-labels heuristic of
-    :func:`registered_domain` — multi-label public suffixes
-    (``.co.uk``) group one level too coarse until a public-suffix
-    table is joined in."""
+    Domain comes from :func:`registered_domain` (vendored
+    public-suffix subset), so ``a.co.uk`` and ``b.co.uk`` aggregate
+    separately; suffixes outside the subset degrade to last-two-labels
+    grouping (coarser, never wrong keys)."""
     dom = registered_domain(url_host(canonicalize_url(url_col)))
     return (
         df.select(

@@ -2668,7 +2668,12 @@ def _messy_url() -> "F.Column":
         F.col("source"),
         F.lit(".Site"),
         (d % 7).cast("string"),
-        F.lit(".COM"),
+        # every 11th host sits under a multi-label public suffix and
+        # every 13th under a private platform suffix, so the
+        # registered-domain PSL path is driver-gate-exercised
+        F.when(d % 11 == 0, F.lit(".CO.UK"))
+        .when(d % 13 == 0, F.lit(".GitHub.IO"))
+        .otherwise(F.lit(".COM")),
         F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
         F.lit("/Docs/"),
         d.cast("string"),

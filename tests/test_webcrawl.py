@@ -97,6 +97,56 @@ def test_host_quality_stats(spark):
     assert got["b.org"].short_doc_share == 1.0
 
 
+def test_registered_domain_public_suffix(spark):
+    """The vendored PSL subset: hosts under a multi-label public
+    suffix keep three labels (``a.co.uk`` != ``b.co.uk``); private
+    platform suffixes too; unknown suffixes fall back to last-two;
+    a bare public suffix and single-label hosts pass through."""
+    cases = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.co.uk", "a.co.uk"),
+        ("deep.sub.bbc.co.uk", "bbc.co.uk"),
+        ("myproj.github.io", "myproj.github.io"),
+        ("shop.example.com.au", "example.com.au"),
+        ("plain.example.com", "example.com"),
+        ("x.example.zz", "example.zz"),   # unknown TLD -> last-two
+        ("co.uk", "co.uk"),               # bare suffix passes through
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["i", "host"]
+    )
+    got = [
+        r.d for r in df.select(
+            "i", WC.registered_domain(F.col("host")).alias("d")
+        ).orderBy("i").collect()
+    ]
+    for (h, want), d in zip(cases, got):
+        assert d == want, (h, d, want)
+
+
+def test_host_quality_stats_psl_separation(spark):
+    """a.co.uk and b.co.uk must aggregate as DISTINCT registered
+    domains (the r7 weak item: last-two-labels grouped them both
+    under co.uk, mis-bucketing any UK/AU host-level blocklist)."""
+    rows = [
+        (1, "https://a.co.uk/1", 100),
+        (2, "https://www.a.co.uk/2", 300),
+        (3, "https://b.co.uk/1", 50),
+        (4, "https://docs.b.co.uk/2", 70),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    got = {
+        r.domain: r
+        for r in WC.host_quality_stats(
+            df, "url", "n_chars", short_doc_chars=200
+        ).collect()
+    }
+    assert set(got) == {"a.co.uk", "b.co.uk"}
+    assert got["a.co.uk"].n_docs == 2
+    assert got["b.co.uk"].n_docs == 2
+
+
 def test_canonicalizer_is_shuffle_free(spark):
     """The canonicalizer must stay a projection — no exchange in the
     plan (at 100 TB it runs inside the scan stage)."""
