@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_stats": X.multimodal_resize_stats,
         "multimodal_feature_knn": X.multimodal_feature_knn,
         "multimodal_frame_sample": X.multimodal_frame_sample,
+        # round-8 additions (inside the sample window)
+        "host_blocklist_filter": X.host_blocklist_filter,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3710,6 +3712,30 @@ def oracle_sql() -> dict[str, str]:
             FROM withdomain
             GROUP BY domain
             ORDER BY domain
+        """,
+        # blocklist = domains with >=5 docs and short-share > 0.5;
+        # raw 0/1 average (exact) on both sides, kept docs via NOT IN
+        "host_blocklist_filter": f"""
+            WITH urls AS (
+                SELECT doc_id, n_chars, {_MESSY_URL} AS url
+                FROM documents
+            ),
+            {_URL_CANON_CTES},
+            doms AS (
+                SELECT doc_id, n_chars, domain FROM withdomain
+            ),
+            blocked AS (
+                SELECT domain FROM (
+                    SELECT domain, count(*) AS _n,
+                           avg(CASE WHEN n_chars < 300
+                                    THEN 1.0 ELSE 0.0 END) AS _ss
+                    FROM doms GROUP BY domain
+                ) WHERE _n >= 5 AND _ss > 0.5
+            )
+            SELECT doc_id, domain, CAST(n_chars AS BIGINT) AS n_chars
+            FROM doms
+            WHERE domain NOT IN (SELECT domain FROM blocked)
+            ORDER BY doc_id
         """,
         # water-filling mixture planner: same sorted-prefix-sum
         # program (capped set = prefix of the avail/weight sort via

@@ -257,6 +257,54 @@ def host_quality_stats(
     )
 
 
+def filter_by_host_stats(
+    df: DataFrame,
+    url_col: str,
+    size_col: str,
+    short_doc_chars: int = 200,
+    max_short_share: float = 0.5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Host-level blocklist filtering — the consumer of
+    :func:`host_quality_stats` and the C4/RefinedWeb blocklist step
+    end-to-end: drop every document whose registered domain has
+    ENOUGH EVIDENCE (``n_docs >= min_docs``) of BAD QUALITY
+    (``short-doc share > max_short_share``). Domains below the
+    evidence floor keep their documents (too few observations to
+    condemn a host), which is the standard blocklist posture.
+
+    Plan shape (pinned in tests/test_webcrawl.py): the per-domain
+    aggregate is one map-side-combinable hash aggregate whose output
+    (a handful of blocked domains) is BROADCAST into a left-anti
+    hash join — the document side is scanned, never shuffled. At
+    100 TB that means two scans of the corpus (aggregate pass +
+    filter pass) and zero doc-side exchanges; two scans beat caching
+    at this scale because the corpus never fits, and beat a shuffle
+    join by the full corpus width. The share comparison uses the raw
+    0/1 average (exact integer-valued doubles), so the DuckDB twin
+    replays it bit-for-bit."""
+    dom = registered_domain(url_host(canonicalize_url(url_col)))
+    with_dom = df.withColumn("_domain", dom)
+    blocked = (
+        with_dom.groupBy("_domain")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(
+                (F.col(size_col) < short_doc_chars).cast("double")
+            ).alias("_short_share"),
+        )
+        .filter(
+            (F.col("_n") >= min_docs)
+            & (F.col("_short_share") > max_short_share)
+        )
+        .select("_domain")
+    )
+    return (
+        with_dom.join(F.broadcast(blocked), "_domain", "left_anti")
+        .withColumnRenamed("_domain", "domain")
+    )
+
+
 def dedup_by_url(
     df: DataFrame, url_col: str, id_col: str
 ) -> DataFrame:

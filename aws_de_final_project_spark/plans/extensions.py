@@ -2715,6 +2715,30 @@ def host_quality_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level blocklist filtering end-to-end (operators/webcrawl
+    .filter_by_host_stats) — the C4/RefinedWeb step that consumes
+    host_quality_stats: registered domains with >= 5 docs and a
+    short-doc share above 0.5 (chars < 300; the corpus median is
+    ~306, so the threshold discriminates) are blocked and their
+    documents dropped. Aggregate -> broadcast left-anti join; the
+    document side is never shuffled (plan-pinned). FULL DuckDB
+    oracle via NOT IN over the replayed aggregate."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", _messy_url().alias("url"), "n_chars"
+    )
+    kept = WC.filter_by_host_stats(
+        d, "url", "n_chars",
+        short_doc_chars=300, max_short_share=0.5, min_docs=5,
+    )
+    return kept.select(
+        "doc_id", "domain", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
 def mixture_plan_rates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture planning (operators/curation
     .mixture_plan_rates): per-source whitespace-token supply vs a

@@ -97,6 +97,49 @@ def test_host_quality_stats(spark):
     assert got["b.org"].short_doc_share == 1.0
 
 
+def test_filter_by_host_stats(spark):
+    """Blocklist semantics: a domain with enough evidence of bad
+    quality loses its docs; a domain below the evidence floor keeps
+    them even when every doc is short; a healthy domain passes."""
+    rows = (
+        # bad.com: 3 docs, all short -> blocked (min_docs=3)
+        [(i, f"https://bad.com/{i}", 50) for i in range(3)]
+        # tiny.org: 2 short docs -> below evidence floor, kept
+        + [(10 + i, f"https://tiny.org/{i}", 50) for i in range(2)]
+        # good.net: 4 docs, 1 short -> kept
+        + [(20 + i, f"https://good.net/{i}", 500) for i in range(3)]
+        + [(23, "https://good.net/x", 50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    kept = WC.filter_by_host_stats(
+        df, "url", "n_chars",
+        short_doc_chars=200, max_short_share=0.5, min_docs=3,
+    )
+    got = {r.doc_id: r.domain for r in kept.collect()}
+    assert set(got.values()) == {"tiny.org", "good.net"}
+    assert len(got) == 6
+
+
+def test_filter_by_host_stats_plan(spark):
+    """Plan pin: the blocked-domain set is BROADCAST into a left-anti
+    hash join — the document probe side is scanned, never shuffled
+    (the only exchange in the plan feeds the per-domain aggregate on
+    the build side)."""
+    df = spark.createDataFrame(
+        [(i, f"https://d{i % 4}.com/{i}", 100 + i) for i in range(40)],
+        ["doc_id", "url", "n_chars"],
+    )
+    kept = WC.filter_by_host_stats(df, "url", "n_chars")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # doc side unshuffled: every Exchange in the plan sits under the
+    # broadcast build subtree (between the aggregate and the join);
+    # the probe path scan -> join has none, so the total count is
+    # exactly the aggregate's shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_registered_domain_public_suffix(spark):
     """The vendored PSL subset: hosts under a multi-label public
     suffix keep three labels (``a.co.uk`` != ``b.co.uk``); private
