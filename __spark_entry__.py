@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": X.multimodal_frame_sample,
         # round-8 additions (inside the sample window)
         "host_blocklist_filter": X.host_blocklist_filter,
+        "warc_extract_stats": X.warc_extract_stats,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -88,9 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project_embeddings": X.jl_project_embeddings,
         "rollup_incremental_distinct_kmv": X.rollup_incremental_distinct_kmv,
         "basket_pair_affinity": X.basket_pair_affinity,
+        # --- end of the driver's ~50-entry sample window (r8) ---
         "chunk_text_cdc": X.chunk_text_cdc,
         "dedup_containment_pairs": X.dedup_containment_pairs,
-        # --- end of the driver's ~50-entry sample window (r8) ---
         "repetition_top_bigram": X.repetition_top_bigram,
         "drift_psi_event_values": X.drift_psi_event_values,
         "interval_coverage_per_user": Q.interval_coverage_per_user,
@@ -3713,6 +3714,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY domain
             ORDER BY domain
         """,
+        # WARC roundtrip: the oracle computes the same per-doc columns
+        # straight from documents — content_length is the fixed HTTP
+        # header block (44 octets) + the UTF-8 octet length of the
+        # html wrap; extracted replays the html_extract_text chain
+        # (tags -> space, entities, explicit-class whitespace
+        # collapse). A leaked corrupt row or any parse drift breaks
+        # the hash.
+        "warc_extract_stats": """
+            WITH wrapped AS (
+                SELECT doc_id,
+                       '<html><body><p>' || text ||
+                       '</p></body></html>' AS html
+                FROM documents
+            ),
+            stripped AS (
+                SELECT doc_id, html,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                               '(?is)<script\\b[^>]*>.*?</script>', ' ',
+                               'g'),
+                           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]*>', ' ', 'g') AS t0
+                FROM wrapped
+            ),
+            decoded AS (
+                SELECT doc_id, html,
+                       replace(replace(replace(replace(replace(replace(
+                           t0, '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', chr(39)),
+                           '&nbsp;', ' '), '&amp;', '&') AS t
+                FROM stripped
+            )
+            SELECT doc_id,
+                   CAST(200 AS INTEGER) AS http_status,
+                   CAST(44 + octet_length(encode(html)) AS BIGINT)
+                       AS content_length,
+                   trim(regexp_replace(t, '__WS_RE__', ' ', 'g'))
+                       AS extracted,
+                   CAST(length(trim(regexp_replace(t, '__WS_RE__',
+                                                   ' ', 'g')))
+                        AS BIGINT) AS n_chars_extracted
+            FROM decoded
+            ORDER BY doc_id
+        """.replace("__WS_RE__", _WC.WS_RE),
         # blocklist = domains with >=5 docs and short-share > 0.5;
         # raw 0/1 average (exact) on both sides, kept docs via NOT IN
         "host_blocklist_filter": f"""

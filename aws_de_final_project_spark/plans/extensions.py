@@ -2715,6 +2715,83 @@ def host_quality_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source end-to-end (sources/warc.read_warc): documents are
+    serialized as four WARC/1.0 members (two gzipped) of HTTP-response
+    records plus one deliberately CORRUPT member, read back through
+    the binaryFile + mapInPandas parser (one task per member, zero
+    shuffles), HTTP-split, fed to html_extract_text, and returned per
+    doc. The DuckDB oracle computes the same columns straight from the
+    documents table — a green row therefore proves (a) the WARC
+    write->parse roundtrip is byte-lossless (content_length and body
+    re-derived from parsed bytes), (b) the HTTP status/body split
+    (status would be NULL on a failed split), and (c) that the corrupt
+    member was quarantined, not leaked (a leaked row breaks the hash).
+
+    The fixture build collects (doc_id, text) on the driver — bounded
+    test plumbing (~1.5 MB at sf0.1), the operator under test is the
+    DISTRIBUTED read path; a real crawl arrives as pre-sharded members
+    (~100k x 1 GB per Common-Crawl month = 100k-way parallelism)."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_de_final_project_spark.operators import webcrawl as WC
+    from aws_de_final_project_spark.sources import warc as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "text").collect()
+    tmp = tempfile.mkdtemp(prefix="warc_fix_")
+    try:
+        shards: dict[int, list] = {i: [] for i in range(4)}
+        for r in sorted(docs, key=lambda r: r.doc_id):
+            body = (
+                f"<html><body><p>{r.text}</p></body></html>"
+            ).encode("utf-8")
+            shards[r.doc_id % 4].append(
+                {
+                    "record_id": f"<urn:uuid:doc-{r.doc_id}>",
+                    "target_uri": f"https://warc.example/doc/{r.doc_id}",
+                    "payload": (
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html\r\n\r\n" + body
+                    ),
+                }
+            )
+        for i, recs in shards.items():
+            gz = bool(i % 2)
+            W.write_warc_member(
+                os.path.join(tmp, f"part{i}.warc" + (".gz" if gz else "")),
+                iter(recs),
+                compress=gz,
+            )
+        with open(os.path.join(tmp, "junk.warc"), "wb") as fh:
+            fh.write(b"this member is not a WARC record\r\n")
+        df = W.read_warc(spark, tmp)
+        out = (
+            df.select(
+                F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("http_status").cast("int").alias("http_status"),
+                F.col("content_length").cast("long").alias(
+                    "content_length"
+                ),
+                WC.html_extract_text(F.col("http_body")).alias(
+                    "extracted"
+                ),
+            )
+            .withColumn(
+                "n_chars_extracted", F.length("extracted").cast("long")
+            )
+            .orderBy("doc_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level blocklist filtering end-to-end (operators/webcrawl
     .filter_by_host_stats) — the C4/RefinedWeb step that consumes

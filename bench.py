@@ -30,6 +30,7 @@ HEADLINE = [
     "return_pct_by_nation",
     # round-8 additions
     "host_blocklist_filter",
+    "warc_extract_stats",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",
