@@ -174,18 +174,47 @@ MISC_X30_QUERIES = [
     "basket_pair_affinity",
 ]
 
+# round-8 (VERDICT r7 #6): one FURTHER decade for the top-3 heavies —
+# the x30 tier caught two real scale bugs in r6, and x100 (60M
+# lineitem rows / 500k docs) is the largest tier the 128 GiB box
+# holds. Docs x100 uses SEEDED PERMUTATION ciphers (a 100-copy Caesar
+# family has only 36 distinct rotations, so copies i and i+36 would
+# be exact cross-copy twins — the same aliasing bug the x10 vowel
+# rotation had); linear baseline is the x30 row:
+# t100 ~= (100/30) * (t30 - fixed) + fixed.
+X100_DOCS_DIR = "/tmp/scale_probe_docs_x100"
+X100_DOCS_QUERIES = ["dedup_exact_spans", "dedup_containment_pairs"]
+MISC_X100_DIR = "/tmp/scale_probe_misc_x100"
+MISC_X100_QUERIES = ["triangle_parts_copurchase"]
+
 _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
+def _copy_cipher(i: int, n: int) -> str:
+    """Per-copy [a-z0-9] bijection. Caesar rotations for n <= 36
+    (matches the cached x10/x30 tiers); above 36 rotations alias
+    (copy i == copy i+36 — exact cross-copy twins), so larger tiers
+    use a seeded permutation per copy: still bijective (within-copy
+    structure exact), distinct for every i."""
+    if n <= 36:
+        return _ALNUM[i % 36:] + _ALNUM[: i % 36]
+    import random
+
+    chars = list(_ALNUM)
+    random.Random(1234 + i).shuffle(chars)
+    return "".join(chars)
+
+
 def build_docs_xn(spark, src_sf: str, n: int, out_dir: str) -> None:
-    """n id-shifted copies, each under a DIFFERENT Caesar cipher over
-    [a-z0-9] (translate — pure codegen). A bijective per-copy cipher
-    preserves within-copy dup/near-dup structure EXACTLY (equality and
-    shingle identity are invariant under a character bijection that
-    fixes separators) while cross-copy texts share essentially no
-    shingles — so output pair counts scale linearly in n with no
-    cross-copy cliques. Preferred over the x10 vowel rotation (only 5
-    distinct rotations -> exact cross-copy twins at copy i, i+5)."""
+    """n id-shifted copies, each under a DIFFERENT character bijection
+    over [a-z0-9] (translate — pure codegen; see _copy_cipher). A
+    bijective per-copy cipher preserves within-copy dup/near-dup
+    structure EXACTLY (equality and shingle identity are invariant
+    under a character bijection that fixes separators) while
+    cross-copy texts share essentially no shingles — so output pair
+    counts scale linearly in n with no cross-copy cliques. Preferred
+    over the x10 vowel rotation (only 5 distinct rotations -> exact
+    cross-copy twins at copy i, i+5)."""
     from pyspark.sql import functions as F
 
     from aws_de_final_project_spark.sources.registry import load_tables
@@ -196,7 +225,7 @@ def build_docs_xn(spark, src_sf: str, n: int, out_dir: str) -> None:
     n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     copies = []
     for i in range(n):
-        rot = _ALNUM[i % 36:] + _ALNUM[: i % 36]
+        rot = _copy_cipher(i, n)
         copies.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n_ids)).alias("doc_id"),
@@ -215,7 +244,9 @@ def build_docs_xn(spark, src_sf: str, n: int, out_dir: str) -> None:
 
 
 def build_misc_x10(spark, src_sf: str, n: int = 10,
-                   out_dir: str = MISC_X10_DIR) -> None:
+                   out_dir: str = MISC_X10_DIR,
+                   tables: tuple = ("lineitem", "embeddings",
+                                    "customer")) -> None:
     """x10 tier for the graph/linear-algebra/linkage heavies.
 
     lineitem: shift l_orderkey AND l_partkey per copy — each copy's
@@ -231,31 +262,37 @@ def build_misc_x10(spark, src_sf: str, n: int = 10,
 
     from aws_de_final_project_spark.sources.registry import load_tables
 
-    t = load_tables(
-        spark, src_sf, ("lineitem", "embeddings", "customer"),
-        register_views=False,
-    )
+    t = load_tables(spark, src_sf, tables, register_views=False)
     os.makedirs(out_dir, exist_ok=True)
 
-    li = t["lineitem"]
-    n_ord = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-    n_part = li.agg(F.max("l_partkey")).collect()[0][0] + 1
-    li_cols = [c for c in li.columns if c not in ("l_orderkey", "l_partkey")]
-    copies = [
-        li.select(
-            (F.col("l_orderkey") + F.lit(i * n_ord)).alias("l_orderkey"),
-            (F.col("l_partkey") + F.lit(i * n_part)).alias("l_partkey"),
-            *li_cols,
+    if "lineitem" in tables:
+        li = t["lineitem"]
+        n_ord = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+        n_part = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+        li_cols = [
+            c for c in li.columns if c not in ("l_orderkey", "l_partkey")
+        ]
+        copies = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * n_ord)).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.lit(i * n_part)).alias(
+                    "l_partkey"
+                ),
+                *li_cols,
+            )
+            for i in range(n)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "lineitem.parquet")
         )
-        for i in range(n)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "lineitem.parquet")
-    )
 
+    if "embeddings" not in tables:
+        return
     em = t["embeddings"]
     n_vec = em.agg(F.max("vec_id")).collect()[0][0] + 1
     em_cols = [c for c in em.columns if c != "vec_id"]
@@ -272,6 +309,8 @@ def build_misc_x10(spark, src_sf: str, n: int = 10,
         os.path.join(out_dir, "embeddings.parquet")
     )
 
+    if "customer" not in tables:
+        return
     cu = t["customer"]
     n_cust = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
     cu_cols = [c for c in cu.columns if c not in ("c_custkey", "c_name")]
@@ -335,7 +374,8 @@ def main() -> None:
     # The probe box has 128 GiB; size the probe JVM for its biggest
     # tier instead of timing GC-thrash. (Engine defaults unchanged —
     # this is probe-process-only.)
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # (x100 triangle holds ~3.3x the x30 checkpoint blocks: 72g)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "72g")
 
     from pyspark.sql import functions as F
 
@@ -517,6 +557,57 @@ def main() -> None:
                            "x30_ratio_vs_linear",
                            "x30_ratio_vs_linear_median")}))
 
+    # round-8: x100 decade for the top-3 heavies — linear baseline is
+    # the x30 row (t100 ~= (100/30)(t30 - fixed) + fixed). Only runs
+    # for queries that have an x30 measurement this invocation.
+    def measure_x100(name: str, d: str) -> None:
+        row = by_name[name]
+        if "x30" not in row:
+            print(json.dumps({"query": name,
+                              "x100": "skipped (no x30 baseline)"}))
+            return
+        spark.sparkContext._jvm.System.gc()
+        drive(Q[name](spark, d))  # cold/warmup
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            drive(Q[name](spark, d))
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        row["x100"] = round(reps[0], 3)
+        row["x100_median"] = round(reps[1], 3)
+        row["x100_spread"] = [round(reps[0], 3), round(reps[-1], 3)]
+        linear = (100.0 / 30.0) * max(row["x30"] - fixed, 1e-3)
+        row["x100_ratio_vs_linear"] = round(
+            max(row["x100"] - fixed, 1e-3) / linear, 2
+        )
+        row["x100_ratio_vs_linear_median"] = round(
+            max(row["x100_median"] - fixed, 1e-3) / linear, 2
+        )
+        print(json.dumps({k: row[k] for k in
+                          ("query", "x30", "x100", "x100_median",
+                           "x100_ratio_vs_linear",
+                           "x100_ratio_vs_linear_median")}))
+
+    x100_docs = [q for q in X100_DOCS_QUERIES
+                 if (only is None or q in only) and q in by_name]
+    if x100_docs and not os.path.exists(
+        os.path.join(X100_DOCS_DIR, "documents.parquet")
+    ):
+        build_docs_xn(spark, "/root/testdata/sf0.1", 100, X100_DOCS_DIR)
+    for name in x100_docs:
+        measure_x100(name, X100_DOCS_DIR)
+
+    x100_misc = [q for q in MISC_X100_QUERIES
+                 if (only is None or q in only) and q in by_name]
+    if x100_misc and not os.path.exists(
+        os.path.join(MISC_X100_DIR, "lineitem.parquet")
+    ):
+        build_misc_x10(spark, "/root/testdata/sf0.1", 100, MISC_X100_DIR,
+                       tables=("lineitem",))
+    for name in x100_misc:
+        measure_x100(name, MISC_X100_DIR)
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING_PROBE.json",
@@ -537,8 +628,11 @@ def main() -> None:
             "cross-copy shingle overlap nil, so pair counts scale "
             "linearly in copies); x10 misc = id-shifted lineitem/"
             "embeddings + ciphered customer copies (disjoint graphs/"
-            "blocks per copy); slopes are net of the measured fixed "
-            "action overhead"
+            "blocks per copy); x100 docs = 100 seeded-permutation "
+            "cipher copies (Caesar aliases past 36), x100 misc = 100 "
+            "id-shifted lineitem copies (60M rows); x100 linear "
+            "baseline is the x30 row at 100/30; slopes are net of "
+            "the measured fixed action overhead"
         ),
         "action_overhead_sec": fixed,
         "queries": queries_map,
