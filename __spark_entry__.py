@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_de_final_project_spark.operators import classifier as _CLF
 from aws_de_final_project_spark.operators import webcrawl as _WC
 from aws_de_final_project_spark.plans import extensions as X
 from aws_de_final_project_spark.plans import queries as Q
@@ -57,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 additions (inside the sample window)
         "host_blocklist_filter": X.host_blocklist_filter,
         "warc_extract_stats": X.warc_extract_stats,
+        "quality_classifier_scores": X.quality_classifier_docs,
+        "host_link_graph": X.host_link_graph_docs,
+        "orc_roundtrip_stats": X.orc_roundtrip_stats,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -289,11 +293,13 @@ _URL_CANON_CTES = """
                _auth || regexp_replace(_path0, '/+$', '') ||
                CASE WHEN _qc = '' THEN '' ELSE '?' || _qc END AS canon_url
         FROM (
-            SELECT *, array_to_string(list_sort(list_filter(
+            -- coalesce: DuckDB's array_to_string([]) is NULL, not ''
+            -- (a query-less URL must canonicalize, not null out)
+            SELECT *, coalesce(array_to_string(list_sort(list_filter(
                        string_split(_query, '&'),
                        p -> length(p) > 0 AND NOT regexp_matches(p,
                             '^(utm_[^=]*|gclid|fbclid|msclkid|igshid|ref|ref_src)=')
-                   )), '&') AS _qc
+                   )), '&'), '') AS _qc
             FROM split3
         )
     ),
@@ -3759,6 +3765,103 @@ def oracle_sql() -> dict[str, str]:
             FROM decoded
             ORDER BY doc_id
         """.replace("__WS_RE__", _WC.WS_RE),
+        # the IDENTICAL linear model (md5 buckets, literal weights,
+        # left-fold mean-pool) replayed over the same tokenization;
+        # weights/bias interpolated from the module constants so the
+        # two sides cannot drift
+        "quality_classifier_scores": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> len(t) > 0) AS tk
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       len(tk) AS n_tokens,
+                       CASE WHEN len(tk) = 0
+                            THEN ({_CLF.QUALITY_CLF_BIAS})::DOUBLE
+                            ELSE ({_CLF.QUALITY_CLF_BIAS})::DOUBLE
+                                 + list_sum(list_transform(tk,
+                                     t -> ([{", ".join(str(w) for w in _CLF.QUALITY_CLF_WEIGHTS)}]::DOUBLE[])[
+                                          CAST(('0x' || substr(md5(t), 1, 15))::BIGINT
+                                               % {_CLF.N_BUCKETS} AS INTEGER) + 1]))
+                                 / CAST(len(tk) AS DOUBLE)
+                       END AS lg
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   floor(lg * 10000.0 + 0.5) / 10000.0 AS logit,
+                   CASE WHEN lg >= 0 THEN 1 ELSE 0 END AS keep
+            FROM s
+            ORDER BY doc_id
+        """,
+        # same HTML fixture, same href regex (interpolated constant),
+        # same canon chain on the hrefs; the page URL is clean
+        # lowercase by construction so src_domain == constructed host
+        "host_link_graph": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+                       CASE WHEN doc_id % 11 = 0 THEN '.co.uk'
+                            ELSE '.com' END AS src_domain,
+                       '<html><body>'
+                       || '<a href="http://Site'
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.COM/p/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '<a class="l" href="HTTPS://WWW.site'
+                                    || CAST((doc_id + 2) % 7 AS VARCHAR)
+                                    || '.co.uk:443/x?utm_source=z&b=1">y</a>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<a href="/about">rel</a>' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '<a href="mailto:u@example.com">m</a>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN '<a href="http://' || source || '-'
+                                    || CAST(doc_id % 7 AS VARCHAR)
+                                    || CASE WHEN doc_id % 11 = 0
+                                            THEN '.co.uk' ELSE '.com' END
+                                    || '/self">s</a>'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            hrefs AS (
+                SELECT src_domain,
+                       unnest(regexp_extract_all(html,
+                           '{_WC.HREF_RE}', 1)) AS url
+                FROM pages
+            ),
+            urls AS (
+                SELECT * FROM hrefs
+                WHERE regexp_matches(url, '{_WC.ABS_HTTP_RE}')
+            ),
+            {_URL_CANON_CTES}
+            SELECT src_domain, domain AS dst_domain,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM withdomain
+            WHERE src_domain <> domain
+            GROUP BY src_domain, domain
+            ORDER BY src_domain, dst_domain
+        """,
+        # aggregate of the parquet ORIGINAL — a green row proves the
+        # ORC write->read roundtrip lossless (60-bit md5 XOR covers
+        # full text content, order-independent)
+        "orc_roundtrip_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                       AS text_checksum_xor
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
         # blocklist = domains with >=5 docs and short-share > 0.5;
         # raw 0/1 average (exact) on both sides, kept docs via NOT IN
         "host_blocklist_filter": f"""

@@ -437,3 +437,64 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
         "n_ips": F.regexp_count(t2, F.lit(PII_IPV4_RE)),
         "n_phones": F.regexp_count(t3, F.lit(PII_PHONE_RE)),
     }
+
+
+# Anchor href extraction. The whitespace after ``<a`` is the explicit
+# WS class (same \s dialect edge as WS_RE); double-quoted hrefs only —
+# the restricted profile both regex dialects (Java, RE2) parse
+# identically, and the profile the oracle fixture emits. No
+# backreferences, no lookaround.
+HREF_RE = r'(?i)<a[ \t\n\x0B\f\r][^>]*href="([^"]*)"'
+
+# Absolute http(s) links only — relative paths, mailto:, javascript:
+# etc. carry no cross-host edge.
+ABS_HTTP_RE = r"(?i)^https?://"
+
+
+def extract_links(html: Column | str) -> Column:
+    """All double-quoted ``<a href>`` targets in the raw HTML ->
+    ``array<string>``. Pure ``regexp_extract_all`` codegen: scan-side,
+    zero shuffles — link extraction rides the same scan as text
+    extraction at 100 TB."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(c, F.lit(HREF_RE), F.lit(1))
+
+
+def host_link_graph(
+    df: DataFrame,
+    url_col: str,
+    html_col: str,
+    drop_self: bool = True,
+) -> DataFrame:
+    """Registered-domain link graph from raw crawl pages:
+    (src_domain, dst_domain, n_links).
+
+    The web-graph construction step of a crawl pipeline — in-degree
+    and link-source diversity are standard host-quality signals
+    (alongside :func:`host_quality_stats`), and the edge list feeds
+    PageRank-style centrality (operators/graphrank.py).
+
+    Shape at 100 TB: link extraction and BOTH canonicalization passes
+    (page URL and href) are scan-side projections; ``explode`` is
+    map-side (no shuffle); the single shuffle is the final
+    map-side-combinable hash aggregate on (src_domain, dst_domain) —
+    keyed by domain PAIR, so even a universally-linked hub domain
+    splits across its many distinct sources rather than hot-keying
+    one reducer.
+
+    ``drop_self`` removes intra-domain edges (the inter-host graph is
+    the quality signal; self-links dominate raw counts and carry
+    none).
+    """
+    src = registered_domain(url_host(canonicalize_url(F.col(url_col))))
+    links = df.select(
+        src.alias("src_domain"),
+        F.explode(extract_links(html_col)).alias("href"),
+    ).filter(F.col("href").rlike(ABS_HTTP_RE))
+    dst = registered_domain(url_host(canonicalize_url(F.col("href"))))
+    edges = links.select("src_domain", dst.alias("dst_domain"))
+    if drop_self:
+        edges = edges.filter(F.col("src_domain") != F.col("dst_domain"))
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )

@@ -3177,3 +3177,125 @@ def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codepoints_composed"
         ),
     ).orderBy("doc_id")
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier): a
+    fastText/CCNet-style LINEAR classifier over hashed bag-of-words
+    features, scored per document as a pure scan-side projection —
+    array higher-order functions gather literal weights by md5-bucket
+    and mean-pool them, so a 100 TB corpus is scored at IO speed with
+    zero shuffles and zero UDFs. Weights are the vendored
+    deterministic stand-in (training is offline; inference is the
+    at-scale contract). FULL DuckDB oracle: the identical model —
+    same md5 buckets, same literal weights, same left-fold sum —
+    replays bit-for-bit."""
+    from aws_de_final_project_spark.operators import classifier as CLF
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return CLF.linear_text_scores(
+        t["documents"], "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+def host_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain link graph (operators/webcrawl
+    .host_link_graph) over a deterministic HTML fixture: every doc
+    links out to a mixed-case absolute URL, every 2nd adds a
+    www/:443/tracking-param href (canonicalization exercised on the
+    href path), every 3rd a relative link and every 5th a mailto:
+    (both dropped — no host edge), every 7th a self-link (dropped by
+    drop_self when the suffix matches). The page's own URL is CLEAN
+    lowercase by construction, so src_domain == the constructed host
+    verbatim — the oracle derives src directly while the Spark side
+    still runs the full canonicalize->host->registered_domain chain
+    (the identity on this fixture is what makes the simplification
+    sound). Link extraction + canonicalization are scan-side; the one
+    shuffle is the map-side-combinable (src,dst) count."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    suffix = F.when(d % 11 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    src_host = F.concat(
+        F.col("source"), F.lit("-"), (d % 7).cast("string"), suffix
+    )
+    url = F.concat(F.lit("http://"), src_host, F.lit("/d/"), d.cast("string"))
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<a href="http://Site'),
+        ((d * 3 + 1) % 7).cast("string"),
+        F.lit('.COM/p/'),
+        d.cast("string"),
+        F.lit('">x</a>'),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<a class="l" href="HTTPS://WWW.site'),
+                ((d + 2) % 7).cast("string"),
+                F.lit('.co.uk:443/x?utm_source=z&b=1">y</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit('<a href="/about">rel</a>')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 5 == 0, F.lit('<a href="mailto:u@example.com">m</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit('<a href="http://'), src_host, F.lit('/self">s</a>')
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = t["documents"].select(url.alias("url"), html.alias("html"))
+    return WC.host_link_graph(pages, "url", "html").orderBy(
+        "src_domain", "dst_domain"
+    )
+
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink through the driver gate: documents are written
+    as zstd ORC (Spark's bundled native reader/writer — the other
+    big-data columnar interchange format besides parquet), read back,
+    and aggregated per lang with an order-independent 60-bit md5
+    content XOR — the oracle computes the same aggregate over the
+    parquet ORIGINAL, so a green row proves the write->read roundtrip
+    byte-lossless including full text content (the checksum covers
+    every row's text, not just lengths). Result is materialized
+    before the temp dir is removed. Scale posture: columnar +
+    splittable + predicate-pushdown-capable, same partitioned-sink
+    discipline as etl.write_partitioned."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        (
+            t["documents"]
+            .select("doc_id", "text", "lang", "n_chars")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .orc(tmp)
+        )
+        back = spark.read.orc(tmp)
+        chk = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.bit_xor(chk).alias("text_checksum_xor"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("lang")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -31,6 +31,9 @@ HEADLINE = [
     # round-8 additions
     "host_blocklist_filter",
     "warc_extract_stats",
+    "quality_classifier_scores",
+    "host_link_graph",
+    "orc_roundtrip_stats",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

@@ -347,3 +347,84 @@ def test_nfc_normalize(spark):
         assert n == want, (repr(c), repr(n), repr(want))
     assert got[0] == "café"
     assert got[1] == "Ångström"
+
+
+def test_extract_links(spark):
+    html = (
+        '<html><body>'
+        '<a href="http://A.com/1">a</a>'
+        '<A HREF="https://b.com/2">b</A>'
+        '<a class="x" href="/relative">r</a>'
+        '<a href="mailto:u@x.com">m</a>'
+        '<p>no links here</p>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(0, html), (1, "<p>none</p>")], ["i", "html"])
+    rows = (
+        df.select("i", WC.extract_links("html").alias("l"))
+        .orderBy("i")
+        .collect()
+    )
+    # extraction keeps EVERY href (case-insensitive tag); the
+    # absolute-http filter is host_link_graph's job
+    assert rows[0].l == [
+        "http://A.com/1",
+        "https://b.com/2",
+        "/relative",
+        "mailto:u@x.com",
+    ]
+    assert rows[1].l == []
+
+
+def test_host_link_graph_semantics(spark):
+    rows = [
+        # src example.com links twice to www.Other.COM (one with a
+        # default port) and once to itself -> self edge dropped
+        (
+            "http://example.com/a",
+            '<a href="http://www.Other.COM/x">1</a>'
+            '<a href="http://other.com:80/y">2</a>'
+            '<a href="http://example.com/self">s</a>'
+            '<a href="/rel">r</a>'
+            '<a href="mailto:a@b.c">m</a>',
+        ),
+        # src under a public suffix; dst canonicalizes to other.com too
+        (
+            "https://WWW.news.co.uk/b",
+            '<a href="HTTP://Other.com/z">3</a>',
+        ),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in WC.host_link_graph(df, "url", "html").collect()
+    }
+    assert got == {
+        ("example.com", "other.com"): 2,
+        ("news.co.uk", "other.com"): 1,
+    }
+    # keep_self variant retains the intra-domain edge
+    got2 = {
+        (r.src_domain, r.dst_domain): r.n_links
+        for r in WC.host_link_graph(
+            df, "url", "html", drop_self=False
+        ).collect()
+    }
+    assert got2[("example.com", "example.com")] == 1
+
+
+def test_host_link_graph_single_shuffle(spark):
+    """Extraction + canonicalization are scan-side; the only exchange
+    is the final (src,dst) hash aggregate (AQE may add its own
+    read node, so count Exchange operators, not substrings)."""
+    df = spark.createDataFrame(
+        [("http://a.com/x", '<a href="http://b.com/y">l</a>')],
+        ["url", "html"],
+    )
+    plan = (
+        WC.host_link_graph(df, "url", "html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
