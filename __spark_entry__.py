@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_de_final_project_spark.functions import text as _TX
 from aws_de_final_project_spark.operators import classifier as _CLF
 from aws_de_final_project_spark.operators import webcrawl as _WC
 from aws_de_final_project_spark.plans import extensions as X
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": X.quality_classifier_docs,
         "host_link_graph": X.host_link_graph_docs,
         "orc_roundtrip_stats": X.orc_roundtrip_stats,
+        "mojibake_repair_docs": X.mojibake_repair_docs,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -635,6 +637,16 @@ def _simhash_portable_sql() -> str:
             WHERE bit_count(xor(sa, sb)) <= {max_h}
             ORDER BY doc_a, doc_b
     """
+
+
+def _mojibake_repair_sql(inner: str) -> str:
+    """Chained-replace twin of text.repair_mojibake, generated from
+    the SAME pair table (one source of truth — the SQL cannot
+    drift)."""
+    e = inner
+    for bad, good in _TX.MOJIBAKE_PAIRS:
+        e = f"replace({e}, '{bad}', '{good}')"
+    return e
 
 
 def _minhash_portable_sql() -> str:
@@ -3861,6 +3873,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY lang
             ORDER BY lang
+        """,
+        # same generated plant + generated pair-table replace chain
+        "mojibake_repair_docs": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '{_TX._mojibake_form(" café “quoted”")}'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '{_TX._mojibake_form(" don’t — dashes… über")}'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' naïve déjà-vu' ELSE '' END AS _raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   {_mojibake_repair_sql("_raw")} AS repaired,
+                   CAST(length(_raw)
+                        - length({_mojibake_repair_sql("_raw")}) AS BIGINT)
+                       AS chars_recovered
+            FROM raw
+            ORDER BY doc_id
         """,
         # blocklist = domains with >=5 docs and short-share > 0.5;
         # raw 0/1 average (exact) on both sides, kept docs via NOT IN

@@ -306,3 +306,67 @@ def nfc_normalize(col: Column | str) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return _nfc(c)
+
+
+def _mojibake_form(ch: str) -> str:
+    """The mojibake rendering of ``ch``: its UTF-8 bytes re-read as
+    "sloppy cp1252" (Windows-1252 with a Latin-1 fallback for the five
+    unmapped bytes — the de-facto decoding browsers and ftfy model).
+    Generated, not hand-typed, so the pair table cannot contain a
+    transcription error."""
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+#: Characters whose UTF-8-read-as-cp1252 forms dominate real-world
+#: mojibake: Latin-1 letters common in European text, cp1252
+#: punctuation (curly quotes, dashes, ellipsis), and a few symbols.
+MOJIBAKE_CHARS = (
+    "éèêëàáâäåçíìîïóòôöøúùûüñýßœæ"
+    "ÉÈÀÄÅÖÜÑÇ"
+    "“”‘’–—…€™°«»"
+)
+
+#: (bad, good) pairs, LONGEST bad form first so a 3-byte sequence is
+#: never half-claimed by a 2-byte prefix rule.
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        ((_mojibake_form(c), c) for c in MOJIBAKE_CHARS),
+        key=lambda p: (-len(p[0]), p[0]),
+    )
+)
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """Repair UTF-8-read-as-cp1252 mojibake ("cafÃ©" -> "café",
+    "donâ€™t" -> "don’t") — the ftfy-style encoding-repair pass a
+    crawl corpus needs before hashing/dedup (mojibake splits one
+    logical document into distinct byte strings and poisons token
+    statistics).
+
+    One chained literal ``replace`` per pair (same construction as
+    html_extract_text's entity decoding): pure scan-side codegen,
+    zero UDFs/shuffles, and the DuckDB oracle interpolates the SAME
+    generated pair table so the two sides cannot drift.
+
+    Single-pass by design: doubly-encoded text ("ÃƒÂ©") repairs one
+    layer per application. A legitimate literal "Ã©" in the source is
+    the documented false-positive trade (ftfy makes the same bet —
+    the sequences are vanishingly rare as intended text)."""
+    t = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_PAIRS:
+        t = F.replace(t, F.lit(bad), F.lit(good))
+    return t
+
+
+def mojibake_chars_recovered(col: Column | str) -> Column:
+    """Per-row repair magnitude: character-length delta of
+    :func:`repair_mojibake` (every pair maps n>=2 chars to 1, so the
+    delta is positive iff anything was repaired)."""
+    t = F.col(col) if isinstance(col, str) else col
+    return (F.length(t) - F.length(repair_mojibake(t))).cast("long")

@@ -3299,3 +3299,40 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("lang")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (functions/text.repair_mojibake — the
+    ftfy-style UTF-8-read-as-cp1252 fix) over a deterministic plant:
+    every 2nd doc gets a mojibake'd French/typographic suffix, every
+    3rd a dash/ellipsis/umlaut one, every 7th an ALREADY-CLEAN
+    accented suffix that must survive untouched (false-positive pin).
+    The planted suffixes are GENERATED by the same `_mojibake_form`
+    the pair table derives from, and the DuckDB oracle interpolates
+    the same generated pairs — three artifacts, one source of truth.
+    Pure chained-replace codegen: zero shuffles, scan-side at
+    100 TB."""
+    from aws_de_final_project_spark.functions.text import (
+        _mojibake_form,
+        mojibake_chars_recovered,
+        repair_mojibake,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0, F.lit(_mojibake_form(" café “quoted”"))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0, F.lit(_mojibake_form(" don’t — dashes… über"))
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" naïve déjà-vu")).otherwise(F.lit("")),
+    )
+    docs = t["documents"].select("doc_id", raw.alias("_raw"))
+    return docs.select(
+        "doc_id",
+        repair_mojibake(F.col("_raw")).alias("repaired"),
+        mojibake_chars_recovered(F.col("_raw")).alias("chars_recovered"),
+    ).orderBy("doc_id")

@@ -349,6 +349,84 @@ def test_nfc_normalize(spark):
     assert got[1] == "Ångström"
 
 
+def test_repair_mojibake_ground_truth(spark):
+    """repair(mojibake(s)) == s for text drawn from the pair-table
+    alphabet; already-clean accented text survives untouched (the
+    false-positive pin); NULLs pass through; chars_recovered is the
+    exact length delta and 0 on clean text."""
+    from aws_de_final_project_spark.functions.text import (
+        _mojibake_form,
+        mojibake_chars_recovered,
+        repair_mojibake,
+    )
+
+    clean = [
+        "café “quoted” — don’t… über",
+        "naïve déjà-vu œuvre Ångström-free €99 ™",
+        "plain ascii stays",
+        "ÉÈÀÄÖÜÑÇ øæß",
+    ]
+    cases = (
+        [(_mojibake_form(s), s) for s in clean]  # broken -> repaired
+        + [(s, s) for s in clean]                # clean -> untouched
+        + [(None, None)]
+    )
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], ["i", "t"]
+    )
+    rows = (
+        df.select(
+            "i",
+            repair_mojibake("t").alias("r"),
+            mojibake_chars_recovered("t").alias("n"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for (raw, want), row in zip(cases, rows):
+        assert row.r == want, (repr(raw), repr(row.r), repr(want))
+        if raw is None:
+            assert row.n is None
+        else:
+            assert row.n == len(raw) - len(want)
+            if raw == want:
+                assert row.n == 0
+
+
+def test_mojibake_pair_table_shape():
+    """Pair table invariants the chained replace depends on: generated
+    (not hand-typed) forms, longest bad form first so a 3-byte
+    sequence is never half-claimed by a 2-byte prefix rule, every bad
+    form at least 2 chars, and no ASCII quote anywhere (the oracle
+    interpolates the literals into SQL)."""
+    from aws_de_final_project_spark.functions.text import (
+        MOJIBAKE_CHARS,
+        MOJIBAKE_PAIRS,
+        _mojibake_form,
+    )
+
+    assert len(MOJIBAKE_PAIRS) == len(set(MOJIBAKE_CHARS))
+    lens = [len(bad) for bad, _ in MOJIBAKE_PAIRS]
+    assert lens == sorted(lens, reverse=True)
+    for bad, good in MOJIBAKE_PAIRS:
+        assert bad == _mojibake_form(good)
+        assert len(bad) >= 2 and len(good) == 1
+        assert "'" not in bad and "'" not in good
+
+
+def test_repair_mojibake_is_shuffle_free(spark):
+    from aws_de_final_project_spark.functions.text import repair_mojibake
+
+    df = spark.createDataFrame([(1, "cafÃ©")], ["i", "t"])
+    plan = (
+        df.select(repair_mojibake("t").alias("r"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_extract_links(spark):
     html = (
         '<html><body>'
