@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": X.host_link_graph_docs,
         "orc_roundtrip_stats": X.orc_roundtrip_stats,
         "mojibake_repair_docs": X.mojibake_repair_docs,
+        "streaming_session_replay": X.streaming_session_replay,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3896,6 +3897,38 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # the streamed session fold must equal the batch
+        # gaps-and-islands sessionization (same rewrite as
+        # user_sessions, minus the order-sensitive float sum)
+        "streaming_session_replay": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT *,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            s AS (
+                SELECT *,
+                       sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM f
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM s
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         # blocklist = domains with >=5 docs and short-share > 0.5;
         # raw 0/1 average (exact) on both sides, kept docs via NOT IN

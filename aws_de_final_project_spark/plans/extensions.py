@@ -3336,3 +3336,100 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         repair_mojibake(F.col("_raw")).alias("repaired"),
         mojibake_chars_recovered(F.col("_raw")).alias("chars_recovered"),
     ).orderBy("doc_id")
+
+
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSIONIZATION under Structured Streaming
+    (streaming/windows.session_stats_stream: watermark +
+    ``session_window``, append mode) driven end-to-end over a bounded
+    file replay — the second driver-checkable streaming entry, and the
+    one that exercises watermark-driven session CLOSE + cross-batch
+    session MERGE state, which the KMV replay (fold-only state) does
+    not.
+
+    Replay construction: events are split into three files by exact
+    epoch-time tertiles (strictly time-ordered slices, so with a
+    0-second watermark nothing is ever late-dropped and the stream
+    must equal batch), plus two far-future SENTINEL slices for a
+    synthetic user -1 (max ts + 2 h / + 4 h). maxFilesPerTrigger=1 +
+    availableNow makes five micro-batches; the sentinels push the
+    watermark past every real session's end so append mode emits ALL
+    real sessions exactly once — the sentinel's own still-open session
+    is filtered out. Sessions whose events straddle a tertile boundary
+    arrive in different micro-batches and must merge in the state
+    store before closing.
+
+    FULL DuckDB oracle: the same gaps-and-islands rewrite that checks
+    the batch ``user_sessions`` twin — a green row proves
+    stream == batch including merge order, not just that the plan ran.
+    Runs on an isolated ``newSession`` (pinned UTC + small shuffle
+    count, no leak into concurrent queries on the shared context)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from aws_de_final_project_spark.functions.numeric import epoch_us
+    from aws_de_final_project_spark.streaming.windows import (
+        session_stats_stream,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    events = t["events"].select("user_id", "ts")
+    cuts = events.select(
+        F.percentile(epoch_us("ts"), F.lit(1.0 / 3)).alias("c1"),
+        F.percentile(epoch_us("ts"), F.lit(2.0 / 3)).alias("c2"),
+        F.max("ts").alias("mx"),
+    ).collect()[0]
+    e = epoch_us("ts")
+    slices = [
+        events.filter(e < F.lit(cuts.c1)),
+        events.filter((e >= F.lit(cuts.c1)) & (e < F.lit(cuts.c2))),
+        events.filter(e >= F.lit(cuts.c2)),
+    ]
+    import datetime as _dt
+
+    for off in (2, 4):
+        slices.append(
+            spark.createDataFrame(
+                [(-1, cuts.mx + _dt.timedelta(hours=off))],
+                events.schema,
+            )
+        )
+    tmp = tempfile.mkdtemp(prefix="sess_replay_")
+    try:
+        for i, sl in enumerate(slices):
+            d = os.path.join(tmp, f"part{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(d)
+            f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+            dst = os.path.join(tmp, f"f{i}.parquet")
+            os.rename(os.path.join(d, f), dst)
+            now = time.time()
+            os.utime(dst, (now + i * 10, now + i * 10))
+            shutil.rmtree(d)
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", "8")
+        iso.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = (
+            iso.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        qname = f"sess_replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            session_stats_stream(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = iso.table(qname).filter(F.col("user_id") >= 0)
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema).orderBy(
+            "user_id", "session_start"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

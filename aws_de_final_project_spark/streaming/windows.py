@@ -83,6 +83,41 @@ def session_stats(
     )
 
 
+def session_stats_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """The STREAMING form of :func:`session_stats`: event-time
+    watermark (required — it both bounds the state store and decides
+    when an open session is final) + the same ``session_window``
+    aggregate, in append mode one row per CLOSED session.
+
+    The watermark machinery needs TIMESTAMP (LTZ), so the NTZ event
+    time is cast through LTZ and the emitted bounds cast back to NTZ —
+    an identity roundtrip under the pinned-UTC session
+    (``evtime.ensure_event_time`` documents why the offset cancels
+    regardless). Omits ``sum_value``: a session spanning micro-batches
+    folds doubles in replay order, and the repo's cross-engine
+    discipline keeps order-sensitive float sums out of oracle-checked
+    columns."""
+    from aws_de_final_project_spark.streaming.evtime import ensure_event_time
+
+    df = ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(
     events_stream: DataFrame,
     query_name: str,

@@ -111,6 +111,98 @@ def test_session_window_stream_equals_batch(spark, events_parquet_dir):
     assert got == expected
 
 
+def test_session_append_merges_across_batches(spark, tmp_path):
+    """APPEND-mode sessionization (session_stats_stream — the
+    streaming_session_replay path): a session whose events arrive in
+    DIFFERENT micro-batches must merge in the state store before the
+    watermark closes it, sessions are emitted exactly once, and the
+    far-future sentinel that drives the final watermark advance never
+    leaks (its own session stays open)."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from aws_de_final_project_spark.streaming.windows import (
+        session_stats_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    slices = [
+        # batch 0: user 1 opens a session; user 2 a lone event
+        [(1, t0), (1, t0 + 10 * m), (2, t0 + 5 * m)],
+        # batch 1: user 1's session CONTINUES (gap 10 min < 30) -> must
+        # merge with open state; then a 40-min gap opens session 2
+        [(1, t0 + 20 * m), (1, t0 + 60 * m)],
+        # sentinels: advance watermark past every real session end,
+        # then give Spark a batch in which to emit
+        [(-1, t0 + dt.timedelta(hours=3))],
+        [(-1, t0 + dt.timedelta(hours=5))],
+    ]
+    d = str(tmp_path / "sess_merge")
+    os.makedirs(d)
+    for i, rows in enumerate(slices):
+        part = os.path.join(d, f"p{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(part)
+        f = [x for x in os.listdir(part) if x.endswith(".parquet")][0]
+        dst = os.path.join(d, f"f{i}.parquet")
+        os.rename(os.path.join(part, f), dst)
+        now = time.time()
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        session_stats_stream(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_merge_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM sess_merge_test ORDER BY user_id, session_start"
+    ).collect()
+    got = [
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows
+        if r.user_id >= 0
+    ]
+    assert got == [
+        # user 1 session 1: 3 events spanning batches 0 and 1, merged
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 3),
+        (1, "2024-01-01 01:00:00", "2024-01-01 01:30:00", 1),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:35:00", 1),
+    ]
+    # the last sentinel's session is still open at stream end — the
+    # watermark never passes it, so append mode must not emit it
+    assert not any(
+        r.user_id == -1 and str(r.session_start) == "2024-01-01 05:00:00"
+        for r in rows
+    )
+    # NTZ discipline: emitted bounds are timestamp_ntz
+    tdf = spark.table("sess_merge_test")
+    assert str(tdf.schema["session_start"].dataType) == "TimestampNTZType()"
+    assert str(tdf.schema["session_end"].dataType) == "TimestampNTZType()"
+
+
 def test_stream_stream_join_equals_batch(spark, events_parquet_dir):
     """Watermarked stream-stream interval join (purchase <- preceding
     clicks within 60 min): streaming append output == the identical
