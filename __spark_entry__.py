@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_de_final_project_spark.functions import text as _TX
 from aws_de_final_project_spark.operators import classifier as _CLF
+from aws_de_final_project_spark.operators import curation as _CUR
 from aws_de_final_project_spark.operators import webcrawl as _WC
 from aws_de_final_project_spark.plans import extensions as X
 from aws_de_final_project_spark.plans import queries as Q
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip_stats": X.orc_roundtrip_stats,
         "mojibake_repair_docs": X.mojibake_repair_docs,
         "streaming_session_replay": X.streaming_session_replay,
+        "bloom_decontaminate_docs": X.bloom_decontaminate_docs,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3897,6 +3899,62 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # Bloom geometry interpolated from the module constants; "bit
+        # set" <=> position in the distinct benchmark-position set, so
+        # the all-k verdicts (false positives included) replay exactly
+        "bloom_decontaminate_docs": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 4, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 4, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            bp AS (
+                SELECT DISTINCT
+                       (('0x' || substr(md5('b' || g.i || ':' || u.s1),
+                                        1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p
+                FROM (SELECT unnest(sh) AS s1 FROM s WHERE doc_id % 97 = 0) u
+                CROSS JOIN generate_series(0, {_CUR.BLOOM_K - 1}) g(i)
+            ),
+            dh AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('b0:' || s1), 1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p0,
+                       (('0x' || substr(md5('b1:' || s1), 1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p1,
+                       (('0x' || substr(md5('b2:' || s1), 1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p2
+                FROM (
+                    SELECT doc_id, unnest(sh) AS s1 FROM s
+                    WHERE doc_id % 97 <> 0
+                ) u
+            ),
+            tot AS (
+                SELECT doc_id, count(*) AS n_shingles FROM dh GROUP BY doc_id
+            ),
+            hit AS (
+                SELECT doc_id, count(*) AS n_bloom_hits FROM dh
+                WHERE p0 IN (SELECT p FROM bp)
+                  AND p1 IN (SELECT p FROM bp)
+                  AND p2 IN (SELECT p FROM bp)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_bloom_hits, 0) AS BIGINT)
+                       AS n_bloom_hits,
+                   coalesce(h.n_bloom_hits, 0) > 0 AS flagged
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id
         """,
         # the streamed session fold must equal the batch
         # gaps-and-islands sessionization (same rewrite as

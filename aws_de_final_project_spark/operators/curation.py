@@ -92,6 +92,155 @@ def decontaminate(
     )
 
 
+#: Default Bloom geometry: 2^23 bits (1 MiB mask) x 3 hash functions.
+#: At 10 bits per element that holds ~800k benchmark shingles under
+#: ~1% false positives; FP rate = (set_bits / m)^k, with NO false
+#: negatives ever.
+BLOOM_M_BITS = 1 << 23
+BLOOM_K = 3
+
+
+def bloom_positions(
+    col: Column, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
+) -> Column:
+    """The ``k`` Bloom bit positions of a shingle as array<int>:
+    position_i = md5_60('b{i}:' || shingle) mod m. Same portable md5
+    family as every hash in this module — DuckDB replays it
+    bit-identically, so the Bloom verdicts are FULL-oracle-checkable
+    (unlike an engine-internal bloom_filter_agg sketch)."""
+    return F.array(
+        *[
+            F.pmod(
+                _md5_long(F.concat(F.lit(f"b{i}:"), col)), F.lit(m_bits)
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build_mask(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> bytes:
+    """Build the benchmark's Bloom bitmask: shingle -> k positions
+    (computed scan-side in the JVM), one distinct-reduce, and a
+    bounded collect into an m/8-byte numpy bitmask.
+
+    The collect is the POINT, not a compromise: distinct positions are
+    capped at ``m_bits`` (1M at the default) regardless of benchmark
+    size, and the returned mask is m/8 bytes (1 MiB) — versus an
+    8-byte-per-shingle exact hash set that grows without bound. A
+    10M-shingle eval suite is an 80 MB broadcast exact but still 1 MiB
+    as a Bloom; that compression is what makes decontamination against
+    a large benchmark family viable on every executor at 100 TB.
+    """
+    import numpy as np
+
+    sh = _shingle_sets(benchmark, text_col, id_col, ngram).select(
+        F.explode("_words").alias("_sh")
+    )
+    pos = sh.select(
+        F.explode(bloom_positions(F.col("_sh"), k, m_bits)).alias("p")
+    ).distinct()
+    arr = np.fromiter(
+        (r.p for r in pos.collect()), dtype=np.int64
+    )
+    mask = np.zeros(m_bits // 8, dtype=np.uint8)
+    if arr.size:
+        np.bitwise_or.at(
+            mask, arr >> 3, (1 << (arr & 7)).astype(np.uint8)
+        )
+    return mask.tobytes()
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    mask: bytes,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Probe every document's shingles against a benchmark Bloom mask
+    (:func:`bloom_build_mask`): a shingle "hits" iff ALL ``k`` of its
+    bit positions are set. Output: (id, n_shingles, n_bloom_hits,
+    flagged). One-sided by construction — every truly contaminated
+    shingle hits (no false negatives), a clean one false-positives at
+    ~(set_bits/m)^k — so ``flagged`` is a superset of
+    :func:`decontaminate`'s ``contaminated`` and safe as a DROP rule.
+
+    Scale shape: shingling and the k md5 positions stay in the scan
+    stage (JVM codegen); the only Python is a vectorized numpy
+    BIT-TEST over Arrow batches against the broadcast 1 MiB mask —
+    no join node, no corpus shuffle, nothing driver-side. This is the
+    documented Arrow-kernel exception pattern (similarity.py BLAS,
+    multimodal codecs): the built-ins can express set-membership joins
+    but not membership in an 8-million-bit broadcast bitmask.
+    """
+    import pandas as pd  # noqa: F401  (kernel-local import below)
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(mask)
+    feats = _shingle_sets(spread(docs), text_col, id_col, ngram).select(
+        F.col("_id"),
+        F.size("_words").cast("long").alias("n_shingles"),
+        F.flatten(
+            F.transform(
+                "_words", lambda w: bloom_positions(w, k, m_bits)
+            )
+        ).alias("_pos"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        m = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            lens = np.fromiter(
+                (len(x) for x in pdf["_pos"]), dtype=np.int64, count=n
+            )
+            total = int(lens.sum())
+            hits = np.zeros(n, dtype=np.int64)
+            if total:
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["_pos"]]
+                )
+                bits = (m[flat >> 3] >> (flat & 7)) & 1
+                ok = bits.reshape(-1, k).all(axis=1)
+                sh_lens = lens // k
+                nz = sh_lens > 0
+                offs = np.concatenate(
+                    ([0], np.cumsum(sh_lens)[:-1])
+                )[nz]
+                if offs.size:
+                    hits[nz] = np.add.reduceat(
+                        ok.astype(np.int64), offs
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"],
+                    "n_shingles": pdf["n_shingles"],
+                    "n_bloom_hits": hits,
+                    "flagged": hits > 0,
+                }
+            )
+
+    schema = (
+        f"{id_col} long, n_shingles long, n_bloom_hits long, "
+        "flagged boolean"
+    )
+    return feats.mapInPandas(kernel, schema)
+
+
 def mixture_sample(
     docs: DataFrame,
     rates: dict[str, float],

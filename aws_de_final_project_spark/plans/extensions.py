@@ -3338,6 +3338,29 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/curation
+    .bloom_build_mask / bloom_decontaminate): every 97th document
+    stands in for the eval set, its 5-gram shingles are folded into a
+    1 MiB / 2^23-bit / k=3 Bloom mask, and the remaining corpus is
+    probed scan-side (JVM shingle+position codegen, numpy bit-test
+    Arrow kernel, zero joins/shuffles of the doc side). The md5
+    position family replays bit-identically in DuckDB, where "bit
+    set" is checked as membership in the distinct-position set — the
+    oracle therefore verifies the Bloom VERDICTS exactly, false
+    positives included."""
+    from aws_de_final_project_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    mask = curation.bloom_build_mask(bench, ngram=5)
+    return curation.bloom_decontaminate(rest, mask, ngram=5).orderBy(
+        "doc_id"
+    )
+
+
 def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time SESSIONIZATION under Structured Streaming
     (streaming/windows.session_stats_stream: watermark +

@@ -53,6 +53,98 @@ def test_decontaminate_short_doc_whole_shingle(spark):
     assert not out[2].contaminated
 
 
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """The contract that makes a Bloom verdict usable as a DROP rule:
+    every exactly-contaminated doc is flagged (no false negatives),
+    hit counts bound the exact counts from above, and on this planted
+    fixture the big default mask has no false positives either."""
+    bench = _docs(
+        spark, [(100, "the quick brown fox jumps over the lazy dog", "en")]
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, "intro text the quick brown fox jumps away today", "en"),
+            (2, "quick dog brown lazy fox the over jumps spread out", "en"),
+            (3, "completely unrelated sentence about spark engines", "en"),
+        ],
+    )
+    exact = {
+        r.doc_id: r
+        for r in curation.decontaminate(docs, bench, ngram=5).collect()
+    }
+    mask = curation.bloom_build_mask(bench, ngram=5)
+    bloom = {
+        r.doc_id: r
+        for r in curation.bloom_decontaminate(docs, mask, ngram=5).collect()
+    }
+    assert set(bloom) == set(exact)
+    for did, e in exact.items():
+        b = bloom[did]
+        assert b.n_shingles == e.n_shingles
+        assert b.n_bloom_hits >= e.n_hits  # one-sided error only
+        if e.contaminated:
+            assert b.flagged
+    # 2^23 bits vs ~6 set shingles: FP chance ~(18/8.4M)^3 — none here
+    assert bloom[2].n_bloom_hits == exact[2].n_hits == 0
+    assert not bloom[3].flagged
+
+
+def test_bloom_mask_bits_match_python_md5(spark):
+    """Cross-implementation pin: the mask bits Spark sets are exactly
+    the md5-derived positions recomputed in pure Python, and nothing
+    else is set."""
+    import hashlib
+
+    bench = _docs(spark, [(100, "a b c d e f", "en")])
+    mask = curation.bloom_build_mask(bench, ngram=5)
+    # shingles of the 6-word doc at ngram=5: two sliding windows
+    shingles = ["a b c d e", "b c d e f"]
+    want = set()
+    for sh in shingles:
+        for i in range(curation.BLOOM_K):
+            h = hashlib.md5(f"b{i}:{sh}".encode()).hexdigest()
+            want.add(int(h[:15], 16) % curation.BLOOM_M_BITS)
+    got = {
+        byte_i * 8 + bit
+        for byte_i, byte in enumerate(mask)
+        if byte
+        for bit in range(8)
+        if byte >> bit & 1
+    }
+    assert got == want
+
+
+def test_bloom_saturated_mask_flags_everything(spark):
+    """Degenerate geometry (m=8 bits) saturates: every probe hits —
+    the false-positive direction is still one-sided (flag, never
+    miss), and the kernel handles the tiny-mask path."""
+    docs = _docs(spark, [(1, "totally different words here now", "en")])
+    mask = bytes([0xFF])  # all 8 bits set — every probe must hit
+    out = curation.bloom_decontaminate(
+        docs, mask, ngram=5, m_bits=8
+    ).collect()[0]
+    assert out.flagged and out.n_bloom_hits == out.n_shingles
+
+
+def test_bloom_probe_plan_has_no_join_or_exchange(spark):
+    """The probe is scan-side + Arrow kernel: no join node, no keyed
+    shuffle of the document side. (The only exchange allowed is
+    spread()'s round-robin fan-out, which is a no-op at scale — it
+    fires only below defaultParallelism.)"""
+    docs = _docs(spark, [(1, "some text for the plan check", "en")])
+    mask = bytes(curation.BLOOM_M_BITS // 8)
+    plan = (
+        curation.bloom_decontaminate(docs, mask)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "HashPartitioning" not in plan
+    assert "RangePartitioning" not in plan
+
+
 def test_mixture_sample_deterministic_and_partition_invariant(spark):
     docs = spark.range(0, 2000).select(
         F.col("id").alias("doc_id"),
