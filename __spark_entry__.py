@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair_docs": X.mojibake_repair_docs,
         "streaming_session_replay": X.streaming_session_replay,
         "bloom_decontaminate_docs": X.bloom_decontaminate_docs,
+        "bpe_merge_candidates": X.bpe_merge_candidates,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3899,6 +3900,29 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # BPE pair counting: vocab aggregate, then adjacent-char pairs
+        # weighted by word count; freq-then-pair order is total
+        "bpe_merge_candidates": f"""
+            WITH wd AS (
+                SELECT unnest(string_split({_NORM.format(c='text')}, ' '))
+                       AS w
+                FROM documents
+            ),
+            wc AS (
+                SELECT w, count(*) AS c FROM wd
+                WHERE len(w) >= 2 GROUP BY w
+            ),
+            pr AS (
+                SELECT unnest([substr(w, i, 2)
+                               for i in range(1, len(w))]) AS pair,
+                       c
+                FROM wc
+            )
+            SELECT pair, CAST(sum(c) AS BIGINT) AS freq
+            FROM pr GROUP BY pair
+            ORDER BY freq DESC, pair
+            LIMIT 50
         """,
         # Bloom geometry interpolated from the module constants; "bit
         # set" <=> position in the distinct benchmark-position set, so

@@ -3338,6 +3338,50 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE tokenizer-training iteration: the
+    corpus-weighted frequency of every adjacent character pair, top-50
+    (the pair a BPE trainer would merge next, plus runners-up).
+
+    Classic two-phase shape, both phases map-side-combinable: (1) the
+    word-frequency VOCABULARY aggregate — the corpus's 100 TB of text
+    collapses to |vocab| rows before any per-character work happens,
+    which is why BPE training over a web corpus is tractable at all;
+    (2) adjacent pairs exploded from each vocab word weighted by its
+    count — bounded by charset^2 (~1.3k rows here), so the second
+    shuffle is constant-size. No UDFs: pairs come from a
+    sequence+substr higher-order transform in codegen. FULL DuckDB
+    oracle (same normalization, same comprehension, deterministic
+    freq-then-pair ordering)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    words = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.split(TX.normalized_text("text"), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(50)
+    )
+
+
 def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/curation
     .bloom_build_mask / bloom_decontaminate): every 97th document
@@ -3406,31 +3450,50 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("mx"),
     ).collect()[0]
     e = epoch_us("ts")
-    slices = [
-        events.filter(e < F.lit(cuts.c1)),
-        events.filter((e >= F.lit(cuts.c1)) & (e < F.lit(cuts.c2))),
-        events.filter(e >= F.lit(cuts.c2)),
-    ]
     import datetime as _dt
 
-    for off in (2, 4):
-        slices.append(
-            spark.createDataFrame(
-                [(-1, cuts.mx + _dt.timedelta(hours=off))],
-                events.schema,
-            )
-        )
     tmp = tempfile.mkdtemp(prefix="sess_replay_")
     try:
-        for i, sl in enumerate(slices):
-            d = os.path.join(tmp, f"part{i}")
-            sl.coalesce(1).write.mode("overwrite").parquet(d)
+        # ONE pass over events for all three real slices (a slice
+        # column + hash-repartition on it -> one file per slice dir),
+        # instead of three filter-writes that each rescan the table
+        part_dir = os.path.join(tmp, "_parts")
+        (
+            events.withColumn(
+                "_slice",
+                F.when(e < F.lit(cuts.c1), 0)
+                .when(e < F.lit(cuts.c2), 1)
+                .otherwise(2),
+            )
+            .repartition("_slice")
+            .write.mode("overwrite")
+            .partitionBy("_slice")
+            .parquet(part_dir)
+        )
+        slice_files = []
+        for i in range(3):
+            d = os.path.join(part_dir, f"_slice={i}")
             f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+            slice_files.append(os.path.join(d, f))
+        for off in (2, 4):
+            d = os.path.join(tmp, f"sent{off}")
+            spark.createDataFrame(
+                [(-1, cuts.mx + _dt.timedelta(hours=off))], events.schema
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            slice_files.append(
+                os.path.join(
+                    d,
+                    [x for x in os.listdir(d) if x.endswith(".parquet")][0],
+                )
+            )
+        for i, src in enumerate(slice_files):
             dst = os.path.join(tmp, f"f{i}.parquet")
-            os.rename(os.path.join(d, f), dst)
+            os.rename(src, dst)
             now = time.time()
             os.utime(dst, (now + i * 10, now + i * 10))
-            shutil.rmtree(d)
+        shutil.rmtree(part_dir)
+        for off in (2, 4):
+            shutil.rmtree(os.path.join(tmp, f"sent{off}"))
         iso = spark.newSession()
         iso.conf.set("spark.sql.shuffle.partitions", "8")
         iso.conf.set("spark.sql.session.timeZone", "UTC")

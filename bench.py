@@ -34,6 +34,10 @@ HEADLINE = [
     "quality_classifier_scores",
     "host_link_graph",
     "orc_roundtrip_stats",
+    "mojibake_repair_docs",
+    "streaming_session_replay",
+    "bloom_decontaminate_docs",
+    "bpe_merge_candidates",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

@@ -45,6 +45,11 @@ QUERIES = [
     # round-6 session: the KMV MERGE path (two delta sketches folded)
     # — same no-full-sort claim per delta, merge input <= 2k/group
     "rollup_incremental_distinct_kmv",
+    # round-8: the full streaming sessionization replay (slice write
+    # + 5 micro-batches + session-window state) — the claim is that
+    # state-store work scales with events per batch, so the whole
+    # replay is linear in the events table
+    "streaming_session_replay",
 ]
 
 # dedup/text family runs against the documents x10/x30 tiers built by
@@ -109,6 +114,20 @@ DOC_QUERIES = [
     # round-7: the one Arrow-pandas-UDF scan in the probe set — the
     # claim is linear scan speed plus a constant Arrow serialize cost
     "unicode_nfc_docs",
+    # round-8: chained-replace mojibake repair and hashed-BoW linear
+    # classifier inference are pure scan-side codegen (claim: flat
+    # scan speed); link-graph extraction is scan-side regex + ONE
+    # domain-pair aggregate; the blocklist filter is an aggregate +
+    # broadcast anti-join (claim: two linear scans, no doc shuffle)
+    "mojibake_repair_docs",
+    "quality_classifier_scores",
+    "host_link_graph",
+    "host_blocklist_filter",
+    # round-8: Bloom decontamination — JVM shingle+position codegen
+    # feeding a numpy bit-test Arrow kernel against the broadcast
+    # mask; the claim is linear scan+kernel cost, no join, and a
+    # build cost bounded by the (fixed-size) benchmark slice
+    "bloom_decontaminate_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
