@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_replay": X.streaming_session_replay,
         "bloom_decontaminate_docs": X.bloom_decontaminate_docs,
         "bpe_merge_candidates": X.bpe_merge_candidates,
+        "anchor_text_stats": X.anchor_text_stats,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3900,6 +3901,71 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # anchor (href, text) pairs via the interpolated restricted
+        # ANCHOR_RE; same canon CTEs on the href; relative/self
+        # anchors excluded, pinned by their labels' terms' absence
+        "anchor_text_stats": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+                       CASE WHEN doc_id % 11 = 0 THEN '.co.uk'
+                            ELSE '.com' END AS src_domain,
+                       '<html><body>'
+                       || '<a href="http://Site'
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.COM/p/' || CAST(doc_id AS VARCHAR)
+                       || '">Visit site '
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || ' now</a>'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '<a class="l" href="HTTPS://WWW.site'
+                                    || CAST((doc_id + 2) % 7 AS VARCHAR)
+                                    || '.co.uk:443/x?utm_source=z&b=1">'
+                                    || 'Great Resource Hub</a>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<a href="/about">Relative Only</a>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '<a href="http://' || source || '-'
+                                    || CAST(doc_id % 7 AS VARCHAR)
+                                    || CASE WHEN doc_id % 11 = 0
+                                            THEN '.co.uk' ELSE '.com' END
+                                    || '/self">Selfish Label</a>'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            amatch AS (
+                SELECT src_domain,
+                       unnest(regexp_extract_all(html,
+                           '{_WC.ANCHOR_RE}', 0)) AS m
+                FROM pages
+            ),
+            parts AS (
+                SELECT src_domain,
+                       regexp_extract(m, '{_WC.ANCHOR_RE}', 1) AS url,
+                       regexp_extract(m, '{_WC.ANCHOR_RE}', 2) AS anchor
+                FROM amatch
+            ),
+            urls AS (
+                SELECT * FROM parts
+                WHERE regexp_matches(url, '{_WC.ABS_HTTP_RE}')
+            ),
+            {_URL_CANON_CTES},
+            terms AS (
+                SELECT domain AS dst_domain,
+                       unnest(list_filter(
+                           string_split({_NORM.format(c='anchor')}, ' '),
+                           t -> len(t) > 0)) AS term
+                FROM withdomain
+                WHERE src_domain <> domain
+            )
+            SELECT dst_domain, term, CAST(count(*) AS BIGINT) AS n
+            FROM terms GROUP BY dst_domain, term
+            ORDER BY n DESC, dst_domain, term
+            LIMIT 100
         """,
         # BPE pair counting: vocab aggregate, then adjacent-char pairs
         # weighted by word count; freq-then-pair order is total

@@ -498,3 +498,76 @@ def host_link_graph(
     return edges.groupBy("src_domain", "dst_domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_links")
     )
+
+
+# Anchor (href, text) pairs — RESTRICTED to anchors whose inner text
+# has no child element (``[^<]*``): the common case in link-farm and
+# navigation markup, and the restriction that keeps the pattern a
+# single linear-scan regex on both engines (an anchor wrapping child
+# tags simply yields no pair, it is never mis-spanned — ``[^>]*``
+# cannot cross the opening tag's ``>`` and ``[^<]*`` cannot cross the
+# next tag). Same explicit-WS-class dialect discipline as HREF_RE.
+ANCHOR_RE = (
+    r'(?i)<a[ \t\n\x0B\f\r][^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+)
+
+
+def extract_anchors(html: Column | str) -> Column:
+    """All (href, anchor_text) pairs of restricted-profile ``<a>``
+    elements -> ``array<struct<href,anchor>>``. Full matches come from
+    one ``regexp_extract_all`` pass; the two groups are re-extracted
+    per element inside a ``transform`` — still pure scan-side codegen,
+    zero shuffles."""
+    c = F.col(html) if isinstance(html, str) else html
+    full = F.regexp_extract_all(c, F.lit(ANCHOR_RE), F.lit(0))
+    return F.transform(
+        full,
+        lambda m: F.struct(
+            F.regexp_extract(m, ANCHOR_RE, 1).alias("href"),
+            F.regexp_extract(m, ANCHOR_RE, 2).alias("anchor"),
+        ),
+    )
+
+
+def anchor_term_stats(
+    df: DataFrame, url_col: str, html_col: str
+) -> DataFrame:
+    """Cross-domain anchor-text term counts per TARGET domain:
+    (dst_domain, term, n) — what the rest of the web calls a page,
+    the classic external-description quality/relevance signal
+    (anchor text feeds retrieval indexes and query-generation sets;
+    self-descriptions are excluded for the same reason drop_self
+    drops intra-domain edges).
+
+    Shape at 100 TB: anchor extraction, href canonicalization, and
+    term normalization are all scan-side; both explodes are map-side;
+    the ONE shuffle is the map-side-combinable count keyed by
+    (dst_domain, term) — a heavily-linked domain splits across its
+    many distinct anchor terms rather than hot-keying one reducer.
+    """
+    from aws_de_final_project_spark.functions.text import normalized_text
+
+    src = registered_domain(url_host(canonicalize_url(F.col(url_col))))
+    anchors = df.select(
+        src.alias("src_domain"),
+        F.explode(extract_anchors(html_col)).alias("a"),
+    ).filter(F.col("a.href").rlike(ABS_HTTP_RE))
+    dst = registered_domain(url_host(canonicalize_url(F.col("a.href"))))
+    terms = (
+        anchors.select(
+            "src_domain",
+            dst.alias("dst_domain"),
+            F.col("a.anchor").alias("anchor"),
+        )
+        .filter(F.col("src_domain") != F.col("dst_domain"))
+        .select(
+            "dst_domain",
+            F.explode(
+                F.split(normalized_text("anchor"), " ")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    return terms.groupBy("dst_domain", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

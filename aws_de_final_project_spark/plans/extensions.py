@@ -3338,6 +3338,69 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain anchor-text term counts (operators/webcrawl
+    .anchor_term_stats) over a deterministic HTML fixture: every doc
+    carries an absolute-URL anchor with a multi-word label, every 2nd
+    a second mixed-case/tracking-param href (canonicalization
+    exercised on the target), every 3rd a relative link and every 5th
+    a SELF link with a distinctive label — both excluded (no
+    cross-host signal), which the oracle pins by their labels' terms
+    never appearing. Top-100 by count with a total-order tie-break.
+    The page URL is clean lowercase so src_domain == constructed host
+    (same simplification as the link-graph fixture)."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    suffix = F.when(d % 11 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    src_host = F.concat(
+        F.col("source"), F.lit("-"), (d % 7).cast("string"), suffix
+    )
+    url = F.concat(
+        F.lit("http://"), src_host, F.lit("/d/"), d.cast("string")
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<a href="http://Site'),
+        ((d * 3 + 1) % 7).cast("string"),
+        F.lit('.COM/p/'),
+        d.cast("string"),
+        F.lit('">Visit site '),
+        ((d * 3 + 1) % 7).cast("string"),
+        F.lit(" now</a>"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<a class="l" href="HTTPS://WWW.site'),
+                ((d + 2) % 7).cast("string"),
+                F.lit('.co.uk:443/x?utm_source=z&b=1">Great Resource'),
+                F.lit(" Hub</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0, F.lit('<a href="/about">Relative Only</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit('<a href="http://'),
+                src_host,
+                F.lit('/self">Selfish Label</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = t["documents"].select(
+        url.alias("url"), html.alias("html")
+    )
+    return (
+        WC.anchor_term_stats(pages, "url", "html")
+        .orderBy(F.desc("n"), "dst_domain", "term")
+        .limit(100)
+    )
+
+
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The counting step of one BPE tokenizer-training iteration: the
     corpus-weighted frequency of every adjacent character pair, top-50

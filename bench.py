@@ -38,6 +38,7 @@ HEADLINE = [
     "streaming_session_replay",
     "bloom_decontaminate_docs",
     "bpe_merge_candidates",
+    "anchor_text_stats",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

@@ -349,6 +349,45 @@ def test_nfc_normalize(spark):
     assert got[1] == "Ångström"
 
 
+def test_extract_anchors_and_term_stats(spark):
+    """Anchor (href, text) extraction: restricted profile skips
+    anchors wrapping child tags (never mis-spans them), relative and
+    self links carry no cross-domain terms, multi-word labels split
+    into normalized terms."""
+    html = (
+        "<html><body>"
+        '<a href="http://other.com/x">Visit Other Site</a>'
+        '<a href="http://other.com/y">visit again</a>'
+        '<a href="/rel">Relative Label</a>'
+        '<a href="http://self.com/z">Self Label</a>'
+        '<a href="http://skip.com/n"><b>nested</b></a>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("http://self.com/page", html)], ["url", "html"]
+    )
+    pairs = df.select(
+        F.explode(WC.extract_anchors("html")).alias("a")
+    ).collect()
+    got = [(r.a.href, r.a.anchor) for r in pairs]
+    assert got == [
+        ("http://other.com/x", "Visit Other Site"),
+        ("http://other.com/y", "visit again"),
+        ("/rel", "Relative Label"),
+        ("http://self.com/z", "Self Label"),
+        # the nested <b> anchor yields NO pair (restricted profile)
+    ]
+    stats = {
+        (r.dst_domain, r.term): r.n
+        for r in WC.anchor_term_stats(df, "url", "html").collect()
+    }
+    assert stats[("other.com", "visit")] == 2
+    assert stats[("other.com", "other")] == 1
+    assert stats[("other.com", "again")] == 1
+    # relative, self, and nested labels contribute nothing
+    assert not any(t in ("relative", "self", "nested") for _, t in stats)
+
+
 def test_repair_mojibake_ground_truth(spark):
     """repair(mojibake(s)) == s for text drawn from the pair-table
     alphabet; already-clean accented text survives untouched (the

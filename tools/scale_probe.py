@@ -128,6 +128,12 @@ DOC_QUERIES = [
     # mask; the claim is linear scan+kernel cost, no join, and a
     # build cost bounded by the (fixed-size) benchmark slice
     "bloom_decontaminate_docs",
+    # round-8: BPE pair counting (vocab aggregate then charset^2-
+    # bounded pair aggregate) and anchor-term extraction (scan-side
+    # regex/canon + ONE (domain,term) count) — both claims are
+    # aggregate-input linearity with bounded output
+    "bpe_merge_candidates",
+    "anchor_text_stats",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
