@@ -167,6 +167,11 @@ X30_QUERIES = [
     # CDC chunking at 1.5M docs
     "dedup_containment_pairs",
     "chunk_text_cdc",
+    # round-8: the Bloom probe's Arrow kernel and the BPE vocabulary
+    # aggregate are the two newest structures with any growth risk
+    # (kernel batch cost, vocab cardinality) — push both to 150k docs
+    "bloom_decontaminate_docs",
+    "bpe_merge_candidates",
 ]
 
 # round-6: the round-5 heavies (triangle enumeration over the
