@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate_docs": X.bloom_decontaminate_docs,
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "anchor_text_stats": X.anchor_text_stats,
+        "sentence_stats_docs": X.sentence_stats_docs,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3900,6 +3901,50 @@ def oracle_sql() -> dict[str, str]:
                         - length({_mojibake_repair_sql("_raw")}) AS BIGINT)
                        AS chars_recovered
             FROM raw
+            ORDER BY doc_id
+        """,
+        # regex sentence segmentation with the interpolated explicit-
+        # WS-class boundary; trailing-empty filter and floor-form mean
+        # replayed on both sides
+        "sentence_stats_docs": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 4 = 0
+                               THEN ' Is this a question? Yes!'
+                                    || ' It ends now.'
+                               ELSE '' END AS _raw
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split_regex(_raw,
+                                   '{_TX.SENT_SPLIT_RE}'),
+                               x -> trim(regexp_replace(trim(x),
+                                         '[.!?]+$', ''))),
+                           x -> len(x) > 0) AS sents
+                FROM raw
+            ),
+            t2 AS (
+                SELECT doc_id,
+                       CAST(len(sents) AS BIGINT) AS n_sentences,
+                       CAST(coalesce(list_sum(list_transform(sents,
+                           x -> len(string_split_regex(x,
+                               '{_TX._SENT_WS_RE}')))), 0) AS BIGINT)
+                           AS total_words,
+                       list_max(list_transform(sents, x -> len(x)))
+                           AS mx
+                FROM s
+            )
+            SELECT doc_id, n_sentences, total_words,
+                   CASE WHEN n_sentences = 0 THEN NULL
+                        ELSE floor((CAST(total_words AS DOUBLE)
+                                    / CAST(n_sentences AS DOUBLE))
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS mean_words_per_sentence,
+                   CAST(mx AS BIGINT) AS max_sentence_chars
+            FROM t2
             ORDER BY doc_id
         """,
         # anchor (href, text) pairs via the interpolated restricted

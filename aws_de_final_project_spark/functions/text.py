@@ -364,6 +364,56 @@ def repair_mojibake(col: Column | str) -> Column:
     return t
 
 
+#: Sentence boundary: one-or-more terminators followed by whitespace
+#: (explicit WS class — Java \s matches U+000B, RE2's does not; same
+#: dialect discipline as webcrawl.WS_RE so the DuckDB twin replays
+#: byte-identically). A terminator at end-of-text yields a trailing
+#: empty piece, filtered on both sides.
+SENT_SPLIT_RE = r"[.!?]+[ \t\n\x0B\f\r]+"
+_SENT_WS_RE = r"[ \t\n\x0B\f\r]+"
+
+
+def sentences(col: Column | str) -> Column:
+    """Regex sentence segmentation -> array<string> of trimmed,
+    non-empty sentences. The abbreviation-blind trade ("Dr. Smith"
+    splits) is the standard price of a linear-scan splitter; models
+    needing better boundaries run a trained segmenter downstream.
+    Pure scan-side codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    # the final sentence keeps its terminator (no trailing whitespace
+    # to split on) — strip terminator runs so every piece is uniform
+    return F.filter(
+        F.transform(
+            F.split(c, SENT_SPLIT_RE),
+            lambda s: F.trim(
+                F.regexp_replace(F.trim(s), r"[.!?]+$", "")
+            ),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+
+
+def sentence_stats(col: Column | str) -> Column:
+    """Per-document sentence statistics as a struct
+    (n_sentences, total_words, max_chars): inputs to length/shape
+    quality rules (Gopher gates mean-words-per-sentence). All array
+    higher-order functions over one :func:`sentences` pass — zero
+    shuffles, zero UDFs; empty docs give (0, 0, NULL)."""
+    s = sentences(col)
+    words = F.transform(
+        s, lambda x: F.size(F.split(x, _SENT_WS_RE))
+    )
+    return F.struct(
+        F.size(s).cast("long").alias("n_sentences"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("total_words"),
+        F.array_max(
+            F.transform(s, lambda x: F.length(x))
+        ).cast("long").alias("max_chars"),
+    )
+
+
 def mojibake_chars_recovered(col: Column | str) -> Column:
     """Per-row repair magnitude: character-length delta of
     :func:`repair_mojibake` (every pair maps n>=2 chars to 1, so the

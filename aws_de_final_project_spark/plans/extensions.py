@@ -3338,6 +3338,43 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (functions/text.sentences /
+    sentence_stats) over documents, with a planted multi-sentence
+    suffix on every 4th doc (exclamation/question terminators and a
+    trailing period exercising the empty-tail filter). Mean words per
+    sentence — the Gopher gate input — is derived with the
+    engine-portable floor-form. Pure scan-side HOF codegen, zero
+    shuffles before the output sort."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            d % 4 == 0,
+            F.lit(" Is this a question? Yes! It ends now."),
+        ).otherwise(F.lit("")),
+    )
+    from aws_de_final_project_spark.functions.text import sentence_stats
+
+    st = sentence_stats(F.col("_raw"))
+    docs = t["documents"].select("doc_id", raw.alias("_raw"))
+    out = docs.select("doc_id", st.alias("_s")).select(
+        "doc_id",
+        F.col("_s.n_sentences").alias("n_sentences"),
+        F.col("_s.total_words").alias("total_words"),
+        rnd(
+            F.col("_s.total_words")
+            / F.nullif(F.col("_s.n_sentences"), F.lit(0)).cast(
+                "double"
+            ),
+            4,
+        ).alias("mean_words_per_sentence"),
+        F.col("_s.max_chars").alias("max_sentence_chars"),
+    )
+    return out.orderBy("doc_id")
+
+
 def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-domain anchor-text term counts (operators/webcrawl
     .anchor_term_stats) over a deterministic HTML fixture: every doc

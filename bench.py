@@ -39,6 +39,7 @@ HEADLINE = [
     "bloom_decontaminate_docs",
     "bpe_merge_candidates",
     "anchor_text_stats",
+    "sentence_stats_docs",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

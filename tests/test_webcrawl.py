@@ -388,6 +388,43 @@ def test_extract_anchors_and_term_stats(spark):
     assert not any(t in ("relative", "self", "nested") for _, t in stats)
 
 
+def test_sentence_segmentation(spark):
+    """Sentence splitter: terminator runs split, a trailing terminator
+    leaves no empty sentence, empty text gives (0, 0, NULL), and the
+    vertical-tab boundary (the Java-vs-RE2 \\s dialect edge) splits."""
+    from aws_de_final_project_spark.functions.text import (
+        sentence_stats,
+        sentences,
+    )
+
+    cases = [
+        ("One two. Three four! Five?? Six.", 4),
+        ("No terminator at all", 1),
+        ("", 0),
+        ("Tab\x0Bsplit. after.", 2),  # \x0B inside a sentence is WS
+        ("Ends now.", 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "t"]
+    )
+    rows = (
+        df.select(
+            "i",
+            sentences("t").alias("s"),
+            sentence_stats("t").alias("st"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for (txt, n), r in zip(cases, rows):
+        assert len(r.s) == n, (txt, r.s)
+        assert r.st.n_sentences == n
+    assert rows[0].s == ["One two", "Three four", "Five", "Six"]
+    assert rows[0].st.total_words == 6
+    assert rows[0].st.max_chars == 10
+    assert rows[2].st.total_words == 0 and rows[2].st.max_chars is None
+
+
 def test_repair_mojibake_ground_truth(spark):
     """repair(mojibake(s)) == s for text drawn from the pair-table
     alphabet; already-clean accented text survives untouched (the

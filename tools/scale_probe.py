@@ -134,6 +134,9 @@ DOC_QUERIES = [
     # aggregate-input linearity with bounded output
     "bpe_merge_candidates",
     "anchor_text_stats",
+    # round-8: sentence segmentation is pure scan-side HOF codegen —
+    # flat scan-speed claim
+    "sentence_stats_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
