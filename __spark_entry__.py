@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "anchor_text_stats": X.anchor_text_stats,
         "sentence_stats_docs": X.sentence_stats_docs,
+        "robots_filter_docs": X.robots_filter_docs,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3902,6 +3903,32 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # robots Disallow rules as interpolated VALUES through the
+        # shared canon CTEs; blocked = any host prefix matches path
+        "robots_filter_docs": f"""
+            WITH urls AS (
+                SELECT doc_id, {_MESSY_URL} AS url FROM documents
+            ),
+            {_URL_CANON_CTES},
+            rules AS (
+                SELECT * FROM (VALUES {", ".join(
+                    f"('{h}', '{p}')" for h, p in X.ROBOTS_RULES
+                )}) AS r(host, prefix)
+            ),
+            perhost AS (
+                SELECT host, list(prefix) AS prefixes
+                FROM rules GROUP BY host
+            )
+            SELECT w.doc_id,
+                   w.canon_url,
+                   w.host,
+                   coalesce(len(list_filter(p.prefixes,
+                       x -> starts_with(regexp_extract(w.canon_url,
+                           '^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?', 1),
+                           x))) > 0, FALSE) AS blocked
+            FROM withdomain w LEFT JOIN perhost p ON w.host = p.host
+            ORDER BY w.doc_id
         """,
         # regex sentence segmentation with the interpolated explicit-
         # WS-class boundary; trailing-empty filter and floor-form mean

@@ -529,6 +529,51 @@ def extract_anchors(html: Column | str) -> Column:
     )
 
 
+def url_path(canon_url: Column) -> Column:
+    """The path component of a canonical URL (leading slash, no
+    query), '' when absent."""
+    return F.regexp_extract(
+        canon_url, r"^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?", 1
+    )
+
+
+def robots_disallow_filter(
+    df: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-politeness filtering against robots.txt-style DISALLOW
+    rules: ``rules`` is (host, prefix) — agent-``*`` Disallow lines —
+    and a URL is blocked iff any of its host's prefixes is a string
+    prefix of its canonical path (the restricted profile corpus
+    pipelines apply; Allow/longest-match precedence is a fetcher
+    concern, documented out of scope).
+
+    Shape at 100 TB: rules collapse to ONE array row per host (a
+    robots file is small by protocol) and BROADCAST; the URL side gets
+    one broadcast hash join plus a scan-side ``exists``/``startswith``
+    over the prefix array — never shuffled, never multiplied by the
+    rule count.
+    """
+    per_host = F.broadcast(
+        rules.groupBy("host").agg(
+            F.collect_list("prefix").alias("_prefixes")
+        )
+    )
+    canon = canonicalize_url(F.col(url_col))
+    u = df.withColumn("_canon", canon).withColumn(
+        "host", url_host(F.col("_canon"))
+    )
+    joined = u.join(per_host, "host", "left")
+    path = url_path(F.col("_canon"))
+    blocked = F.coalesce(
+        F.exists(
+            F.col("_prefixes"),
+            lambda p: F.startswith(path, p),
+        ),
+        F.lit(False),
+    )
+    return joined.withColumn("blocked", blocked).drop("_prefixes")
+
+
 def anchor_term_stats(
     df: DataFrame, url_col: str, html_col: str
 ) -> DataFrame:

@@ -3338,6 +3338,42 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: robots.txt-style agent-* Disallow rules for the shared messy-URL
+#: fixture's canonical hosts (src{k}.site{doc_id%7}.{com|co.uk|
+#: github.io}): even sources disallow the '/Docs/1' prefix on one of
+#: their .com hosts (blocks ids 1, 10-19, 100-199, ...), src1's
+#: site1.com gets a blanket '/' — one source of truth, interpolated
+#: into the DuckDB twin as VALUES rows.
+ROBOTS_RULES: tuple[tuple[str, str], ...] = tuple(
+    (f"src{k}.site{k % 7}.com", "/Docs/1") for k in range(0, 20, 2)
+) + (("src1.site1.com", "/"),)
+
+
+def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots-Disallow filtering (operators/webcrawl
+    .robots_disallow_filter) over the shared messy-URL fixture: rules
+    broadcast as ONE prefix-array row per host, verdicts from a
+    scan-side exists/startswith — the URL side is never shuffled or
+    row-multiplied. Blocked share is host-dependent by construction
+    (prefix rule on even sources, blanket '/' on src1, no rules
+    elsewhere); the DuckDB twin replays the same VALUES rules through
+    the shared canon CTEs."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", _messy_url().alias("url"))
+    rules = spark.createDataFrame(
+        list(ROBOTS_RULES), ["host", "prefix"]
+    )
+    out = WC.robots_disallow_filter(docs, rules, "url")
+    return out.select(
+        "doc_id",
+        F.col("_canon").alias("canon_url"),
+        "host",
+        "blocked",
+    ).orderBy("doc_id")
+
+
 def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats (functions/text.sentences /
     sentence_stats) over documents, with a planted multi-sentence

@@ -40,6 +40,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "anchor_text_stats",
     "sentence_stats_docs",
+    "robots_filter_docs",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

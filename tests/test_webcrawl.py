@@ -388,6 +388,39 @@ def test_extract_anchors_and_term_stats(spark):
     assert not any(t in ("relative", "self", "nested") for _, t in stats)
 
 
+def test_robots_disallow_filter(spark):
+    """Disallow semantics: prefix match on the CANONICAL path (messy
+    casing/ports/tracking params collapse first), blanket '/',
+    rule-less hosts unblocked, and the verdict is a broadcast join +
+    scan-side exists — no keyed shuffle of the URL side."""
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/x"),
+            (2, "HTTP://A.COM:80/Private/x"),  # case-sensitive path
+            (3, "http://a.com/public/x?utm_source=z"),
+            (4, "http://b.com/anything"),
+            (5, "http://c.com/whatever"),
+        ],
+        ["i", "url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/private"), ("a.com", "/tmp"), ("b.com", "/")],
+        ["host", "prefix"],
+    )
+    out = WC.robots_disallow_filter(urls, rules, "url")
+    got = {r.i: r.blocked for r in out.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only keyed exchanges are the rules side's per-host
+    # aggregate (keyed by host); the URL side reaches the broadcast
+    # join unshuffled
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "host#" in line, line
+
+
 def test_sentence_segmentation(spark):
     """Sentence splitter: terminator runs split, a trailing terminator
     leaves no empty sentence, empty text gives (0, 0, NULL), and the

@@ -137,6 +137,9 @@ DOC_QUERIES = [
     # round-8: sentence segmentation is pure scan-side HOF codegen —
     # flat scan-speed claim
     "sentence_stats_docs",
+    # round-8: robots filtering is a broadcast join + scan-side
+    # exists/startswith — flat scan-speed claim, no URL-side shuffle
+    "robots_filter_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
