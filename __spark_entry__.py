@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_stats": X.anchor_text_stats,
         "sentence_stats_docs": X.sentence_stats_docs,
         "robots_filter_docs": X.robots_filter_docs,
+        "zipf_fit_tokens": X.zipf_fit_tokens,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3903,6 +3904,34 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # top-1000 tokens by (freq desc, token) -> total-ordered
+        # ranks -> ln-ln OLS via the engine regression aggregates
+        "zipf_fit_tokens": f"""
+            WITH tok AS (
+                SELECT unnest(string_split({_NORM.format(c='text')}, ' '))
+                       AS token
+                FROM documents
+            ),
+            vocab AS (
+                SELECT token, count(*) AS freq FROM tok
+                WHERE len(token) > 0 GROUP BY token
+                ORDER BY freq DESC, token LIMIT 1000
+            ),
+            ranked AS (
+                SELECT ln(CAST(row_number() OVER (
+                           ORDER BY freq DESC, token) AS DOUBLE)) AS x,
+                       ln(CAST(freq AS DOUBLE)) AS y
+                FROM vocab
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                   (floor((regr_slope(y, x)) * 10000.0 + 0.5)
+                    / 10000.0) AS zipf_slope,
+                   (floor((regr_intercept(y, x)) * 10000.0 + 0.5)
+                    / 10000.0) AS zipf_intercept,
+                   (floor((regr_r2(y, x)) * 10000.0 + 0.5)
+                    / 10000.0) AS zipf_r2
+            FROM ranked
         """,
         # robots Disallow rules as interpolated VALUES through the
         # shared canon CTEs; blocked = any host prefix matches path

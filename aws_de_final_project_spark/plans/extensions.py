@@ -3349,6 +3349,52 @@ ROBOTS_RULES: tuple[tuple[str, str], ...] = tuple(
 ) + (("src1.site1.com", "/"),)
 
 
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token distribution: OLS of
+    ln(freq) on ln(rank) for the top-1000 tokens — the standard
+    corpus-health diagnostic (natural text sits near slope -1;
+    template/boilerplate corpora flatten, spam steepens).
+
+    Scale shape: ONE vocabulary aggregate (the same 100 TB->|vocab|
+    collapse as BPE counting), a TakeOrdered top-1000 (no full sort),
+    and a 1000-row window + regression aggregate — everything after
+    the vocab aggregate is constant-size. Ties broken (freq desc,
+    token asc) so ranks are total-ordered on both engines; the
+    engine-built regr_slope/intercept/r2 aggregates agree at the
+    floor-form 4dp."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from pyspark.sql.window import Window
+
+    vocab = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.split(TX.normalized_text("text"), " ")
+            ).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(1000)
+    )
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("freq"), "token")
+        ),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.regr_slope("y", "x"), 4).alias("zipf_slope"),
+        rnd(F.regr_intercept("y", "x"), 4).alias("zipf_intercept"),
+        rnd(F.regr_r2("y", "x"), 4).alias("zipf_r2"),
+    )
+
+
 def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots-Disallow filtering (operators/webcrawl
     .robots_disallow_filter) over the shared messy-URL fixture: rules

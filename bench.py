@@ -41,6 +41,7 @@ HEADLINE = [
     "anchor_text_stats",
     "sentence_stats_docs",
     "robots_filter_docs",
+    "zipf_fit_tokens",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

@@ -140,6 +140,9 @@ DOC_QUERIES = [
     # round-8: robots filtering is a broadcast join + scan-side
     # exists/startswith — flat scan-speed claim, no URL-side shuffle
     "robots_filter_docs",
+    # round-8: Zipf fit = one vocab aggregate + constant-size tail —
+    # the claim is the same vocab-collapse linearity as BPE counting
+    "zipf_fit_tokens",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
