@@ -145,6 +145,44 @@ def test_bloom_probe_plan_has_no_join_or_exchange(spark):
     assert "RangePartitioning" not in plan
 
 
+def test_bpe_pair_counts_match_python(spark, tmp_path):
+    """BPE merge-candidate counting equals a pure-Python reference on
+    a tiny corpus (corpus-weighted adjacent char pairs over the
+    normalized vocabulary, len-1 words excluded)."""
+    import collections
+    import re
+
+    from aws_de_final_project_spark.plans.extensions import (
+        bpe_merge_candidates,
+    )
+
+    texts = ["the cat sat", "the cat ran", "a bat sat"]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, "en", len(t), "src0") for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "n_chars", "source"],
+    ).write.parquet(d + "/documents.parquet")
+
+    want: collections.Counter = collections.Counter()
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
+        for w in norm.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    for w, c in vocab.items():
+        for i in range(len(w) - 1):
+            want[w[i : i + 2]] += c
+
+    got = {
+        r.pair: r.freq
+        for r in bpe_merge_candidates(spark, d).collect()
+    }
+    assert got == dict(want)
+    # 'at' appears in cat(x2) + sat(x2) + bat + ran? no — exactly 5
+    assert got["at"] == 5
+
+
 def test_mixture_sample_deterministic_and_partition_invariant(spark):
     docs = spark.range(0, 2000).select(
         F.col("id").alias("doc_id"),
