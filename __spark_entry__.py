@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats_docs": X.sentence_stats_docs,
         "robots_filter_docs": X.robots_filter_docs,
         "zipf_fit_tokens": X.zipf_fit_tokens,
+        "streaming_drift_replay": X.streaming_drift_replay,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3904,6 +3905,69 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # per-micro-batch PSI vs the frozen day-1-10 reference; ref
+        # bins expanded to both batches, then the identical eps-
+        # floored PSI formula as the batch drift oracle
+        "streaming_drift_replay": """
+            WITH base AS (
+                SELECT event_type, value, CAST(ts AS DATE) AS d
+                FROM events
+            ),
+            refh AS (
+                SELECT event_type,
+                       least(greatest(CAST(floor((value - 0.0) / 20.0)
+                                           AS INT), 0), 31) AS bin,
+                       count(*) AS rc
+                FROM base WHERE d < DATE '2024-01-11'
+                GROUP BY 1, 2
+            ),
+            curh AS (
+                SELECT CASE WHEN d < DATE '2024-01-21' THEN 0 ELSE 1
+                       END AS batch_id,
+                       event_type,
+                       least(greatest(CAST(floor((value - 0.0) / 20.0)
+                                           AS INT), 0), 31) AS bin,
+                       count(*) AS cc
+                FROM base WHERE d >= DATE '2024-01-11'
+                GROUP BY 1, 2, 3
+            ),
+            refx AS (
+                SELECT b.batch_id, r.event_type, r.bin, r.rc
+                FROM refh r CROSS JOIN (VALUES (0), (1)) b(batch_id)
+            ),
+            cells AS (
+                SELECT coalesce(x.batch_id, c.batch_id) AS batch_id,
+                       coalesce(x.event_type, c.event_type)
+                           AS event_type,
+                       coalesce(x.rc, 0) AS rc,
+                       coalesce(c.cc, 0) AS cc
+                FROM refx x FULL JOIN curh c
+                  ON x.batch_id = c.batch_id
+                 AND x.event_type = c.event_type
+                 AND x.bin = c.bin
+            ),
+            tot AS (
+                SELECT batch_id, event_type,
+                       sum(rc) AS rn, sum(cc) AS cn
+                FROM cells GROUP BY 1, 2
+            )
+            SELECT c.batch_id,
+                   c.event_type AS grp,
+                   CAST(max(t.rn) AS BIGINT) AS n_ref,
+                   CAST(max(t.cn) AS BIGINT) AS n_cur,
+                   (floor((sum(
+                       (greatest(CAST(c.cc AS DOUBLE) / CAST(t.cn AS DOUBLE), 1e-06)
+                        - greatest(CAST(c.rc AS DOUBLE) / CAST(t.rn AS DOUBLE), 1e-06))
+                       * ln(greatest(CAST(c.cc AS DOUBLE) / CAST(t.cn AS DOUBLE), 1e-06)
+                            / greatest(CAST(c.rc AS DOUBLE) / CAST(t.rn AS DOUBLE), 1e-06))
+                   )) * 10000.0 + 0.5) / 10000.0) AS psi
+            FROM cells c
+            JOIN tot t ON c.batch_id = t.batch_id
+                      AND c.event_type = t.event_type
+            WHERE t.rn > 0 AND t.cn > 0
+            GROUP BY c.batch_id, c.event_type
+            ORDER BY c.batch_id, grp
         """,
         # top-1000 tokens by (freq desc, token) -> total-ordered
         # ranks -> ln-ln OLS via the engine regression aggregates

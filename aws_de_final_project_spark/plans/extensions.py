@@ -3349,6 +3349,95 @@ ROBOTS_RULES: tuple[tuple[str, str], ...] = tuple(
 ) + (("src1.site1.com", "/"),)
 
 
+def streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING drift monitor (streaming/dq.drift_monitor_stream:
+    frozen reference histogram + per-micro-batch PSI via foreachBatch)
+    driven end-to-end — the third driver-checkable streaming entry,
+    covering the foreachBatch metrics-sink path (KMV covers
+    applyInPandasWithState folds, session replay covers watermark
+    state; this one proves the sink wiring and per-batch isolation).
+
+    Replay: days 1-10 of events freeze the reference histogram
+    (32 bins over [0, 640), the batch drift entry's geometry); days
+    11-20 and 21+ become two micro-batch files. Each batch's
+    (grp, n_ref, n_cur, psi) row lands in a per-batch metrics dir.
+    DATE slicing (not percentiles) keeps the split trivially
+    tz-independent and lets the DuckDB oracle recompute BOTH batches'
+    PSI exactly — a green row proves the streamed metric equals the
+    batch formula per micro-batch, eps floors included."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from aws_de_final_project_spark.streaming.dq import (
+        drift_monitor_stream,
+        reference_histogram,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type", "value", F.to_date("ts").alias("_d")
+    )
+    c1 = F.lit("2024-01-11").cast("date")
+    c2 = F.lit("2024-01-21").cast("date")
+    tmp = tempfile.mkdtemp(prefix="drift_replay_")
+    try:
+        ref_path = os.path.join(tmp, "ref")
+        reference_histogram(
+            ev.filter(F.col("_d") < c1).select("event_type", "value"),
+            "value",
+            "event_type",
+            0.0,
+            640.0,
+            32,
+            ref_path,
+        )
+        src = os.path.join(tmp, "src")
+        slices = [
+            ev.filter((F.col("_d") >= c1) & (F.col("_d") < c2)),
+            ev.filter(F.col("_d") >= c2),
+        ]
+        for i, sl in enumerate(slices):
+            d = os.path.join(src, f"b{i}")
+            sl.select("event_type", "value").coalesce(1).write.parquet(d)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    now = time.time()
+                    os.utime(
+                        os.path.join(d, f), (now + i * 10, now + i * 10)
+                    )
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", "8")
+        iso.conf.set("spark.sql.session.timeZone", "UTC")
+        q = drift_monitor_stream(
+            iso,
+            src + "/*",
+            "event_type string, value double",
+            ref_path,
+            os.path.join(tmp, "metrics"),
+            os.path.join(tmp, "chk"),
+            "value",
+            "event_type",
+            0.0,
+            640.0,
+            32,
+        )
+        q.awaitTermination()
+        m = spark.read.parquet(os.path.join(tmp, "metrics")).select(
+            F.col("batch_id").cast("int").alias("batch_id"),
+            "grp",
+            "n_ref",
+            "n_cur",
+            "psi",
+        )
+        rows = m.collect()
+        return spark.createDataFrame(rows, m.schema).orderBy(
+            "batch_id", "grp"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the corpus token distribution: OLS of
     ln(freq) on ln(rank) for the top-1000 tokens — the standard

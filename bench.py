@@ -42,6 +42,7 @@ HEADLINE = [
     "sentence_stats_docs",
     "robots_filter_docs",
     "zipf_fit_tokens",
+    "streaming_drift_replay",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

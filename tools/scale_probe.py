@@ -50,6 +50,9 @@ QUERIES = [
     # state-store work scales with events per batch, so the whole
     # replay is linear in the events table
     "streaming_session_replay",
+    # round-8: the foreachBatch drift-monitor replay — reference
+    # freeze + 2 micro-batch PSI aggregates, linear in events
+    "streaming_drift_replay",
 ]
 
 # dedup/text family runs against the documents x10/x30 tiers built by
