@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter_docs": X.robots_filter_docs,
         "zipf_fit_tokens": X.zipf_fit_tokens,
         "streaming_drift_replay": X.streaming_drift_replay,
+        "bloom_incremental_union": X.bloom_incremental_union,
+        "cap_docs_per_host": X.cap_docs_per_host_docs,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3905,6 +3907,79 @@ def oracle_sql() -> dict[str, str]:
                        AS chars_recovered
             FROM raw
             ORDER BY doc_id
+        """,
+        # per-domain cap through the shared canon CTEs; lowest-id
+        # keepers via row_number, narrow (id, domain) output
+        "cap_docs_per_host": f"""
+            WITH urls AS (
+                SELECT doc_id, {_MESSY_URL} AS url FROM documents
+            ),
+            {_URL_CANON_CTES},
+            ranked AS (
+                SELECT doc_id, domain,
+                       CAST(row_number() OVER (
+                           PARTITION BY domain ORDER BY doc_id
+                       ) AS BIGINT) AS rank_in_host
+                FROM withdomain
+            )
+            SELECT doc_id, domain, rank_in_host
+            FROM ranked WHERE rank_in_host <= 5
+            ORDER BY domain, rank_in_host
+        """,
+        # union-slice positions computed directly — a green row proves
+        # mask(A)|mask(B) == mask(A∪B) end-to-end through the verdicts
+        "bloom_incremental_union": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split({_NORM.format(c='text')}, ' ') AS wd
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       list_distinct([
+                           array_to_string(wd[i:least(i + 4, len(wd))], ' ')
+                           for i in range(1, greatest(len(wd) - 4, 1) + 1)
+                       ]) AS sh
+                FROM w
+            ),
+            bp AS (
+                SELECT DISTINCT
+                       (('0x' || substr(md5('b' || g.i || ':' || u.s1),
+                                        1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p
+                FROM (SELECT unnest(sh) AS s1 FROM s WHERE doc_id % 89 = 0) u
+                CROSS JOIN generate_series(0, {_CUR.BLOOM_K - 1}) g(i)
+            ),
+            dh AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('b0:' || s1), 1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p0,
+                       (('0x' || substr(md5('b1:' || s1), 1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p1,
+                       (('0x' || substr(md5('b2:' || s1), 1, 15))::BIGINT
+                        % {_CUR.BLOOM_M_BITS}) AS p2
+                FROM (
+                    SELECT doc_id, unnest(sh) AS s1 FROM s
+                    WHERE doc_id % 89 <> 0
+                ) u
+            ),
+            tot AS (
+                SELECT doc_id, count(*) AS n_shingles FROM dh GROUP BY doc_id
+            ),
+            hit AS (
+                SELECT doc_id, count(*) AS n_bloom_hits FROM dh
+                WHERE p0 IN (SELECT p FROM bp)
+                  AND p1 IN (SELECT p FROM bp)
+                  AND p2 IN (SELECT p FROM bp)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_bloom_hits, 0) AS BIGINT)
+                       AS n_bloom_hits,
+                   coalesce(h.n_bloom_hits, 0) > 0 AS flagged
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+            ORDER BY t.doc_id
         """,
         # per-micro-batch PSI vs the frozen day-1-10 reference; ref
         # bins expanded to both batches, then the identical eps-

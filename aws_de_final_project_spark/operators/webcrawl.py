@@ -574,6 +574,38 @@ def robots_disallow_filter(
     return joined.withColumn("blocked", blocked).drop("_prefixes")
 
 
+def cap_docs_per_host(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    max_per_host: int,
+) -> DataFrame:
+    """MassiveText/C4-style per-domain contribution cap: keep at most
+    ``max_per_host`` documents per registered domain (deterministic —
+    lowest ids win), so no single host dominates the corpus mix.
+
+    Returns the NARROW kept set (id, domain, rank_in_host): the
+    window shuffles only (id, domain) pairs — ~16 bytes/row at 100 TB
+    — never the document bodies; the caller left-semi-joins ids back
+    when full rows are needed (the same narrow-shuffle discipline as
+    the dedup keeper selections)."""
+    from pyspark.sql.window import Window
+
+    narrow = df.select(
+        F.col(id_col),
+        registered_domain(
+            url_host(canonicalize_url(F.col(url_col)))
+        ).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col(id_col))
+    return (
+        narrow.withColumn(
+            "rank_in_host", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank_in_host") <= max_per_host)
+    )
+
+
 def anchor_term_stats(
     df: DataFrame, url_col: str, html_col: str
 ) -> DataFrame:

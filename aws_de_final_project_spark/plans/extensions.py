@@ -3349,6 +3349,50 @@ ROBOTS_RULES: tuple[tuple[str, str], ...] = tuple(
 ) + (("src1.site1.com", "/"),)
 
 
+def cap_docs_per_host_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (operators/webcrawl
+    .cap_docs_per_host) over the shared messy-URL fixture: keep the
+    5 lowest-id docs per registered domain. The window shuffles only
+    (id, domain) pairs — document bodies never move. FULL oracle
+    (same canon CTEs, QUALIFY row_number)."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", _messy_url().alias("url"))
+    return WC.cap_docs_per_host(docs, "url", "doc_id", 5).orderBy(
+        "domain", "rank_in_host"
+    )
+
+
+def bloom_incremental_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-benchmark-registry contract for Bloom
+    decontamination: masks built on two DISJOINT benchmark slices
+    (doc_id % 178 == 0 and == 89) and OR-ed byte-wise must equal the
+    mask of their union — so a new eval set folds into the registry
+    without rebuilding history (the same fold == one-shot claim the
+    KMV/rollup/registry-dedup entries prove for their structures).
+    The DuckDB oracle computes positions from the UNION slice
+    (doc_id % 89 == 0) directly; a green row proves the OR-fold
+    end-to-end through the probe verdicts, false positives included."""
+    from aws_de_final_project_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    half_a = docs.filter(F.col("doc_id") % 178 == 0)
+    half_b = docs.filter(F.col("doc_id") % 178 == 89)
+    rest = docs.filter(F.col("doc_id") % 89 != 0)
+    import numpy as np
+
+    ma = curation.bloom_build_mask(half_a, ngram=5)
+    mb = curation.bloom_build_mask(half_b, ngram=5)
+    merged = (
+        np.frombuffer(ma, np.uint8) | np.frombuffer(mb, np.uint8)
+    ).tobytes()
+    return curation.bloom_decontaminate(rest, merged, ngram=5).orderBy(
+        "doc_id"
+    )
+
+
 def streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING drift monitor (streaming/dq.drift_monitor_stream:
     frozen reference histogram + per-micro-batch PSI via foreachBatch)

@@ -43,6 +43,8 @@ HEADLINE = [
     "robots_filter_docs",
     "zipf_fit_tokens",
     "streaming_drift_replay",
+    "bloom_incremental_union",
+    "cap_docs_per_host",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

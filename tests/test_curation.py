@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aws_de_final_project_spark.operators import curation
+from aws_de_final_project_spark.operators import webcrawl as WC
 from aws_de_final_project_spark.functions import text as TX
 import pytest
 
@@ -143,6 +144,50 @@ def test_bloom_probe_plan_has_no_join_or_exchange(spark):
     assert "Join" not in plan
     assert "HashPartitioning" not in plan
     assert "RangePartitioning" not in plan
+
+
+def test_bloom_mask_or_equals_union_mask(spark):
+    """mask(A) | mask(B) == mask(A ∪ B) byte-for-byte — the contract
+    that lets a new eval set fold into the decontamination registry
+    without rebuilding history."""
+    import numpy as np
+
+    a = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta", "en")])
+    b = _docs(spark, [(2, "one two three four five six seven", "en")])
+    u = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en"),
+            (2, "one two three four five six seven", "en"),
+        ],
+    )
+    ma = curation.bloom_build_mask(a, ngram=5)
+    mb = curation.bloom_build_mask(b, ngram=5)
+    mu = curation.bloom_build_mask(u, ngram=5)
+    merged = (
+        np.frombuffer(ma, np.uint8) | np.frombuffer(mb, np.uint8)
+    ).tobytes()
+    assert merged == mu
+
+
+def test_cap_docs_per_host(spark):
+    """Per-domain cap keeps the K lowest ids, messy URL variants of
+    one host collapse first, and the only keyed exchange is the
+    domain window."""
+    rows = [(i, f"http://{'a' if i % 2 else 'B'}.com/x/{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = WC.cap_docs_per_host(df, "url", "doc_id", 2)
+    got = sorted((r.domain, r.rank_in_host, r.doc_id) for r in out.collect())
+    assert got == [
+        ("a.com", 1, 1),
+        ("a.com", 2, 3),
+        ("b.com", 1, 0),
+        ("b.com", 2, 2),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "domain#" in line, line
 
 
 def test_bpe_pair_counts_match_python(spark, tmp_path):

@@ -146,6 +146,9 @@ DOC_QUERIES = [
     # round-8: Zipf fit = one vocab aggregate + constant-size tail —
     # the claim is the same vocab-collapse linearity as BPE counting
     "zipf_fit_tokens",
+    # round-8: per-domain cap — narrow (id, domain) window shuffle,
+    # bodies never move; claim is keyed-shuffle linearity
+    "cap_docs_per_host",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
