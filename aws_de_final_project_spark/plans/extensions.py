@@ -3451,7 +3451,7 @@ def streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         os.path.join(d, f), (now + i * 10, now + i * 10)
                     )
         iso = spark.newSession()
-        iso.conf.set("spark.sql.shuffle.partitions", "8")
+        iso.conf.set("spark.sql.shuffle.partitions", "2")
         iso.conf.set("spark.sql.session.timeZone", "UTC")
         q = drift_monitor_stream(
             iso,
@@ -3790,27 +3790,38 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = os.path.join(part_dir, f"_slice={i}")
             f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
             slice_files.append(os.path.join(d, f))
+        # sentinel members are single rows — write them straight from
+        # the driver with pyarrow (zero Spark jobs; schema matches the
+        # stream's explicit schema: int64 + timestamp[us] == NTZ)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         for off in (2, 4):
-            d = os.path.join(tmp, f"sent{off}")
-            spark.createDataFrame(
-                [(-1, cuts.mx + _dt.timedelta(hours=off))], events.schema
-            ).coalesce(1).write.mode("overwrite").parquet(d)
-            slice_files.append(
-                os.path.join(
-                    d,
-                    [x for x in os.listdir(d) if x.endswith(".parquet")][0],
-                )
+            p = os.path.join(tmp, f"sent{off}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "user_id": pa.array([-1], pa.int64()),
+                        "ts": pa.array(
+                            [cuts.mx + _dt.timedelta(hours=off)],
+                            pa.timestamp("us"),
+                        ),
+                    }
+                ),
+                p,
             )
+            slice_files.append(p)
         for i, src in enumerate(slice_files):
             dst = os.path.join(tmp, f"f{i}.parquet")
             os.rename(src, dst)
             now = time.time()
             os.utime(dst, (now + i * 10, now + i * 10))
         shutil.rmtree(part_dir)
-        for off in (2, 4):
-            shutil.rmtree(os.path.join(tmp, f"sent{off}"))
         iso = spark.newSession()
-        iso.conf.set("spark.sql.shuffle.partitions", "8")
+        # 2 state partitions: plenty for the fixture's key count; a
+        # production stream sizes this to its key cardinality at
+        # startup (per-batch state-commit cost scales with partitions)
+        iso.conf.set("spark.sql.shuffle.partitions", "2")
         iso.conf.set("spark.sql.session.timeZone", "UTC")
         stream = (
             iso.readStream.schema(events.schema)
