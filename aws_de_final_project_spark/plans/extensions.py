@@ -2896,20 +2896,27 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t["events"].select("event_type", "user_id", "event_id")
     tmp = tempfile.mkdtemp(prefix="kmv_replay_")
     try:
-        for i in range(3):
-            d = os.path.join(tmp, f"part{i}")
-            (
-                events.filter(F.col("event_id") % 3 == i)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(d)
+        # ONE pass for all three slices (slice column + hash-
+        # repartition -> one file per slice dir) instead of three
+        # filter-writes that each rescan the table
+        part_dir = os.path.join(tmp, "_parts")
+        (
+            events.withColumn(
+                "_slice", (F.col("event_id") % 3).cast("int")
             )
+            .repartition("_slice")
+            .write.mode("overwrite")
+            .partitionBy("_slice")
+            .parquet(part_dir)
+        )
+        for i in range(3):
+            d = os.path.join(part_dir, f"_slice={i}")
             f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
             dst = os.path.join(tmp, f"f{i}.parquet")
             os.rename(os.path.join(d, f), dst)
             now = time.time()
             os.utime(dst, (now + i * 10, now + i * 10))
-            shutil.rmtree(d)
+        shutil.rmtree(part_dir)
         # the stateful exchange follows the SESSION's shuffle
         # partition count; a driver session at the 200 default spends
         # the whole replay scheduling ~600 empty tasks for a handful
@@ -2919,7 +2926,7 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # caller's session (ADVICE r7) — a production stream sizes
         # this to its key cardinality at startup instead.
         iso = spark.newSession()
-        iso.conf.set("spark.sql.shuffle.partitions", "8")
+        iso.conf.set("spark.sql.shuffle.partitions", "2")
         stream = (
             iso.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
