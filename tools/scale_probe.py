@@ -149,6 +149,9 @@ DOC_QUERIES = [
     # round-8: per-domain cap — narrow (id, domain) window shuffle,
     # bodies never move; claim is keyed-shuffle linearity
     "cap_docs_per_host",
+    # round-8: the OR-fold union probe shares bloom_decontaminate's
+    # machinery; probed for completeness (two mask builds + probe)
+    "bloom_incremental_union",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
