@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift_replay": X.streaming_drift_replay,
         "bloom_incremental_union": X.bloom_incremental_union,
         "cap_docs_per_host": X.cap_docs_per_host_docs,
+        "lexicon_filter_docs": X.lexicon_filter_docs,
         "winsorize_event_values": X.winsorize_event_values,
         "ivm_join_view_fold": X.ivm_join_view_fold,
         "lateral_top_orders_per_customer": Q.lateral_top_orders_per_customer,
@@ -3906,6 +3907,36 @@ def oracle_sql() -> dict[str, str]:
                         - length({_mojibake_repair_sql("_raw")}) AS BIGINT)
                        AS chars_recovered
             FROM raw
+            ORDER BY doc_id
+        """,
+        # same plant + interpolated lexicon; whole-token matching via
+        # the normalized split (near-miss words must not count)
+        "lexicon_filter_docs": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' jackpot casino night'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 10 = 0
+                               THEN ' FREE giveaway!' ELSE '' END
+                       || CASE WHEN doc_id % 15 = 0
+                               THEN ' scamper spammy' ELSE '' END
+                           AS _raw
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           string_split({_NORM.format(c='_raw')}, ' '),
+                           t -> t IN ({", ".join(
+                               f"'{w}'" for w in _TX.FILTER_LEXICON
+                           )}))) AS BIGINT) AS n_lexicon_hits
+                FROM raw
+            )
+            SELECT doc_id, n_lexicon_hits,
+                   n_lexicon_hits > 0 AS flagged
+            FROM h
             ORDER BY doc_id
         """,
         # per-domain cap through the shared canon CTEs; lowest-id

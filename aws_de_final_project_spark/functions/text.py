@@ -414,6 +414,32 @@ def sentence_stats(col: Column | str) -> Column:
     )
 
 
+#: Placeholder lexicon for C4-style word-list filtering: stands in
+#: for a curated blocklist (C4 used a public "bad words" list; the
+#: real lexicon is a deployment input — swap the tuple, the plan
+#: shape is identical at any size that fits a literal IN-set, and
+#: beyond that the same broadcast pattern as the host blocklist).
+FILTER_LEXICON: tuple[str, ...] = (
+    "casino", "jackpot", "lottery", "viagra", "warez",
+    "clickbait", "freebie", "giveaway", "spam", "scam",
+)
+
+
+def lexicon_hits(col: Column | str, lexicon: tuple[str, ...] = FILTER_LEXICON) -> Column:
+    """Count of normalized tokens that appear in ``lexicon`` — the
+    C4 word-list filter signal (doc dropped when any hit). The
+    lexicon ships as a constant array literal probed per token inside
+    a higher-order filter in the scan stage — zero joins/shuffles
+    (linear in the lexicon per token; a lexicon too large for that
+    uses the host-blocklist broadcast pattern instead)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalized_text(c), " ")
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(
+        F.filter(toks, lambda t: F.array_contains(lex, t))
+    ).cast("long")
+
+
 def mojibake_chars_recovered(col: Column | str) -> Column:
     """Per-row repair magnitude: character-length delta of
     :func:`repair_mojibake` (every pair maps n>=2 chars to 1, so the

@@ -3356,6 +3356,38 @@ ROBOTS_RULES: tuple[tuple[str, str], ...] = tuple(
 ) + (("src1.site1.com", "/"),)
 
 
+def lexicon_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word-list filtering (functions/text.lexicon_hits)
+    over a deterministic plant: every 6th doc gains two lexicon words,
+    every 10th one more, every 15th a NEAR-miss ("scamper",
+    "spammy") that must NOT count — whole-token matching only.
+    Output: (doc_id, n_lexicon_hits, flagged). Pure scan-side HOF
+    codegen; the DuckDB twin interpolates the same lexicon tuple."""
+    from aws_de_final_project_spark.functions.text import lexicon_hits
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(d % 6 == 0, F.lit(" jackpot casino night")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 10 == 0, F.lit(" FREE giveaway!")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 15 == 0, F.lit(" scamper spammy")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = t["documents"].select("doc_id", raw.alias("_raw"))
+    hits = lexicon_hits(F.col("_raw"))
+    return docs.select(
+        "doc_id",
+        hits.alias("n_lexicon_hits"),
+        (hits > 0).alias("flagged"),
+    ).orderBy("doc_id")
+
+
 def cap_docs_per_host_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain contribution cap (operators/webcrawl
     .cap_docs_per_host) over the shared messy-URL fixture: keep the

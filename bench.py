@@ -45,6 +45,7 @@ HEADLINE = [
     "streaming_drift_replay",
     "bloom_incremental_union",
     "cap_docs_per_host",
+    "lexicon_filter_docs",
     # round-7 additions
     "url_canonicalize",
     "host_quality_stats",

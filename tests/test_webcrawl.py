@@ -421,6 +421,35 @@ def test_robots_disallow_filter(spark):
             assert "host#" in line, line
 
 
+def test_lexicon_hits_whole_token(spark):
+    """Word-list filter counts whole normalized tokens only: case
+    folds, punctuation strips, and near-miss words (scamper, spammy)
+    never count."""
+    from aws_de_final_project_spark.functions.text import lexicon_hits
+
+    cases = [
+        ("win the JACKPOT at the casino!", 2),
+        ("scamper spammy freebies", 0),  # near-misses + plural
+        ("freebie", 1),
+        ("", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["i", "t"]
+    )
+    rows = (
+        df.select("i", lexicon_hits("t").alias("n")).orderBy("i").collect()
+    )
+    for (txt, n), r in zip(cases, rows):
+        assert r.n == n, (txt, r.n, n)
+    plan = (
+        df.select(lexicon_hits("t").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_sentence_segmentation(spark):
     """Sentence splitter: terminator runs split, a trailing terminator
     leaves no empty sentence, empty text gives (0, 0, NULL), and the

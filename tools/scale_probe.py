@@ -152,6 +152,9 @@ DOC_QUERIES = [
     # round-8: the OR-fold union probe shares bloom_decontaminate's
     # machinery; probed for completeness (two mask builds + probe)
     "bloom_incremental_union",
+    # round-8: word-list filter is a scan-side HOF IN-set — flat
+    # scan-speed claim
+    "lexicon_filter_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
