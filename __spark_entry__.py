@@ -3791,13 +3791,16 @@ def oracle_sql() -> dict[str, str]:
         """.replace("__WS_RE__", _WC.WS_RE),
         # the IDENTICAL linear model (md5 buckets, literal weights,
         # left-fold mean-pool) replayed over the same tokenization;
-        # weights/bias interpolated from the module constants so the
-        # two sides cannot drift
+        # weights/bias AND the whitespace class interpolated from the
+        # module constants so the two sides cannot drift (RE2's \\s
+        # excludes \\x0B; Java's includes it — the explicit class is
+        # the shared dialect, same discipline as html_extract_text)
         "quality_classifier_scores": f"""
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           string_split_regex(trim(lower(text)), '\\s+'),
+                           string_split_regex(trim(lower(text)),
+                                              '{_CLF.WS_RE}'),
                            t -> len(t) > 0) AS tk
                 FROM documents
             ),

@@ -3194,14 +3194,18 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and mean-pool them, so a 100 TB corpus is scored at IO speed with
     zero shuffles and zero UDFs. Weights are the vendored
     deterministic stand-in (training is offline; inference is the
-    at-scale contract). FULL DuckDB oracle: the identical model —
-    same md5 buckets, same literal weights, same left-fold sum —
-    replays bit-for-bit."""
+    at-scale contract); impl='sql' is PINNED so DuckDB parity never
+    depends on the auto-dispatch heuristic — deployment widths
+    (D >= 256) auto-route to the Arrow broadcast-weights path
+    (classifier._scores_arrow, agreement-tested at D=64 and probed
+    flat at D=2^16). FULL DuckDB oracle: the identical model — same
+    md5 buckets, same literal weights, same left-fold sum, same
+    interpolated whitespace class — replays bit-for-bit."""
     from aws_de_final_project_spark.operators import classifier as CLF
 
     t = load_tables(spark, sf_dir, ("documents",))
     return CLF.linear_text_scores(
-        t["documents"], "text", "doc_id"
+        t["documents"], "text", "doc_id", impl="sql"
     ).orderBy("doc_id")
 
 

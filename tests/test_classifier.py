@@ -84,3 +84,146 @@ def test_inference_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_vertical_tab_tokenizes_identically(spark):
+    """The \\x0B dialect edge: Java \\s includes vertical tab, RE2's
+    does not — both sides now split on the interpolated explicit
+    class, so a doc containing U+000B must tokenize the same in the
+    Spark plan, the arrow path, and the Python twin."""
+    text = "alpha\x0bbeta gamma"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    sql_row = CLF.linear_text_scores(
+        df, "text", "doc_id", impl="sql"
+    ).collect()[0]
+    arrow_row = CLF.linear_text_scores(
+        df, "text", "doc_id", impl="arrow"
+    ).collect()[0]
+    assert sql_row.n_tokens == 3 == arrow_row.n_tokens
+    assert sql_row.logit == arrow_row.logit
+    assert CLF._py_tokens(text) == ["alpha", "beta", "gamma"]
+
+
+def test_arrow_matches_sql_exactly(spark):
+    """arrow == literal-bank agreement at D=64: identical n_tokens,
+    bit-identical rounded logit (the arrow path left-folds in token
+    order for exactly this reason), identical keep."""
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "hello"),
+        (2, ""),
+        (3, "  spaced   out \t tokens \x0b mixed "),
+        (4, "MIXED Case TOKENS and 123 numbers !!"),
+        (5, "unicode tökens français 日本語 emoji ✨"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # NULL text: the SQL path propagates NULL through lower/split ->
+    # size()=-1 guard differs per engine; score only non-null docs
+    # (the registered entry's documents.text is non-nullable).
+    df = df.filter(F.col("text").isNotNull())
+    a = {
+        r.doc_id: r
+        for r in CLF.linear_text_scores(df, "text", "doc_id", impl="sql").collect()
+    }
+    b = {
+        r.doc_id: r
+        for r in CLF.linear_text_scores(df, "text", "doc_id", impl="arrow").collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].n_tokens == b[k].n_tokens, (k, a[k], b[k])
+        assert a[k].logit == b[k].logit, (k, a[k], b[k])
+        assert a[k].keep == b[k].keep, (k, a[k], b[k])
+
+
+def test_auto_dispatch_picks_arrow_at_deployment_width(spark):
+    from aws_de_final_project_spark.operators.similarity import ARROW_AUTO_DIM
+
+    df = spark.createDataFrame([(0, "hi")], ["doc_id", "text"])
+    wide = tuple(0.0 for _ in range(ARROW_AUTO_DIM))
+    plan = (
+        CLF.linear_text_scores(df, "text", "doc_id", weights=wide)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan, plan
+    narrow_plan = (
+        CLF.linear_text_scores(df, "text", "doc_id")  # D=64 default
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in narrow_plan, narrow_plan
+
+
+def test_deployment_width_plan_build_is_flat(spark):
+    """D=2^16 probe: the arrow plan must not embed the weight bank —
+    plan construction stays O(1) in D (the literal bank at this width
+    is megabytes of SQL text), and scores still match the Python
+    ground truth."""
+    import random as _random
+    import time
+
+    rng = _random.Random(7)
+    D = 1 << 16
+    w = tuple(round(rng.uniform(-0.5, 0.5), 4) for _ in range(D))
+    df = spark.createDataFrame(
+        [(i, f"tok{i} shared word{i % 3}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    t0 = time.monotonic()
+    scored = CLF.linear_text_scores(df, "text", "doc_id", weights=w, bias=0.01)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    build_s = time.monotonic() - t0
+    assert build_s < 5.0, f"plan build took {build_s:.1f}s at D=2^16"
+    assert len(plan) < 20_000, f"plan text {len(plan)} chars — bank leaked?"
+    got = {r.doc_id: r for r in scored.collect()}
+    for i in range(8):
+        toks = CLF._py_tokens(f"tok{i} shared word{i % 3}")
+        acc = 0.0
+        for t in toks:
+            acc += w[CLF._py_bucket(t, D)]
+        lg = 0.01 + acc / len(toks)
+        import math
+
+        want = math.floor(lg * 10000.0 + 0.5) / 10000.0
+        assert got[i].n_tokens == len(toks)
+        assert abs(got[i].logit - want) < 1e-12, (i, got[i].logit, want)
+
+
+def test_trained_weights_discriminate(spark):
+    """Planted-label discrimination: train on trivially-separable
+    corpora (disjoint vocabularies), then BOTH impls must keep every
+    good doc and drop every bad doc — a random stand-in cannot catch
+    a sign flip; a trained model does."""
+    import random as _random
+
+    rng = _random.Random(42)
+    good_vocab = [f"good{i}" for i in range(40)]
+    bad_vocab = [f"bad{i}" for i in range(40)]
+    texts, labels = [], []
+    for _ in range(60):
+        texts.append(" ".join(rng.choices(good_vocab, k=rng.randint(5, 20))))
+        labels.append(1)
+        texts.append(" ".join(rng.choices(bad_vocab, k=rng.randint(5, 20))))
+        labels.append(0)
+    w, b = CLF.train_logistic_weights(texts, labels, n_buckets=CLF.N_BUCKETS)
+
+    # held-out docs from the same vocabularies
+    held = [
+        (i, " ".join(rng.choices(good_vocab if i % 2 == 0 else bad_vocab, k=12)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(held, ["doc_id", "text"])
+    for impl in ("sql", "arrow"):
+        got = {
+            r.doc_id: r.keep
+            for r in CLF.linear_text_scores(
+                df, "text", "doc_id", weights=w, bias=b, impl=impl
+            ).collect()
+        }
+        for i, _ in held:
+            want = 1 if i % 2 == 0 else 0
+            assert got[i] == want, (impl, i, got[i])
