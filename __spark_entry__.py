@@ -343,6 +343,61 @@ _URL_CANON_CTES = """
     ", ".join(f"'{s}'" for s in _WC.PUBLIC_SUFFIXES_2L),
 )
 
+def _entity_decode_ctes(src_cte: str, col: str, keys: str) -> str:
+    """CTE pair replaying webcrawl.decode_html_entities one-pass over
+    ``col`` of ``src_cte``: split on the interpolated entity pattern,
+    decode each match (named table, else numeric codepoint with the
+    U+FFFD invalid rule — DuckDB's chr() is full-Unicode, the Spark
+    side builds UTF-16BE units), interleave-rebuild. Final CTE
+    ``entdec`` carries (keys, t)."""
+    ent = _WC.HTML_ENTITY_RE
+    code = (
+        "(CASE WHEN substr(e, 3, 1) IN ('x', 'X') "
+        "THEN CAST(('0x' || substr(e, 4, len(e) - 4)) AS BIGINT) "
+        "ELSE CAST(substr(e, 3, len(e) - 3) AS BIGINT) END)"
+    )
+    dec = (
+        "CASE e WHEN '&amp;' THEN '&' WHEN '&lt;' THEN '<' "
+        "WHEN '&gt;' THEN '>' WHEN '&quot;' THEN '\"' "
+        "WHEN '&nbsp;' THEN ' ' ELSE "
+        f"chr(CAST(CASE WHEN {code} < 1 "
+        f"OR {code} BETWEEN 55296 AND 57343 "
+        f"OR {code} > 1114111 THEN 65533 "
+        f"ELSE {code} END AS INTEGER)) END"
+    )
+    return f"""
+            entsplit AS (
+                SELECT {keys},
+                       string_split_regex({col}, '{ent}') AS parts,
+                       list_transform(regexp_extract_all({col}, '{ent}'),
+                                      e -> {dec}) AS dec
+                FROM {src_cte}
+            ),
+            entdec AS (
+                SELECT {keys},
+                       coalesce(list_aggr(list_transform(
+                           generate_series(1, len(dec)),
+                           i -> parts[i] || dec[i]), 'string_agg', ''), '')
+                       || parts[len(parts)] AS t
+                FROM entsplit
+            )"""
+
+
+def _strip_href_quotes_sql(v: str) -> str:
+    """webcrawl._href_value twin: strip the quotes a HREF_RE group-1
+    match carries (quoted styles pass them through by construction)."""
+    return (
+        f"CASE WHEN substr({v}, 1, 1) IN ('\"', chr(39)) "
+        f"THEN substr({v}, 2, len({v}) - 2) ELSE {v} END"
+    )
+
+
+def _sq(pattern: str) -> str:
+    """Escape a regex constant for a single-quoted SQL literal (the
+    href patterns contain ' since the single-quoted style landed)."""
+    return pattern.replace("'", "''")
+
+
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
     "es": ["el", "la", "de", "y", "que", "en", "los"],
@@ -3751,7 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         # (tags -> space, entities, explicit-class whitespace
         # collapse). A leaked corrupt row or any parse drift breaks
         # the hash.
-        "warc_extract_stats": """
+        "warc_extract_stats": f"""
             WITH wrapped AS (
                 SELECT doc_id,
                        '<html><body><p>' || text ||
@@ -3769,14 +3824,7 @@ def oracle_sql() -> dict[str, str]:
                            '<[^>]*>', ' ', 'g') AS t0
                 FROM wrapped
             ),
-            decoded AS (
-                SELECT doc_id, html,
-                       replace(replace(replace(replace(replace(replace(
-                           t0, '&lt;', '<'), '&gt;', '>'),
-                           '&quot;', '"'), '&#39;', chr(39)),
-                           '&nbsp;', ' '), '&amp;', '&') AS t
-                FROM stripped
-            )
+            {_entity_decode_ctes("stripped", "t0", "doc_id, html")}
             SELECT doc_id,
                    CAST(200 AS INTEGER) AS http_status,
                    CAST(44 + octet_length(encode(html)) AS BIGINT)
@@ -3786,7 +3834,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(trim(regexp_replace(t, '__WS_RE__',
                                                    ' ', 'g')))
                         AS BIGINT) AS n_chars_extracted
-            FROM decoded
+            FROM entdec
             ORDER BY doc_id
         """.replace("__WS_RE__", _WC.WS_RE),
         # the IDENTICAL linear model (md5 buckets, literal weights,
@@ -3835,13 +3883,15 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 11 = 0 THEN '.co.uk'
                             ELSE '.com' END AS src_domain,
                        '<html><body>'
-                       || '<a href="http://Site'
+                       || '<a href=http://Site'
                        || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
-                       || '.COM/p/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+                       || '.COM/p/' || CAST(doc_id AS VARCHAR) || '>x</a>'
                        || CASE WHEN doc_id % 2 = 0
-                               THEN '<a class="l" href="HTTPS://WWW.site'
+                               THEN '<a class="l" href=' || chr(39)
+                                    || 'HTTPS://WWW.site'
                                     || CAST((doc_id + 2) % 7 AS VARCHAR)
-                                    || '.co.uk:443/x?utm_source=z&b=1">y</a>'
+                                    || '.co.uk:443/x?utm_source=z&b=1'
+                                    || chr(39) || '>y</a>'
                                ELSE '' END
                        || CASE WHEN doc_id % 3 = 0
                                THEN '<a href="/about">rel</a>' ELSE '' END
@@ -3858,11 +3908,16 @@ def oracle_sql() -> dict[str, str]:
                        || '</body></html>' AS html
                 FROM documents
             ),
-            hrefs AS (
+            rawhrefs AS (
                 SELECT src_domain,
                        unnest(regexp_extract_all(html,
-                           '{_WC.HREF_RE}', 1)) AS url
+                           '{_sq(_WC.HREF_RE)}', 1)) AS v
                 FROM pages
+            ),
+            hrefs AS (
+                SELECT src_domain,
+                       {_strip_href_quotes_sql("v")} AS url
+                FROM rawhrefs
             ),
             urls AS (
                 SELECT * FROM hrefs
@@ -4186,16 +4241,18 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 11 = 0 THEN '.co.uk'
                             ELSE '.com' END AS src_domain,
                        '<html><body>'
-                       || '<a href="http://Site'
+                       || '<a href=http://Site'
                        || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
                        || '.COM/p/' || CAST(doc_id AS VARCHAR)
-                       || '">Visit site '
+                       || '>Visit site '
                        || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
                        || ' now</a>'
                        || CASE WHEN doc_id % 2 = 0
-                               THEN '<a class="l" href="HTTPS://WWW.site'
+                               THEN '<a class="l" href=' || chr(39)
+                                    || 'HTTPS://WWW.site'
                                     || CAST((doc_id + 2) % 7 AS VARCHAR)
-                                    || '.co.uk:443/x?utm_source=z&b=1">'
+                                    || '.co.uk:443/x?utm_source=z&b=1'
+                                    || chr(39) || '>'
                                     || 'Great Resource Hub</a>'
                                ELSE '' END
                        || CASE WHEN doc_id % 3 = 0
@@ -4214,13 +4271,15 @@ def oracle_sql() -> dict[str, str]:
             amatch AS (
                 SELECT src_domain,
                        unnest(regexp_extract_all(html,
-                           '{_WC.ANCHOR_RE}', 0)) AS m
+                           '{_sq(_WC.ANCHOR_RE)}', 0)) AS m
                 FROM pages
             ),
             parts AS (
                 SELECT src_domain,
-                       regexp_extract(m, '{_WC.ANCHOR_RE}', 1) AS url,
-                       regexp_extract(m, '{_WC.ANCHOR_RE}', 2) AS anchor
+                       {_strip_href_quotes_sql(
+                           f"regexp_extract(m, '{_sq(_WC.ANCHOR_RE)}', 1)"
+                       )} AS url,
+                       regexp_extract(m, '{_sq(_WC.ANCHOR_RE)}', 2) AS anchor
                 FROM amatch
             ),
             urls AS (
@@ -4514,20 +4573,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY canon_url
         """,
         # HTML visible-text extraction: script/style elements with
-        # contents, comments, tags, six entities (&amp; last), then
-        # whitespace collapse — inline (?is)/(?s) RE2 flags + 'g'.
-        # The whitespace class is interpolated from webcrawl.WS_RE
-        # (explicit [ \t\n\x0B\f\r]: Java \s matches U+000B, RE2 \s
-        # does not) and every 3rd doc plants a vertical tab so the
-        # dialect edge stays oracle-exercised (ADVICE r7)
-        "html_extract_text": """
+        # contents, comments, tags, ONE-PASS entity decode (five named
+        # + numeric char refs, U+FFFD invalid rule, {1,7}/{1,6} digit
+        # bounds), then whitespace collapse — inline (?is)/(?s) RE2
+        # flags + 'g'. The whitespace class is interpolated from
+        # webcrawl.WS_RE (explicit [ \t\n\x0B\f\r]: Java \s matches
+        # U+000B, RE2 \s does not) and every 3rd doc plants a vertical
+        # tab; every 4th plants the numeric-ref gauntlet (decimal,
+        # supplementary hex, invalid -> U+FFFD, 8-digit stays literal,
+        # &amp;#65; -> literal &#65;)
+        "html_extract_text": f"""
             WITH wrapped AS (
                 SELECT doc_id,
                        '<html><head><title>Doc ' ||
                        CAST(doc_id AS VARCHAR) ||
                        '</title><SCRIPT type="text/javascript">var x = 1;'
                        || ' // <p>not text</p></SCRIPT>' ||
-                       '<style>.c { color: red }</style></head>' ||
+                       '<style>.c {{ color: red }}</style></head>' ||
                        '<body><!-- boilerplate' || chr(10) ||
                        'comment --><p>' || text || '</p>' ||
                        CASE WHEN doc_id % 2 = 0
@@ -4536,6 +4598,11 @@ def oracle_sql() -> dict[str, str]:
                             ELSE '' END ||
                        CASE WHEN doc_id % 3 = 0
                             THEN '<p>vt' || chr(11) || 'split</p>'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '<p>num&#65;dec &#x1F600; z&#0;s&#xD800;'
+                                 || 'o&#1114112; lit&#12345678;'
+                                 || ' amp&amp;#65;</p>'
                             ELSE '' END ||
                        '</body></html>' AS html
                 FROM documents
@@ -4551,20 +4618,13 @@ def oracle_sql() -> dict[str, str]:
                            '<[^>]*>', ' ', 'g') AS t
                 FROM wrapped
             ),
-            decoded AS (
-                SELECT doc_id,
-                       replace(replace(replace(replace(replace(replace(
-                           t, '&lt;', '<'), '&gt;', '>'),
-                           '&quot;', '"'), '&#39;', chr(39)),
-                           '&nbsp;', ' '), '&amp;', '&') AS t
-                FROM stripped
-            )
+            {_entity_decode_ctes("stripped", "t", "doc_id")}
             SELECT doc_id,
                    trim(regexp_replace(t, '__WS_RE__', ' ', 'g'))
                        AS extracted,
                    CAST(length(trim(regexp_replace(t, '__WS_RE__', ' ', 'g')))
                         AS BIGINT) AS n_chars_extracted
-            FROM decoded
+            FROM entdec
             ORDER BY doc_id
         """.replace("__WS_RE__", _WC.WS_RE),
         # PII scrub: same injection fixture, and the PATTERNS ARE THE

@@ -327,6 +327,89 @@ def dedup_by_url(
     )
 
 
+# ONE-PASS entity profile: the five named entities that dominate real
+# text (lowercase, the common serialization) plus NUMERIC character
+# references — decimal ``&#NN;`` to 7 digits and hex ``&#xHH;``/
+# ``&#XHH;`` to 6 (longer runs stay literal: without the bound the
+# backtracking cost is unbounded, and no valid codepoint needs more).
+# No quotes, no backslashes — interpolates verbatim into both Java
+# and RE2 patterns AND single-quoted SQL literals.
+HTML_ENTITY_RE = (
+    r"&(?:#(?:[0-9]{1,7}|[xX][0-9A-Fa-f]{1,6})|amp|lt|gt|quot|nbsp);"
+)
+
+
+def _ncr_codepoint(e: Column) -> Column:
+    """Codepoint of a numeric character reference ``&#NN;``/``&#xHH;``
+    (the entity INCLUDING ``&``/``;``), as bigint."""
+    is_hex = F.substring(e, 3, 1).isin("x", "X")
+    hexv = F.conv(
+        e.substr(F.lit(4), F.length(e) - F.lit(4)), 16, 10
+    ).cast("bigint")
+    decv = e.substr(F.lit(3), F.length(e) - F.lit(3)).cast("bigint")
+    return F.when(is_hex, hexv).otherwise(decv)
+
+
+def _codepoint_char(code: Column) -> Column:
+    """Unicode codepoint -> one-char string, via UTF-16BE bytes:
+    Spark's ``chr()`` is ASCII-only (mod 256), so the portable path
+    builds the code unit(s) with hex/lpad/unhex and decodes —
+    surrogate-pair math covers the supplementary planes. Invalid
+    codepoints (0, the surrogate range, > U+10FFFF) map to U+FFFD,
+    the HTML5 replacement rule — also what keeps DuckDB's strict
+    ``chr()`` from throwing on the same inputs."""
+    bad = (
+        (code < 1)
+        | ((code >= 0xD800) & (code <= 0xDFFF))
+        | (code > 0x10FFFF)
+    )
+    c = F.when(bad, F.lit(0xFFFD)).otherwise(code)
+    bmp = F.lpad(F.hex(c), 4, "0")
+    c2 = c - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.shiftright(c2, 10)
+    lo = F.lit(0xDC00) + c2.bitwiseAND(F.lit(0x3FF))
+    units = F.when(c <= 0xFFFF, bmp).otherwise(
+        F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+    )
+    return F.decode(F.unhex(units), "UTF-16BE")
+
+
+def _entity_char(e: Column) -> Column:
+    """Decoded text of one HTML_ENTITY_RE match."""
+    return (
+        F.when(e == "&amp;", F.lit("&"))
+        .when(e == "&lt;", F.lit("<"))
+        .when(e == "&gt;", F.lit(">"))
+        .when(e == "&quot;", F.lit('"'))
+        .when(e == "&nbsp;", F.lit(" "))
+        .otherwise(_codepoint_char(_ncr_codepoint(e)))
+    )
+
+
+def decode_html_entities(t: Column) -> Column:
+    """ONE decoding pass over the entity profile, spec-faithful where
+    the old sequential replace chain was not: ``&amp;lt;`` and
+    ``&#38;lt;`` both decode to the literal ``&lt;`` the author wrote
+    (a decoded ``&`` can never re-trigger a second decode, because
+    every entity is consumed by the same single split). Implemented
+    as split-on-entity / decode-each / interleave-rebuild with array
+    higher-order functions — still pure scan-side codegen, zero
+    shuffles, and replayable in DuckDB (string_split_regex +
+    list_transform + chr over the same interpolated pattern)."""
+    parts = F.split(t, HTML_ENTITY_RE, -1)
+    ents = F.regexp_extract_all(t, F.lit(HTML_ENTITY_RE), F.lit(0))
+    head = F.aggregate(
+        F.zip_with(
+            F.slice(parts, 1, F.size(ents)),
+            F.transform(ents, _entity_char),
+            lambda p, d: F.concat(p, d),
+        ),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    return F.concat(head, F.element_at(parts, F.size(parts)))
+
+
 def html_extract_text(html: Column | str) -> Column:
     """Visible text from raw HTML as one codegen expression — the
     extraction step between crawl fetch and quality filtering.
@@ -337,12 +420,12 @@ def html_extract_text(html: Column | str) -> Column:
     2. drop HTML comments ``<!-- ... -->``;
     3. replace every remaining tag ``<...>`` with a space (block/
        inline distinction sacrificed for engine portability);
-    4. decode the six entities that dominate real text (&amp; &lt;
-       &gt; &quot; &#39; &nbsp;) — &amp; LAST so ``&amp;lt;`` decodes
-       to the literal ``&lt;`` the author wrote, not ``<``;
+    4. decode entities in ONE pass (:func:`decode_html_entities`):
+       five named + numeric character references, decimal and hex,
+       full Unicode range with the U+FFFD invalid-codepoint rule;
     5. collapse whitespace runs to one space and trim.
 
-    Pure regexp_replace chain: scan-side, zero shuffles, replays in
+    Pure codegen expressions: scan-side, zero shuffles, replays in
     the DuckDB oracle (RE2 supports the same (?is)/lazy syntax; the
     oracle passes the 'g' flag where Java replaces globally by
     default)."""
@@ -351,15 +434,7 @@ def html_extract_text(html: Column | str) -> Column:
     t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"<[^>]*>", " ")
-    for ent, ch in (
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", "\""),
-        ("&#39;", "'"),
-        ("&nbsp;", " "),
-        ("&amp;", "&"),
-    ):
-        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = decode_html_entities(t)
     t = F.regexp_replace(t, WS_RE, " ")
     return F.trim(t)
 
@@ -440,11 +515,27 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
 
 
 # Anchor href extraction. The whitespace after ``<a`` is the explicit
-# WS class (same \s dialect edge as WS_RE); double-quoted hrefs only —
-# the restricted profile both regex dialects (Java, RE2) parse
-# identically, and the profile the oracle fixture emits. No
-# backreferences, no lookaround.
-HREF_RE = r'(?i)<a[ \t\n\x0B\f\r][^>]*href="([^"]*)"'
+# WS class (same \s dialect edge as WS_RE); all THREE HTML quoting
+# styles — double-quoted, single-quoted, and unquoted (whose value,
+# per the HTML5 tokenizer, may not contain whitespace or any of
+# " ' = < > `) — captured by ONE group that keeps surrounding quotes
+# so a single group index serves every alternative;
+# :func:`_href_value` strips them. Quoted alternatives come first so
+# an unclosed quote never half-matches as unquoted. The profile both
+# regex dialects (Java, RE2) parse identically. No backreferences,
+# no lookaround. (``[^>]*href=`` is liberal by design: it also
+# accepts e.g. ``data-href`` — consistent on both engines.)
+HREF_VALUE_RE = "\"[^\"]*\"|'[^']*'|[^\"'=<>` \t\n\x0B\f\r]+"
+HREF_RE = r"(?i)<a[ \t\n\x0B\f\r][^>]*href=(" + HREF_VALUE_RE + ")"
+
+
+def _href_value(v: Column) -> Column:
+    """Strip the surrounding quotes a HREF_RE group-1 match carries
+    (quoted styles); unquoted values pass through."""
+    return F.when(
+        F.substring(v, 1, 1).isin('"', "'"),
+        v.substr(F.lit(2), F.length(v) - F.lit(2)),
+    ).otherwise(v)
 
 # Absolute http(s) links only — relative paths, mailto:, javascript:
 # etc. carry no cross-host edge.
@@ -452,12 +543,15 @@ ABS_HTTP_RE = r"(?i)^https?://"
 
 
 def extract_links(html: Column | str) -> Column:
-    """All double-quoted ``<a href>`` targets in the raw HTML ->
-    ``array<string>``. Pure ``regexp_extract_all`` codegen: scan-side,
-    zero shuffles — link extraction rides the same scan as text
-    extraction at 100 TB."""
+    """All ``<a href>`` targets in the raw HTML (double-quoted,
+    single-quoted, or unquoted) -> ``array<string>``, document order.
+    Pure ``regexp_extract_all`` + quote-strip ``transform`` codegen:
+    scan-side, zero shuffles — link extraction rides the same scan as
+    text extraction at 100 TB."""
     c = F.col(html) if isinstance(html, str) else html
-    return F.regexp_extract_all(c, F.lit(HREF_RE), F.lit(1))
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(HREF_RE), F.lit(1)), _href_value
+    )
 
 
 def host_link_graph(
@@ -506,9 +600,12 @@ def host_link_graph(
 # single linear-scan regex on both engines (an anchor wrapping child
 # tags simply yields no pair, it is never mis-spanned — ``[^>]*``
 # cannot cross the opening tag's ``>`` and ``[^<]*`` cannot cross the
-# next tag). Same explicit-WS-class dialect discipline as HREF_RE.
+# next tag). Same explicit-WS-class dialect discipline and
+# three-quoting-style value profile as HREF_RE.
 ANCHOR_RE = (
-    r'(?i)<a[ \t\n\x0B\f\r][^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    r"(?i)<a[ \t\n\x0B\f\r][^>]*href=("
+    + HREF_VALUE_RE
+    + r")[^>]*>([^<]*)</a>"
 )
 
 
@@ -516,14 +613,15 @@ def extract_anchors(html: Column | str) -> Column:
     """All (href, anchor_text) pairs of restricted-profile ``<a>``
     elements -> ``array<struct<href,anchor>>``. Full matches come from
     one ``regexp_extract_all`` pass; the two groups are re-extracted
-    per element inside a ``transform`` — still pure scan-side codegen,
-    zero shuffles."""
+    per element inside a ``transform`` (the href group keeps its
+    quotes by construction — :func:`_href_value` strips them) — still
+    pure scan-side codegen, zero shuffles."""
     c = F.col(html) if isinstance(html, str) else html
     full = F.regexp_extract_all(c, F.lit(ANCHOR_RE), F.lit(0))
     return F.transform(
         full,
         lambda m: F.struct(
-            F.regexp_extract(m, ANCHOR_RE, 1).alias("href"),
+            _href_value(F.regexp_extract(m, ANCHOR_RE, 1)).alias("href"),
             F.regexp_extract(m, ANCHOR_RE, 2).alias("anchor"),
         ),
     )

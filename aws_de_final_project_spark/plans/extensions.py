@@ -2989,9 +2989,13 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML visible-text extraction (operators/webcrawl
     .html_extract_text) over a deterministic HTML wrapping of each
     document (head with script/style noise, comments, block tags, an
-    entity-bearing footer on even ids) — the fetch->text step of a
-    crawl pipeline, as a pure scan-side regexp chain. FULL DuckDB
-    oracle (same construction, same RE2-compatible rules)."""
+    entity-bearing footer on even ids, a numeric-character-reference
+    gauntlet on every 4th: decimal, supplementary-plane hex, the
+    U+FFFD invalid-codepoint rule for &#0;/surrogates/out-of-range,
+    and an over-long 8-digit ref that must stay LITERAL) — the
+    fetch->text step of a crawl pipeline, as a pure scan-side codegen
+    chain. FULL DuckDB oracle (same construction, same RE2-compatible
+    rules, same one-pass entity decode)."""
     from aws_de_final_project_spark.operators import webcrawl as WC
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -3016,6 +3020,16 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this plant keeps that dialect edge oracle-exercised
         F.when(
             d % 3 == 0, F.lit("<p>vt\x0bsplit</p>")
+        ).otherwise(F.lit("")),
+        # numeric character references on every 4th doc: decimal,
+        # supplementary-plane hex (surrogate-pair path), &#0; /
+        # lone-surrogate / out-of-range (all -> U+FFFD), and an
+        # 8-digit ref that exceeds the {1,7} bound -> stays literal.
+        # &amp;#65; must decode to the LITERAL '&#65;' (one pass)
+        F.when(
+            d % 4 == 0,
+            F.lit("<p>num&#65;dec &#x1F600; z&#0;s&#xD800;"
+                  "o&#1114112; lit&#12345678; amp&amp;#65;</p>"),
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
@@ -3212,11 +3226,14 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def host_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-domain link graph (operators/webcrawl
     .host_link_graph) over a deterministic HTML fixture: every doc
-    links out to a mixed-case absolute URL, every 2nd adds a
-    www/:443/tracking-param href (canonicalization exercised on the
-    href path), every 3rd a relative link and every 5th a mailto:
-    (both dropped — no host edge), every 7th a self-link (dropped by
-    drop_self when the suffix matches). The page's own URL is CLEAN
+    links out to a mixed-case absolute URL in an UNQUOTED href (the
+    HTML5 unquoted-value profile), every 2nd adds a
+    www/:443/tracking-param href in a SINGLE-QUOTED one
+    (canonicalization exercised on the href path), every 3rd a
+    relative link and every 5th a mailto: (both double-quoted, both
+    dropped — no host edge), every 7th a self-link (dropped by
+    drop_self when the suffix matches) — all three HTML quoting
+    styles land on the extraction regex. The page's own URL is CLEAN
     lowercase by construction, so src_domain == the constructed host
     verbatim — the oracle derives src directly while the Spark side
     still runs the full canonicalize->host->registered_domain chain
@@ -3234,17 +3251,17 @@ def host_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(F.lit("http://"), src_host, F.lit("/d/"), d.cast("string"))
     html = F.concat(
         F.lit("<html><body>"),
-        F.lit('<a href="http://Site'),
+        F.lit('<a href=http://Site'),
         ((d * 3 + 1) % 7).cast("string"),
         F.lit('.COM/p/'),
         d.cast("string"),
-        F.lit('">x</a>'),
+        F.lit('>x</a>'),
         F.when(
             d % 2 == 0,
             F.concat(
-                F.lit('<a class="l" href="HTTPS://WWW.site'),
+                F.lit("<a class=\"l\" href='HTTPS://WWW.site"),
                 ((d + 2) % 7).cast("string"),
-                F.lit('.co.uk:443/x?utm_source=z&b=1">y</a>'),
+                F.lit(".co.uk:443/x?utm_source=z&b=1'>y</a>"),
             ),
         ).otherwise(F.lit("")),
         F.when(d % 3 == 0, F.lit('<a href="/about">rel</a>')).otherwise(
@@ -3636,12 +3653,14 @@ def sentence_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-domain anchor-text term counts (operators/webcrawl
     .anchor_term_stats) over a deterministic HTML fixture: every doc
-    carries an absolute-URL anchor with a multi-word label, every 2nd
-    a second mixed-case/tracking-param href (canonicalization
-    exercised on the target), every 3rd a relative link and every 5th
-    a SELF link with a distinctive label — both excluded (no
+    carries an absolute-URL anchor with a multi-word label in an
+    UNQUOTED href, every 2nd a second mixed-case/tracking-param href
+    in a SINGLE-QUOTED one (canonicalization exercised on the
+    target), every 3rd a relative link and every 5th a SELF link
+    (both double-quoted) with a distinctive label — both excluded (no
     cross-host signal), which the oracle pins by their labels' terms
-    never appearing. Top-100 by count with a total-order tie-break.
+    never appearing; all three HTML quoting styles land on the
+    extraction regex. Top-100 by count with a total-order tie-break.
     The page URL is clean lowercase so src_domain == constructed host
     (same simplification as the link-graph fixture)."""
     from aws_de_final_project_spark.operators import webcrawl as WC
@@ -3657,19 +3676,19 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     html = F.concat(
         F.lit("<html><body>"),
-        F.lit('<a href="http://Site'),
+        F.lit('<a href=http://Site'),
         ((d * 3 + 1) % 7).cast("string"),
         F.lit('.COM/p/'),
         d.cast("string"),
-        F.lit('">Visit site '),
+        F.lit('>Visit site '),
         ((d * 3 + 1) % 7).cast("string"),
         F.lit(" now</a>"),
         F.when(
             d % 2 == 0,
             F.concat(
-                F.lit('<a class="l" href="HTTPS://WWW.site'),
+                F.lit("<a class=\"l\" href='HTTPS://WWW.site"),
                 ((d + 2) % 7).cast("string"),
-                F.lit('.co.uk:443/x?utm_source=z&b=1">Great Resource'),
+                F.lit(".co.uk:443/x?utm_source=z&b=1'>Great Resource"),
                 F.lit(" Hub</a>"),
             ),
         ).otherwise(F.lit("")),

@@ -644,3 +644,80 @@ def test_host_link_graph_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_numeric_character_references(spark):
+    """One-pass entity decode: decimal, hex (incl. supplementary
+    plane via the UTF-16BE surrogate path), the U+FFFD rule for
+    &#0;/lone surrogates/out-of-range, the {1,7}-digit bound (an
+    8-digit ref stays literal), and single-pass semantics
+    (&amp;#65; and &#38;#65; both yield the literal '&#65;')."""
+    rows = [
+        (0, "<p>&#65;</p>", "A"),
+        (1, "<p>&#x41;</p>", "A"),
+        (2, "<p>&#X41;</p>", "A"),
+        (3, "<p>&#x1F600;</p>", "\U0001F600"),
+        (4, "<p>&#0;</p>", "�"),
+        (5, "<p>&#xD800;</p>", "�"),
+        (6, "<p>&#1114112;</p>", "�"),
+        (7, "<p>&#12345678;</p>", "&#12345678;"),
+        (8, "<p>&amp;#65;</p>", "&#65;"),
+        (9, "<p>&#38;#65;</p>", "&#65;"),
+        (10, "<p>a&#65;b&#66;c</p>", "aAbBc"),
+        (11, "<p>&#x10FFFF;</p>", "\U0010FFFF"),
+        (12, "<p>&#9731;</p>", "☃"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in rows], ["i", "html"]
+    )
+    got = {
+        r.i: r.t
+        for r in df.select(
+            "i", WC.html_extract_text("html").alias("t")
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+def test_extract_links_three_quoting_styles(spark):
+    """Double-quoted, single-quoted, and unquoted href values all
+    extract, in document order, with quotes stripped; the unquoted
+    value stops at whitespace/> per the HTML5 tokenizer profile."""
+    html = (
+        '<a href="http://a.com/1">d</a>'
+        "<a href='http://b.com/2?x=1&y=2'>s</a>"
+        "<a class=z href=http://c.com/3>u</a>"
+        "<a href=http://d.com/4 rel=nofollow>u2</a>"
+        '<a href="">empty</a>'
+        "<a href=>novalue</a>"
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    links = df.select(WC.extract_links("html").alias("l")).collect()[0].l
+    assert links == [
+        "http://a.com/1",
+        "http://b.com/2?x=1&y=2",
+        "http://c.com/3",
+        "http://d.com/4",
+        "",
+    ], links
+
+
+def test_extract_anchors_three_quoting_styles(spark):
+    html = (
+        '<a href="http://a.com/1">Alpha One</a>'
+        "<a href='http://b.com/2'>Beta Two</a>"
+        "<a rel=x href=http://c.com/3>Gamma Three</a>"
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    pairs = [
+        (a.href, a.anchor)
+        for a in df.select(
+            WC.extract_anchors("html").alias("a")
+        ).collect()[0].a
+    ]
+    assert pairs == [
+        ("http://a.com/1", "Alpha One"),
+        ("http://b.com/2", "Beta Two"),
+        ("http://c.com/3", "Gamma Three"),
+    ], pairs
