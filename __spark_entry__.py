@@ -4161,8 +4161,10 @@ def oracle_sql() -> dict[str, str]:
                     / 10000.0) AS zipf_r2
             FROM ranked
         """,
-        # robots Disallow rules as interpolated VALUES through the
-        # shared canon CTEs; blocked = any host prefix matches path
+        # robots Allow/Disallow rules as interpolated VALUES through
+        # the shared canon CTEs; RFC 9309 precedence replayed: rules
+        # sorted longest-first with Allow winning equal-length ties,
+        # verdict = first match (no match -> not blocked)
         "robots_filter_docs": f"""
             WITH urls AS (
                 SELECT doc_id, {_MESSY_URL} AS url FROM documents
@@ -4170,20 +4172,27 @@ def oracle_sql() -> dict[str, str]:
             {_URL_CANON_CTES},
             rules AS (
                 SELECT * FROM (VALUES {", ".join(
-                    f"('{h}', '{p}')" for h, p in X.ROBOTS_RULES
-                )}) AS r(host, prefix)
+                    f"('{h}', '{p}', {str(bool(a)).upper()})"
+                    for h, p, a in X.ROBOTS_RULES
+                )}) AS r(host, prefix, allow)
             ),
             perhost AS (
-                SELECT host, list(prefix) AS prefixes
+                SELECT host,
+                       list(prefix ORDER BY len(prefix) DESC,
+                            allow DESC, prefix) AS prefixes,
+                       list(allow ORDER BY len(prefix) DESC,
+                            allow DESC, prefix) AS allows
                 FROM rules GROUP BY host
             )
             SELECT w.doc_id,
                    w.canon_url,
                    w.host,
-                   coalesce(len(list_filter(p.prefixes,
-                       x -> starts_with(regexp_extract(w.canon_url,
-                           '^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?', 1),
-                           x))) > 0, FALSE) AS blocked
+                   coalesce(NOT p.allows[
+                       list_filter(generate_series(1, len(p.prefixes)),
+                           j -> starts_with(regexp_extract(w.canon_url,
+                               '^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?',
+                               1), p.prefixes[j]))[1]
+                   ], FALSE) AS blocked
             FROM withdomain w LEFT JOIN perhost p ON w.host = p.host
             ORDER BY w.doc_id
         """,

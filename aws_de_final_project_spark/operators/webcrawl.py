@@ -638,22 +638,46 @@ def url_path(canon_url: Column) -> Column:
 def robots_disallow_filter(
     df: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:
-    """Crawl-politeness filtering against robots.txt-style DISALLOW
-    rules: ``rules`` is (host, prefix) — agent-``*`` Disallow lines —
-    and a URL is blocked iff any of its host's prefixes is a string
-    prefix of its canonical path (the restricted profile corpus
-    pipelines apply; Allow/longest-match precedence is a fetcher
-    concern, documented out of scope).
+    """Crawl-politeness filtering against robots.txt rules with RFC
+    9309 precedence: ``rules`` is (host, prefix[, allow]) — agent-
+    ``*`` Allow/Disallow lines (a missing ``allow`` column means all
+    Disallow, the pre-RFC restricted profile) — and a URL's verdict
+    comes from the LONGEST rule prefix matching its canonical path,
+    with Allow winning an equal-length tie (RFC 9309 §2.2.2: "the
+    least restrictive rule"). No matching rule (or no rules for the
+    host) means not blocked. Match length is measured in characters,
+    not the RFC's octets — equivalent for the ASCII paths
+    canonicalization emits. ``%``-encoding equivalence and ``$``/``*``
+    wildcards remain out of scope (documented fetcher concerns).
 
     Shape at 100 TB: rules collapse to ONE array row per host (a
-    robots file is small by protocol) and BROADCAST; the URL side gets
-    one broadcast hash join plus a scan-side ``exists``/``startswith``
-    over the prefix array — never shuffled, never multiplied by the
-    rule count.
+    robots file is small by protocol), PRE-SORTED by (length desc,
+    allow-first) at aggregation time so precedence is a first-match
+    scan, and BROADCAST; the URL side gets one broadcast hash join
+    plus a scan-side ``filter``/``element_at`` over the rule array —
+    never shuffled, never multiplied by the rule count.
+
+    Reserved output columns: adds/overwrites ``_canon``, ``host`` and
+    ``blocked`` on the input frame — callers carrying their own
+    ``host`` column should rename it first.
     """
+    if "allow" not in rules.columns:
+        rules = rules.withColumn("allow", F.lit(False))
     per_host = F.broadcast(
         rules.groupBy("host").agg(
-            F.collect_list("prefix").alias("_prefixes")
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.length("prefix")).cast("int").alias("neg_len"),
+                        F.when(F.col("allow"), 0)
+                        .otherwise(1)
+                        .cast("int")
+                        .alias("tie"),
+                        F.col("prefix").alias("prefix"),
+                        F.col("allow").alias("allow"),
+                    )
+                )
+            ).alias("_rules")
         )
     )
     canon = canonicalize_url(F.col(url_col))
@@ -662,14 +686,16 @@ def robots_disallow_filter(
     )
     joined = u.join(per_host, "host", "left")
     path = url_path(F.col("_canon"))
-    blocked = F.coalesce(
-        F.exists(
-            F.col("_prefixes"),
-            lambda p: F.startswith(path, p),
+    # F.get (0-based) returns NULL on an empty match list where ANSI
+    # element_at would throw
+    first = F.get(
+        F.filter(
+            F.col("_rules"), lambda r: F.startswith(path, r["prefix"])
         ),
-        F.lit(False),
+        0,
     )
-    return joined.withColumn("blocked", blocked).drop("_prefixes")
+    blocked = F.coalesce(~first["allow"], F.lit(False))
+    return joined.withColumn("blocked", blocked).drop("_rules")
 
 
 def cap_docs_per_host(

@@ -3366,15 +3366,23 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-#: robots.txt-style agent-* Disallow rules for the shared messy-URL
-#: fixture's canonical hosts (src{k}.site{doc_id%7}.{com|co.uk|
-#: github.io}): even sources disallow the '/Docs/1' prefix on one of
-#: their .com hosts (blocks ids 1, 10-19, 100-199, ...), src1's
-#: site1.com gets a blanket '/' — one source of truth, interpolated
-#: into the DuckDB twin as VALUES rows.
-ROBOTS_RULES: tuple[tuple[str, str], ...] = tuple(
-    (f"src{k}.site{k % 7}.com", "/Docs/1") for k in range(0, 20, 2)
-) + (("src1.site1.com", "/"),)
+#: robots.txt-style agent-* rules (host, prefix, allow) for the
+#: shared messy-URL fixture's canonical hosts (src{k}.site{doc_id%7}
+#: .{com|co.uk|github.io}): even sources Disallow the '/Docs/1'
+#: prefix on one of their .com hosts (blocks ids 1, 10-19, 100-199,
+#: ...), src1's site1.com gets a blanket Disallow '/' with a LONGER
+#: Allow '/Docs/1' carving ids back out (RFC 9309 longest-match), and
+#: src2.site2.com gets an Allow at the SAME length as its Disallow
+#: (the least-restrictive tie rule) — one source of truth,
+#: interpolated into the DuckDB twin as VALUES rows.
+ROBOTS_RULES: tuple[tuple[str, str, bool], ...] = tuple(
+    (f"src{k}.site{k % 7}.com", "/Docs/1", False)
+    for k in range(0, 20, 2)
+) + (
+    ("src1.site1.com", "/", False),
+    ("src1.site1.com", "/Docs/1", True),
+    ("src2.site2.com", "/Docs/1", True),
+)
 
 
 def lexicon_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3589,20 +3597,22 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots-Disallow filtering (operators/webcrawl
-    .robots_disallow_filter) over the shared messy-URL fixture: rules
-    broadcast as ONE prefix-array row per host, verdicts from a
-    scan-side exists/startswith — the URL side is never shuffled or
-    row-multiplied. Blocked share is host-dependent by construction
-    (prefix rule on even sources, blanket '/' on src1, no rules
-    elsewhere); the DuckDB twin replays the same VALUES rules through
-    the shared canon CTEs."""
+    """robots Allow/Disallow filtering with RFC 9309 precedence
+    (operators/webcrawl.robots_disallow_filter) over the shared
+    messy-URL fixture: rules broadcast as ONE length-sorted rule-array
+    row per host, verdicts from a scan-side first-match filter — the
+    URL side is never shuffled or row-multiplied. Blocked share is
+    host-dependent by construction (prefix Disallow on even sources,
+    blanket '/' on src1 overridden by a LONGER Allow, an equal-length
+    Allow/Disallow tie on src2 that Allow wins, no rules elsewhere);
+    the DuckDB twin replays the same VALUES rules and the same
+    longest-match/Allow-tie order through the shared canon CTEs."""
     from aws_de_final_project_spark.operators import webcrawl as WC
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"].select("doc_id", _messy_url().alias("url"))
     rules = spark.createDataFrame(
-        list(ROBOTS_RULES), ["host", "prefix"]
+        list(ROBOTS_RULES), ["host", "prefix", "allow"]
     )
     out = WC.robots_disallow_filter(docs, rules, "url")
     return out.select(

@@ -721,3 +721,37 @@ def test_extract_anchors_three_quoting_styles(spark):
         ("http://b.com/2", "Beta Two"),
         ("http://c.com/3", "Gamma Three"),
     ], pairs
+
+
+def test_robots_rfc9309_precedence(spark):
+    """RFC 9309: longest matching rule wins; Allow wins an
+    equal-length tie; a blanket Disallow '/' is overridden by a
+    longer Allow; unmatched and rule-less hosts stay unblocked."""
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/private/x"),     # /private Disallow
+            (2, "http://a.com/private/ok/x"),  # longer Allow wins
+            (3, "http://a.com/dup/z"),         # equal-length tie -> Allow
+            (4, "http://b.com/other"),         # blanket '/'
+            (5, "http://b.com/Docs/10"),       # longer Allow over '/'
+            (6, "http://c.com/w"),             # no rules
+        ],
+        ["i", "url"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/private", False),
+            ("a.com", "/private/ok", True),
+            ("a.com", "/dup", False),
+            ("a.com", "/dup", True),
+            ("b.com", "/", False),
+            ("b.com", "/Docs/1", True),
+        ],
+        ["host", "prefix", "allow"],
+    )
+    out = WC.robots_disallow_filter(urls, rules, "url")
+    got = {r.i: r.blocked for r in out.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False, 6: False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
