@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_replay": X.streaming_session_replay,
         "bloom_decontaminate_docs": X.bloom_decontaminate_docs,
         "bpe_merge_candidates": X.bpe_merge_candidates,
+        "bpe_merge_table": X.bpe_merge_table,
         "anchor_text_stats": X.anchor_text_stats,
         "sentence_stats_docs": X.sentence_stats_docs,
         "robots_filter_docs": X.robots_filter_docs,
@@ -396,6 +397,67 @@ def _sq(pattern: str) -> str:
     """Escape a regex constant for a single-quoted SQL literal (the
     href patterns contain ' since the single-quoted style landed)."""
     return pattern.replace("'", "''")
+
+
+def _bpe_merge_table_sql(k: int = 16) -> str:
+    """GENERATED oracle for bpe_merge_table: the identical k BPE
+    training iterations unrolled as chained CTEs — same boundary
+    encoding (<sym><sym>..., built with RE2 '\\1' where Spark uses
+    '$1'), same corpus-weighted adjacent-pair count, same
+    (freq DESC, lhs, rhs) argmax tie-break, same greedy substring
+    replace. Unrolling (not WITH RECURSIVE) keeps the SQL a plain
+    dependency chain DuckDB plans like any other query."""
+    ctes = [
+        f"""wd AS (
+                SELECT unnest(string_split({_NORM.format(c='text')}, ' '))
+                       AS w
+                FROM documents
+            ),
+            wc AS (
+                SELECT w, count(*) AS c FROM wd
+                WHERE len(w) >= 2 GROUP BY w
+            ),
+            syms0 AS MATERIALIZED (
+                SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS enc, c
+                FROM wc
+            )"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""pr{i} AS MATERIALIZED (
+                SELECT split_part(pair, ' ', 1) AS lhs,
+                       split_part(pair, ' ', 2) AS rhs,
+                       CAST(sum(c) AS BIGINT) AS freq
+                FROM (
+                    SELECT unnest([s[j] || ' ' || s[j+1]
+                                   for j in range(1, len(s))]) AS pair,
+                           c
+                    FROM (SELECT string_split(
+                                     substr(enc, 2, len(enc) - 2),
+                                     '><') AS s, c
+                          FROM syms{i - 1})
+                    WHERE len(s) >= 2
+                ) GROUP BY 1, 2
+            ),
+            b{i} AS MATERIALIZED (
+                SELECT lhs, rhs, freq FROM pr{i}
+                ORDER BY freq DESC, lhs, rhs LIMIT 1
+            ),
+            syms{i} AS MATERIALIZED (
+                SELECT replace(enc, '<' || b.lhs || '><' || b.rhs || '>',
+                               '<' || b.lhs || b.rhs || '>') AS enc, c
+                FROM syms{i - 1} CROSS JOIN b{i} b
+            )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, lhs, rhs, freq FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f" SELECT * FROM ({final}) ORDER BY step"
+    )
 
 
 _STOPWORDS = {
@@ -4332,6 +4394,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY freq DESC, pair
             LIMIT 50
         """,
+        # full BPE training replay: 16 unrolled iterations, generated
+        "bpe_merge_table": _bpe_merge_table_sql(16),
         # Bloom geometry interpolated from the module constants; "bit
         # set" <=> position in the distinct benchmark-position set, so
         # the all-k verdicts (false positives included) replay exactly

@@ -446,3 +446,85 @@ def mojibake_chars_recovered(col: Column | str) -> Column:
     delta is positive iff anything was repaired)."""
     t = F.col(col) if isinstance(col, str) else col
     return (F.length(t) - F.length(repair_mojibake(t))).cast("long")
+
+
+def bpe_train_merges(vocab, n_merges: int = 16):
+    """Full BPE tokenizer training over a word-frequency VOCABULARY:
+    ``vocab`` is a DataFrame (w, c) — the output of the one corpus
+    aggregate that makes web-scale BPE tractable (100 TB of text
+    collapses to |vocab| rows before any per-character work) — and
+    the result is the ordered merge table (step, lhs, rhs, freq), the
+    artifact a GPT-2-style trainer ships.
+
+    Each of the ``n_merges`` iterations is classic Sennrich et al.
+    BPE: count adjacent SYMBOL pairs corpus-weighted, merge the
+    argmax (ties broken freq DESC then (lhs, rhs) lexicographic —
+    deterministic on both engines over the [a-z0-9] alphabet), apply
+    greedily left-to-right. The driver loop is legitimate at scale:
+    every per-iteration job runs on the MATERIALIZED vocab
+    (localCheckpoint up front — the corpus is never rescanned), the
+    pair aggregate is bounded by |alphabet + merges|^2, and the only
+    driver traffic is one argmax row per step.
+
+    The symbol sequence rides as a ``<sym><sym>...`` STRING: the
+    explicit ``<``/``>`` boundaries (never in the [a-z0-9] symbol
+    alphabet) make greedy merge application a plain substring
+    ``replace('<l><r>', '<lr>')`` — left-to-right non-overlapping on
+    BOTH engines, so overlapping runs (``aaa`` under an ``aa`` merge)
+    and prefix ambiguity (``<t><he>`` under a ``(t, h)`` merge) are
+    handled for free, and the DuckDB oracle replays the identical 16
+    unrolled iterations with the identical replace.
+    """
+    spark = vocab.sparkSession
+    syms = vocab.select(
+        F.regexp_replace(F.col("w"), "(.)", "<$1>").alias("enc"),
+        F.col("c"),
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, n_merges + 1):
+        s = F.split(
+            F.col("enc").substr(F.lit(2), F.length("enc") - F.lit(2)),
+            "><",
+        )
+        pairs = (
+            syms.select(s.alias("s"), "c")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.concat(
+                            F.element_at("s", i),
+                            F.lit(" "),
+                            F.element_at("s", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("long").alias("freq"))
+        )
+        best = (
+            pairs.select(
+                F.substring_index("pair", " ", 1).alias("lhs"),
+                F.substring_index("pair", " ", -1).alias("rhs"),
+                "freq",
+            )
+            .orderBy(F.desc("freq"), "lhs", "rhs")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((step, best.lhs, best.rhs, int(best.freq)))
+        syms = syms.select(
+            F.replace(
+                F.col("enc"),
+                F.lit(f"<{best.lhs}><{best.rhs}>"),
+                F.lit(f"<{best.lhs}{best.rhs}>"),
+            ).alias("enc"),
+            "c",
+        )
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, freq long"
+    )

@@ -3769,6 +3769,36 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (functions/text.bpe_train_merges):
+    16 iterations of count-pairs / merge-argmax / greedy-rewrite over
+    the corpus word-frequency vocabulary — the ordered merge table a
+    GPT-2-style trainer ships, not just one iteration's candidates
+    (which :func:`bpe_merge_candidates` keeps covering). The corpus
+    is aggregated ONCE and materialized; training then runs on
+    vocab-sized data with one argmax row per step crossing to the
+    driver. FULL DuckDB oracle: the identical 16 iterations unrolled
+    as chained CTEs with the identical boundary-encoded substring
+    replace and the identical (freq DESC, lhs, rhs) tie-break."""
+    from aws_de_final_project_spark.functions.text import (
+        bpe_train_merges,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.split(TX.normalized_text("text"), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bpe_train_merges(vocab, 16).orderBy("step")
+
+
 def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/curation
     .bloom_build_mask / bloom_decontaminate): every 97th document

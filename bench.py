@@ -28,6 +28,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "return_pct_by_nation",
+    # round-9 additions
+    "bpe_merge_table",
     # round-8 additions
     "host_blocklist_filter",
     "warc_extract_stats",

@@ -504,3 +504,58 @@ def test_mixture_plan_rates_properties(spark):
                 assert abs(r.rate - want / avails[i]) <= 1e-5
             total_take += r.take_tokens
         assert abs(total_take - min(budget, sum(avails))) <= 1e-2, trial
+
+
+def test_bpe_train_merges_match_python_reference(spark):
+    """The full merge LOOP equals a pure-Python Sennrich-style BPE
+    trainer: same all-adjacent (overlap-counting) pair statistics,
+    same (freq DESC, lhs, rhs) argmax tie-break, same greedy
+    left-to-right non-overlapping application — exercised on runs
+    ('aaaa' under an 'aa' merge) and prefix ambiguity ('he' vs a
+    (t, h) merge candidate inside 'the')."""
+    from aws_de_final_project_spark.functions.text import (
+        bpe_train_merges,
+    )
+
+    vocab = {
+        "the": 10, "he": 7, "hehe": 3, "there": 4,
+        "aaaa": 5, "aaa": 2, "banana": 6, "bandana": 1,
+        "low": 5, "lower": 2, "lowest": 1, "newer": 6,
+    }
+
+    def py_bpe(vocab, k):
+        syms = {w: list(w) for w in vocab}
+        merges = []
+        for step in range(1, k + 1):
+            counts = {}
+            for w, c in vocab.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = (
+                        counts.get((s[i], s[i + 1]), 0) + c
+                    )
+            if not counts:
+                break
+            (l, r), f = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((step, l, r, f))
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    want = py_bpe(vocab, 12)
+    df = spark.createDataFrame(list(vocab.items()), ["w", "c"])
+    got = [
+        (r.step, r.lhs, r.rhs, r.freq)
+        for r in bpe_train_merges(df, 12).orderBy("step").collect()
+    ]
+    assert got == want, (got, want)
