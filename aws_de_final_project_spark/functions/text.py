@@ -528,3 +528,63 @@ def bpe_train_merges(vocab, n_merges: int = 16):
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, freq long"
     )
+
+
+def lexicon_hits_arrow(
+    df,
+    text_col: str,
+    id_col: str,
+    lexicon: tuple[str, ...] = FILTER_LEXICON,
+):
+    """Deployment-size twin of :func:`lexicon_hits` — the path for
+    word lists too large for a literal IN-set (real C4-style
+    blocklists run to tens of thousands of terms; at ~2^16+ literals
+    the IN-set's plan text is the same driver-side pathology as the
+    classifier's literal weight bank). The lexicon rides the task
+    closure as ONE frozenset (a 100k-word list is a few MB —
+    broadcast-sized, never SQL text) and every Arrow batch counts
+    whole-token hits with an exact set probe: scan-side, zero joins,
+    zero shuffles — same posture as the classifier's Arrow path, and
+    the 'broadcast side-structure' answer the host-blocklist join
+    cannot give (a join can filter rows by key but cannot COUNT
+    per-row membership without re-aggregating the corpus).
+
+    Tokenization replicates :func:`normalized_text` + split exactly
+    (lowercase, non-[a-z0-9] runs to spaces, whole tokens), pinned by
+    the agreement test vs the IN-set form in tests/test_webcrawl.py.
+
+    Returns (id_col, n_lexicon_hits, flagged) — one row per input.
+    """
+    import re as _re
+
+    lex = frozenset(lexicon)
+    id_type = df.schema[id_col].dataType.simpleString()
+    strip = _re.compile("[^a-z0-9]+")
+
+    def count(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hits = []
+            for text in pdf[text_col].astype(object):
+                toks = (
+                    strip.sub(" ", text.lower()).split()
+                    if isinstance(text, str)
+                    else []
+                )
+                hits.append(sum(1 for t in toks if t in lex))
+            h = np.asarray(hits, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_lexicon_hits": h,
+                    "flagged": (h > 0).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        count, f"{id_col} {id_type}, n_lexicon_hits long, flagged int"
+    )

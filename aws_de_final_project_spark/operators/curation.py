@@ -131,12 +131,16 @@ def bloom_build_mask(
     bounded collect into an m/8-byte numpy bitmask.
 
     The collect is the POINT, not a compromise: distinct positions are
-    capped at ``m_bits`` (1M at the default) regardless of benchmark
-    size, and the returned mask is m/8 bytes (1 MiB) — versus an
-    8-byte-per-shingle exact hash set that grows without bound. A
-    10M-shingle eval suite is an 80 MB broadcast exact but still 1 MiB
-    as a Bloom; that compression is what makes decontamination against
-    a large benchmark family viable on every executor at 100 TB.
+    capped at ``m_bits`` (2^23 ~ 8.4M at the default) regardless of
+    benchmark size, and the returned mask is m/8 bytes (1 MiB) —
+    versus an 8-byte-per-shingle exact hash set that grows without
+    bound. A 10M-shingle eval suite is an 80 MB broadcast exact but
+    still 1 MiB as a Bloom; that compression is what makes
+    decontamination against a large benchmark family viable on every
+    executor at 100 TB. The positions stream through
+    ``toLocalIterator`` partition-by-partition, so even a saturated
+    mask (all 8.4M positions distinct) never materializes the full
+    Row list on the driver — peak driver overhead is one partition.
     """
     import numpy as np
 
@@ -147,7 +151,7 @@ def bloom_build_mask(
         F.explode(bloom_positions(F.col("_sh"), k, m_bits)).alias("p")
     ).distinct()
     arr = np.fromiter(
-        (r.p for r in pos.collect()), dtype=np.int64
+        (r.p for r in pos.toLocalIterator()), dtype=np.int64
     )
     mask = np.zeros(m_bits // 8, dtype=np.uint8)
     if arr.size:

@@ -282,7 +282,18 @@ def filter_by_host_stats(
     at this scale because the corpus never fits, and beat a shuffle
     join by the full corpus width. The share comparison uses the raw
     0/1 average (exact integer-valued doubles), so the DuckDB twin
-    replays it bit-for-bit."""
+    replays it bit-for-bit.
+
+    Reserved output column: the kept frame gains ``domain`` (the
+    registered domain the verdict keyed on); an input that already
+    carries ``domain`` or ``_domain`` is rejected rather than
+    silently clobbered — rename it first."""
+    for taken in ("_domain", "domain"):
+        if taken in df.columns:
+            raise ValueError(
+                f"filter_by_host_stats reserves the output column "
+                f"{taken!r}; rename it on the input first"
+            )
     dom = registered_domain(url_host(canonicalize_url(url_col)))
     with_dom = df.withColumn("_domain", dom)
     blocked = (

@@ -77,7 +77,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over 3-gram shingles (verified
     shingle-J >= 0.5). No SQL oracle (signatures depend on Spark's
     xxhash64); recall vs dedup_ngram_jaccard is asserted in
-    tests/test_dedup.py."""
+    tests/test_dedup.py. Oracled twin: dedup_minhash_portable —
+    the identical pipeline on the portable md5 hash family, FULL
+    DuckDB oracle (the pairing the rows-only contract test pins)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.minhash_lsh_pairs(
         t["documents"], "text", "doc_id", threshold=0.5
@@ -118,7 +120,11 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3). Rows-only check."""
+    """SimHash near-dup pairs (hamming <= 3). Rows-only check
+    (signatures depend on Spark's xxhash64). Oracled twin:
+    dedup_simhash_portable — same banding/verify on the
+    portable md5 family, FULL DuckDB oracle (the pairing the
+    rows-only contract test pins)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.simhash_near_pairs(
         t["documents"], "text", "doc_id", max_hamming=3
@@ -259,7 +265,9 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: HyperLogLog++ distinct users
     and approximate value percentiles. Rows-only check (sketch
     internals are engine-specific); accuracy vs exact is asserted in
-    tests/test_sketches.py.
+    tests/test_sketches.py. Oracled twin: sketch_kmv_distinct_portable
+    — the same sketch-vs-exact contract on the portable KMV family,
+    FULL DuckDB oracle (the pairing the rows-only contract test pins).
 
     The 100 TB rationale: exact COUNT(DISTINCT) shuffles every
     distinct key; the HLL sketch is a fixed few-KB buffer per group,
@@ -749,7 +757,9 @@ def dedup_component_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere). Rows-only check (edges depend on Spark's xxhash64);
     the clustering itself is pinned by the oracled exact twin and the
     union-find ground-truth test, and LSH edge recall by
-    tests/test_dedup.py."""
+    tests/test_dedup.py. Oracled twin: dedup_component_groups_portable
+    — the identical clustering over the portable md5 LSH edges, FULL
+    DuckDB oracle (the pairing the rows-only contract test pins)."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)

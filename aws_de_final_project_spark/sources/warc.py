@@ -111,10 +111,14 @@ def parse_warc_member(data: bytes, name: str = "") -> Iterator[dict]:
                 yield _corrupt(name, f"malformed header line {line[:40]!r}")
                 ok = False
                 break
-            # fold into the canonical lower-case key space
-            headers[k.decode("latin-1").strip().lower()] = v.decode(
-                "latin-1"
-            ).strip()
+            # fold into the canonical lower-case key space. Values
+            # decode as UTF-8 (WARC/1.0 §4 headers are UTF-8 — the
+            # write side encodes them the same way, so a non-ASCII
+            # WARC-Target-URI roundtrips losslessly; errors='replace'
+            # keeps genuinely broken bytes from killing the member)
+            headers[
+                k.decode("utf-8", errors="replace").strip().lower()
+            ] = v.decode("utf-8", errors="replace").strip()
         if not ok:
             pos = _resync(data, hdr_end)
             continue

@@ -35,3 +35,26 @@ def test_no_complex_output_columns(name, spark):
         "pandas canonicalizer cannot hash list/dict cells — serialize "
         "to a string at the tail of the plan"
     )
+
+
+def test_rows_only_entries_name_a_live_oracled_twin():
+    """Every queries() entry WITHOUT an oracle_sql() twin (the
+    engine-hash variants) must name its FULL-oracle portable twin in
+    its docstring ('Oracled twin: <name>'), and that twin must still
+    exist with an oracle — so a future change that drops or renames
+    the pairing fails loudly instead of silently weakening the
+    rows-only entries to unchecked coverage (VERDICT r8 item 10)."""
+    import re
+
+    oracles = entrymod.oracle_sql()
+    rows_only = sorted(set(_QUERIES) - set(oracles))
+    for name in rows_only:
+        doc = _QUERIES[name].__doc__ or ""
+        m = re.search(r"Oracled twin:\s*([A-Za-z0-9_]+)", doc)
+        assert m, (
+            f"rows-only entry {name!r} does not name its oracled twin "
+            "in the docstring ('Oracled twin: <name>')"
+        )
+        twin = m.group(1)
+        assert twin in _QUERIES, (name, twin, "twin not registered")
+        assert twin in oracles, (name, twin, "twin has no oracle")

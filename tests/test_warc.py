@@ -122,3 +122,22 @@ def test_read_warc_distributed(spark, tmp_path):
     # plan pin: parse is scan-side — no exchange anywhere
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_non_ascii_header_roundtrip():
+    """WARC/1.0 headers are UTF-8: a non-ASCII WARC-Target-URI must
+    survive a write -> parse roundtrip byte-losslessly (ADVICE r8:
+    the parse side used latin-1 and mojibaked it)."""
+    uri = "https://exämple.com/päth/ß?q=日本語"
+    recs = [
+        {
+            "record_id": "<urn:uuid:rec-ü>",
+            "target_uri": uri,
+            "payload": b"HTTP/1.1 200 OK\r\n\r\nok",
+        }
+    ]
+    out = list(W.parse_warc_member(_member_bytes(recs), "m0"))
+    assert len(out) == 1
+    assert out[0]["corrupt_reason"] is None
+    assert out[0]["target_uri"] == uri
+    assert out[0]["record_id"] == "<urn:uuid:rec-ü>"

@@ -755,3 +755,46 @@ def test_robots_rfc9309_precedence(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lexicon_arrow_agrees_with_inset(spark):
+    """Deployment-size lexicon path: the Arrow frozenset probe must
+    count exactly what the literal IN-set HOF counts — exercised with
+    repeats, near-misses (substring, punctuation-adjacent), unicode,
+    and empty docs — and with a 50k-term lexicon the plan must stay
+    O(1) in lexicon size (no literal bank) with zero exchanges."""
+    import time
+
+    from aws_de_final_project_spark.functions import text as TX
+
+    docs = [
+        (0, "win the JACKPOT at our casino casino tonight"),
+        (1, "no bad words here at all"),
+        (2, "scamper is not scam but scam! is"),
+        (3, ""),
+        (4, "freebie-giveaway viagra, warez; spam."),
+        (5, "unicode tökens and 日本語 with lottery"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    inset = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", TX.lexicon_hits("text").alias("n")
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: r.n_lexicon_hits
+        for r in TX.lexicon_hits_arrow(df, "text", "doc_id").collect()
+    }
+    assert inset == arrow, (inset, arrow)
+    assert inset[0] == 3 and inset[2] == 2 and inset[3] == 0
+
+    big_lex = TX.FILTER_LEXICON + tuple(f"badword{i}" for i in range(50_000))
+    t0 = time.monotonic()
+    out = TX.lexicon_hits_arrow(df, "text", "doc_id", big_lex)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert time.monotonic() - t0 < 5.0
+    assert len(plan) < 20_000, len(plan)
+    assert "Exchange" not in plan, plan
+    got = {r.doc_id: r.n_lexicon_hits for r in out.collect()}
+    assert got == inset, (got, inset)
