@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_stats": X.anchor_text_stats,
         "sentence_stats_docs": X.sentence_stats_docs,
         "robots_filter_docs": X.robots_filter_docs,
+        "registered_domain_psl_docs": X.registered_domain_psl_docs,
         "zipf_fit_tokens": X.zipf_fit_tokens,
         "streaming_drift_replay": X.streaming_drift_replay,
         "bloom_incremental_union": X.bloom_incremental_union,
@@ -459,6 +460,14 @@ def _bpe_merge_table_sql(k: int = 16) -> str:
         + f" SELECT * FROM ({final}) ORDER BY step"
     )
 
+
+def _sql_str_list(vals) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+
+_PSL_EXACT_SQL, _PSL_WILD_SQL, _PSL_EXC_SQL = (
+    _sql_str_list(s) for s in _WC._psl_rule_sets(_WC.psl_default_rules())
+)
 
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
@@ -4396,6 +4405,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full BPE training replay: 16 unrolled iterations, generated
         "bpe_merge_table": _bpe_merge_table_sql(16),
+        # full public-suffix algorithm replay: same fixture hosts,
+        # same longest-match over the same three interpolated rule
+        # arrays (exact / wildcard-parent / exception), same implicit
+        # * default and Allow-style exception override
+        "registered_domain_psl_docs": f"""
+            WITH hosts AS (
+                SELECT CASE
+                    WHEN doc_id % 6 = 0 THEN 'www.site'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.nsw.edu.au'
+                    WHEN doc_id % 6 = 1 THEN 'sub.site'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                    WHEN doc_id % 6 = 2 THEN 'a.site'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+                    WHEN doc_id % 6 = 3 THEN 'sub.www.ck'
+                    WHEN doc_id % 6 = 4 THEN 'host'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.example.zz'
+                    ELSE 'www.school'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.pvt.k12.ma.us'
+                END AS host
+                FROM documents
+            ),
+            lab AS (
+                SELECT host, string_split(host, '.') AS labels
+                FROM hosts
+            ),
+            sfx AS (
+                SELECT host, labels, len(labels) AS n,
+                       [array_to_string(labels[i:], '.')
+                        for i in range(1, len(labels) + 1)] AS s
+                FROM lab
+            ),
+            mins AS (
+                SELECT host, labels, n,
+                       list_min(list_filter(generate_series(1, n),
+                           i -> list_contains({_PSL_EXACT_SQL}, s[i])))
+                           AS exact_min,
+                       list_min(list_filter(generate_series(1, n),
+                           i -> i < n AND
+                                list_contains({_PSL_WILD_SQL}, s[i+1])))
+                           AS wild_min,
+                       list_min(list_filter(generate_series(1, n),
+                           i -> list_contains({_PSL_EXC_SQL}, s[i])))
+                           AS exc_min
+                FROM sfx
+            ),
+            dom AS (
+                SELECT array_to_string(
+                           labels[greatest(
+                               (CASE WHEN exc_min IS NOT NULL
+                                     THEN exc_min + 1
+                                     ELSE least(coalesce(exact_min, n),
+                                                coalesce(wild_min, n),
+                                                n) END) - 1, 1):],
+                           '.') AS domain
+                FROM mins
+            )
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+            FROM dom GROUP BY domain ORDER BY domain
+        """,
         # Bloom geometry interpolated from the module constants; "bit
         # set" <=> position in the distinct benchmark-position set, so
         # the all-k verdicts (false positives included) replay exactly

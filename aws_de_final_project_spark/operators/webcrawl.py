@@ -183,6 +183,211 @@ PUBLIC_SUFFIXES_2L = (
 )
 
 
+# Extension of the vendored PSL subset beyond two-label suffixes:
+# multi-level exact rules, wildcard rules (``*.`` matches exactly one
+# label) and exception rules (``!`` un-publics a wildcard match) —
+# the three rule forms of the full publicsuffix.org format, so the
+# generic matcher exercises every branch. The COMPLETE list (~9k
+# rules, MPL-licensed public data) is a deployment input loaded with
+# :func:`load_psl`; this subset keeps the repo self-contained.
+PSL_EXTRA_RULES: tuple[str, ...] = (
+    # multi-level exact rules (US K-12 registries, AU state edu,
+    # platform buckets)
+    "k12.ma.us", "pvt.k12.ma.us", "k12.ca.us", "k12.ny.us",
+    "k12.tx.us", "k12.il.us", "k12.wa.us", "cc.ca.us", "lib.ca.us",
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au",
+    "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    "s3.amazonaws.com",
+    # wildcard rules: every label directly under the parent is itself
+    # a public suffix
+    "*.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "*.compute.amazonaws.com",
+    # exception rules: carved back out of the wildcards above
+    "!www.ck", "!city.kawasaki.jp", "!city.kitakyushu.jp",
+    "!city.kobe.jp", "!city.nagoya.jp", "!city.sapporo.jp",
+    "!city.sendai.jp", "!city.yokohama.jp",
+)
+
+
+def load_psl(path: str) -> tuple[str, ...]:
+    """Parse a ``public_suffix_list.dat`` file (publicsuffix.org
+    format: ``//`` comments, blank lines, one rule per line — exact,
+    ``*.`` wildcard, or ``!`` exception) into the rule tuple
+    :func:`registered_domain_psl` / :func:`registered_domain_psl_arrow`
+    consume. IDNA labels are taken as written (the PSL ships both
+    Unicode and punycode forms; canonical hosts are punycode, so a
+    deployment feeds the punycode section or pre-encodes)."""
+    rules = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.split()[0].lower())
+    return tuple(rules)
+
+
+def _psl_rule_sets(
+    rules: tuple[str, ...],
+) -> tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]:
+    """Split a PSL rule tuple into (exact, wildcard-parents,
+    exceptions) — wildcards keyed by the parent the ``*`` hangs off,
+    exceptions stored without the ``!``."""
+    exact, wild, exc = [], [], []
+    for r in rules:
+        if r.startswith("!"):
+            exc.append(r[1:])
+        elif r.startswith("*."):
+            wild.append(r[2:])
+        else:
+            exact.append(r)
+    return tuple(exact), tuple(wild), tuple(exc)
+
+
+def psl_default_rules() -> tuple[str, ...]:
+    """The vendored rule set: the high-traffic two-label subset plus
+    the multi-level/wildcard/exception extension."""
+    return PUBLIC_SUFFIXES_2L + PSL_EXTRA_RULES
+
+
+def registered_domain_psl(
+    host: Column, rules: tuple[str, ...] | None = None
+) -> Column:
+    """Registered domain under the FULL public-suffix algorithm
+    (https://publicsuffix.org/list/ semantics): among all rules
+    matching a suffix of the host — exact, wildcard (``*`` matches
+    one label), with the implicit ``*`` default — the LONGEST match
+    is the public suffix, unless an exception rule matches (its
+    public suffix is the rule minus its leftmost label); the
+    registered domain is the public suffix plus one label. A host
+    that IS a bare public suffix (or a single label) passes through
+    unchanged, same convention as :func:`registered_domain`.
+
+    Pure codegen: candidate suffixes come from one split +
+    sequence/transform, rule membership is three literal IN-array
+    probes — right for vendored-scale rule sets and for the DuckDB
+    oracle (which interpolates the same three arrays). At the real
+    list's ~9k rules the literal arrays become plan-text pathology;
+    :func:`registered_domain_psl_arrow` is the deployment twin
+    (same algorithm, closure frozensets, agreement-tested)."""
+    exact, wild, exc = _psl_rule_sets(
+        psl_default_rules() if rules is None else rules
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    idxs = F.sequence(F.lit(1), n)
+    sfx = F.transform(
+        idxs,
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    exact_arr = F.array(*[F.lit(s) for s in exact])
+    wild_arr = F.array(*[F.lit(s) for s in wild])
+    exc_arr = F.array(*[F.lit(s) for s in exc])
+    exact_min = F.array_min(
+        F.filter(
+            idxs,
+            lambda i: F.array_contains(exact_arr, F.element_at(sfx, i)),
+        )
+    )
+    wild_min = F.array_min(
+        F.filter(
+            idxs,
+            lambda i: (i < n)
+            & F.array_contains(wild_arr, F.element_at(sfx, i + 1)),
+        )
+    )
+    exc_min = F.array_min(
+        F.filter(
+            idxs,
+            lambda i: F.array_contains(exc_arr, F.element_at(sfx, i)),
+        )
+    )
+    p_start = F.when(exc_min.isNotNull(), exc_min + 1).otherwise(
+        F.least(
+            F.coalesce(exact_min, n), F.coalesce(wild_min, n), n
+        )
+    )
+    reg_start = F.greatest(p_start - 1, F.lit(1))
+    return F.array_join(
+        F.slice(labels, reg_start, n - reg_start + 1), "."
+    )
+
+
+def _py_registered_domain_psl(
+    host: str,
+    exact: frozenset,
+    wild: frozenset,
+    exc: frozenset,
+) -> str:
+    """Python twin of :func:`registered_domain_psl` (same algorithm,
+    set probes) — the kernel of the Arrow deployment path."""
+    labels = host.split(".")
+    n = len(labels)
+    sfx = [".".join(labels[i:]) for i in range(n)]  # 0-based here
+    exc_hit = min(
+        (i for i in range(n) if sfx[i] in exc), default=None
+    )
+    if exc_hit is not None:
+        p = exc_hit + 1
+    else:
+        exact_hit = min(
+            (i for i in range(n) if sfx[i] in exact), default=n - 1
+        )
+        wild_hit = min(
+            (
+                i
+                for i in range(n - 1)
+                if sfx[i + 1] in wild
+            ),
+            default=n - 1,
+        )
+        p = min(exact_hit, wild_hit, n - 1)
+    reg = max(p - 1, 0)
+    return ".".join(labels[reg:])
+
+
+def registered_domain_psl_arrow(
+    df: DataFrame,
+    host_col: str,
+    rules: tuple[str, ...],
+    out_col: str = "domain",
+) -> DataFrame:
+    """Deployment twin of :func:`registered_domain_psl` for the
+    complete ~9k-rule publicsuffix.org file (:func:`load_psl`): the
+    three rule sets ride the task closure as frozensets (~1 MB —
+    broadcast-sized, never SQL text) and each Arrow batch runs the
+    identical longest-match algorithm with O(labels) set probes per
+    host. Scan-side, zero joins, zero shuffles — the same
+    deployment-width posture as the classifier weight bank and the
+    lexicon frozenset. Appends ``out_col`` to the input columns."""
+    exact, wild, exc = (
+        frozenset(s) for s in _psl_rule_sets(rules)
+    )
+    cols = df.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} string"
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                _py_registered_domain_psl(h, exact, wild, exc)
+                if isinstance(h, str)
+                else None
+                for h in pdf[host_col].astype(object)
+            ]
+            yield pdf
+
+    return df.mapInPandas(attach, schema)
+
+
 def registered_domain(host: Column) -> Column:
     """Registered domain via the vendored public-suffix subset: when
     the host's last two labels are a known public suffix (``co.uk``,

@@ -3779,6 +3779,42 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def registered_domain_psl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full public-suffix-algorithm domain extraction (operators/
+    webcrawl.registered_domain_psl) over a deterministic host fixture
+    that lands on every rule branch: 3-level exact (nsw.edu.au),
+    4-level exact (pvt.k12.ma.us), 2-level IN-set (co.uk), wildcard
+    (*.ck), exception (!www.ck), and the implicit * default (.zz).
+    Output: (domain, n_docs) — grouped so the suffix separation is
+    what the hash checks. FULL DuckDB oracle: the identical
+    longest-match algorithm replayed with the same three interpolated
+    rule arrays. The codegen path is the oracled one; the ~9k-rule
+    deployment file runs through registered_domain_psl_arrow
+    (agreement-tested in tests/test_webcrawl.py)."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    k = (d % 7).cast("string")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("www.site"), k, F.lit(".nsw.edu.au")))
+        .when(d % 6 == 1, F.concat(F.lit("sub.site"), k, F.lit(".co.uk")))
+        .when(d % 6 == 2, F.concat(F.lit("a.site"), k, F.lit(".ck")))
+        .when(d % 6 == 3, F.lit("sub.www.ck"))
+        .when(d % 6 == 4, F.concat(F.lit("host"), k, F.lit(".example.zz")))
+        .otherwise(
+            F.concat(F.lit("www.school"), k, F.lit(".pvt.k12.ma.us"))
+        )
+    )
+    docs = t["documents"].select(host.alias("host"))
+    return (
+        docs.select(WC.registered_domain_psl(F.col("host")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL BPE tokenizer training (functions/text.bpe_train_merges):
     16 iterations of count-pairs / merge-argmax / greedy-rewrite over

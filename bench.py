@@ -30,6 +30,7 @@ HEADLINE = [
     "return_pct_by_nation",
     # round-9 additions
     "bpe_merge_table",
+    "registered_domain_psl_docs",
     # round-8 additions
     "host_blocklist_filter",
     "warc_extract_stats",

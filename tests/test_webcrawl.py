@@ -798,3 +798,112 @@ def test_lexicon_arrow_agrees_with_inset(spark):
     assert "Exchange" not in plan, plan
     got = {r.doc_id: r.n_lexicon_hits for r in out.collect()}
     assert got == inset, (got, inset)
+
+
+PSL_CASES = [
+    # exact 2-label (IN-set territory)
+    ("news.bbc.co.uk", "bbc.co.uk"),
+    ("a.com.au", "a.com.au"),
+    ("shop.a.com.au", "a.com.au"),
+    ("shop.b.com.au", "b.com.au"),
+    # 3-level exact rules: a.X and b.X under the suffix stay distinct
+    ("a.nsw.edu.au", "a.nsw.edu.au"),
+    ("www.a.nsw.edu.au", "a.nsw.edu.au"),
+    ("www.b.nsw.edu.au", "b.nsw.edu.au"),
+    # 4-level exact rule nests inside the 3-level one
+    ("school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+    ("www.school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+    ("district.k12.ma.us", "district.k12.ma.us"),
+    # wildcard: every label under *.ck is itself a public suffix
+    ("x.anything.ck", "x.anything.ck"),
+    ("www.x.anything.ck", "x.anything.ck"),
+    # exception !www.ck carves www.ck back out
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+    ("x.b29.kawasaki.jp", "x.b29.kawasaki.jp"),
+    # platform wildcards
+    ("vm.eu-1.compute.amazonaws.com", "vm.eu-1.compute.amazonaws.com"),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    # default * rule: unknown TLD -> last two
+    ("x.example.zz", "example.zz"),
+    # bare suffixes / single labels pass through
+    ("co.uk", "co.uk"),
+    ("anything.ck", "anything.ck"),
+    ("localhost", "localhost"),
+]
+
+
+def test_registered_domain_psl_full_algorithm(spark):
+    """The generic PSL matcher: longest-match across exact (2-4
+    label), wildcard, and exception rules, with the implicit *
+    default — codegen output equals the expected table AND the
+    Python/Arrow twin on every case."""
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(PSL_CASES)], ["i", "host"]
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", WC.registered_domain_psl(F.col("host")).alias("d")
+        ).collect()
+    }
+    for i, (h, want) in enumerate(PSL_CASES):
+        assert got[i] == want, (h, got[i], want)
+
+    arrow = {
+        r.i: r.domain
+        for r in WC.registered_domain_psl_arrow(
+            df, "host", WC.psl_default_rules()
+        ).collect()
+    }
+    assert arrow == got
+    plan = WC.registered_domain_psl_arrow(
+        df, "host", WC.psl_default_rules()
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_registered_domain_psl_agrees_with_inset_fast_path(spark):
+    """On hosts whose suffix logic the 2-label IN-set covers, the
+    full matcher and the fast path agree (the fast path remains the
+    oracled default; the full matcher extends, never contradicts)."""
+    hosts = [
+        "news.bbc.co.uk", "a.co.uk", "deep.sub.bbc.co.uk",
+        "myproj.github.io", "shop.example.com.au", "plain.example.com",
+        "x.example.zz", "co.uk", "localhost", "sub.domain.example.co",
+    ]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)], ["i", "host"])
+    fast = {
+        r.i: r.d
+        for r in df.select(
+            "i", WC.registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    full = {
+        r.i: r.d
+        for r in df.select(
+            "i", WC.registered_domain_psl(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert fast == full, (fast, full)
+
+
+def test_load_psl_parses_standard_format(tmp_path):
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "com\n"
+        "co.uk\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "// comment\n"
+        "K12.MA.US\n",
+        encoding="utf-8",
+    )
+    rules = WC.load_psl(str(p))
+    assert rules == ("com", "co.uk", "*.ck", "!www.ck", "k12.ma.us")
+    exact, wild, exc = WC._psl_rule_sets(rules)
+    assert "co.uk" in exact and "ck" in wild and "www.ck" in exc
