@@ -476,10 +476,19 @@ def bpe_train_merges(vocab, n_merges: int = 16):
     unrolled iterations with the identical replace.
     """
     spark = vocab.sparkSession
-    syms = vocab.select(
-        F.regexp_replace(F.col("w"), "(.)", "<$1>").alias("enc"),
-        F.col("c"),
-    ).localCheckpoint()
+    # a handful of partitions is right for vocab-sized data: each of
+    # the 16 iterations schedules one job over the materialized vocab,
+    # and at the session's corpus-sized partition count the scheduling
+    # overhead (16 x 32+ tasks) dominates the actual pair counting.
+    # A real deployment sizes this to |vocab| / ~1M rows.
+    syms = (
+        vocab.repartition(4)
+        .select(
+            F.regexp_replace(F.col("w"), "(.)", "<$1>").alias("enc"),
+            F.col("c"),
+        )
+        .localCheckpoint()
+    )
     merges = []
     for step in range(1, n_merges + 1):
         s = F.split(

@@ -630,8 +630,12 @@ def main() -> None:
         "scaling_probe": scaling_probe,
         "sf": float(sf) if sf else sf_dir,
     }
+    # $SPARK_GRAFT_DETAIL redirects the detail artifact so an
+    # off-tier run (e.g. the sf1 full-suite tier) never clobbers the
+    # driver's sf0.1 BENCH_DETAIL.json
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json"),
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
