@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate_docs": X.bloom_decontaminate_docs,
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "bpe_merge_table": X.bpe_merge_table,
+        "bpe_encode_docs": X.bpe_encode_docs,
+        "dsir_importance_docs": X.dsir_importance_docs,
         "anchor_text_stats": X.anchor_text_stats,
         "sentence_stats_docs": X.sentence_stats_docs,
         "robots_filter_docs": X.robots_filter_docs,
@@ -398,6 +400,18 @@ def _sq(pattern: str) -> str:
     """Escape a regex constant for a single-quoted SQL literal (the
     href patterns contain ' since the single-quoted style landed)."""
     return pattern.replace("'", "''")
+
+
+def _bpe_encode_sql(norm_expr: str) -> str:
+    """GENERATED encode expression: boundary-wrap every [a-z0-9] char
+    of the normalized text (RE2 '\\1' backreference where Spark uses
+    '$1'), then the vendored merge table as nested replaces in
+    application order — the exact chain functions/text
+    .bpe_encode_symbol_count builds."""
+    e = f"regexp_replace({norm_expr}, '([a-z0-9])', '<\\1>', 'g')"
+    for lhs, rhs in _TX.BPE_VENDORED_MERGES:
+        e = f"replace({e}, '<{lhs}><{rhs}>', '<{lhs}{rhs}>')"
+    return e
 
 
 def _bpe_merge_table_sql(k: int = 16) -> str:
@@ -4405,6 +4419,90 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full BPE training replay: 16 unrolled iterations, generated
         "bpe_merge_table": _bpe_merge_table_sql(16),
+        # DSIR importance: identical md5 buckets and tokenization
+        # (interpolated WS class), identical integer counts +
+        # Laplace-smoothed ratios through the same libm ln, floor-4dp
+        "dsir_importance_docs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(trim(lower(text)),
+                                              '{_CLF.WS_RE}'),
+                           t -> len(t) > 0)) AS tok
+                FROM documents
+            ),
+            bk AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64
+                           AS b
+                FROM toks
+            ),
+            tc AS (SELECT b, count(*) AS t FROM bk
+                   WHERE doc_id % 13 = 0 GROUP BY b),
+            rc AS (SELECT b, count(*) AS r FROM bk
+                   WHERE doc_id % 13 <> 0 GROUP BY b),
+            spine AS (SELECT unnest(generate_series(0, 63)) AS b),
+            tot AS (SELECT (SELECT coalesce(sum(t), 0) FROM tc) AS t_,
+                           (SELECT coalesce(sum(r), 0) FROM rc) AS r_),
+            w AS (
+                SELECT s.b,
+                       ln((coalesce(tc.t, 0) + 1)::DOUBLE
+                          / (tot.t_ + 64)::DOUBLE)
+                     - ln((coalesce(rc.r, 0) + 1)::DOUBLE
+                          / (tot.r_ + 64)::DOUBLE) AS w
+                FROM spine s
+                LEFT JOIN tc ON s.b = tc.b
+                LEFT JOIN rc ON s.b = rc.b
+                CROSS JOIN tot
+            ),
+            sc AS (
+                SELECT bk.doc_id,
+                       count(*) AS n_tokens,
+                       sum(w.w) AS s
+                FROM bk JOIN w ON bk.b = w.b
+                WHERE bk.doc_id % 13 <> 0
+                GROUP BY bk.doc_id
+            ),
+            fin AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(sc.n_tokens, 0) AS BIGINT)
+                           AS n_tokens,
+                       floor(coalesce(sc.s, 0.0) * 10000.0 + 0.5)
+                           / 10000.0 AS importance
+                FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+                WHERE d.doc_id % 13 <> 0
+            )
+            SELECT doc_id, n_tokens, importance,
+                   CASE WHEN importance > 0 THEN 1 ELSE 0 END
+                       AS selected
+            FROM fin
+            ORDER BY doc_id
+        """,
+        # BPE encoding: identical boundary encode + the identical 16
+        # interpolated replaces, symbol count = count of '<'
+        "bpe_encode_docs": f"""
+            WITH enc AS (
+                SELECT doc_id,
+                       length({_NORM.format(c='text')}) AS n_chars_norm,
+                       {_bpe_encode_sql(_NORM.format(c='text'))} AS e
+                FROM documents
+            ),
+            cnt AS (
+                SELECT doc_id, n_chars_norm,
+                       len(e) - len(replace(e, '<', '')) AS n_sym
+                FROM enc
+            )
+            SELECT doc_id,
+                   CAST(n_chars_norm AS BIGINT) AS n_chars_norm,
+                   CAST(n_sym AS BIGINT) AS n_bpe_symbols,
+                   CASE WHEN n_chars_norm > 0
+                        THEN floor((CAST(n_sym AS DOUBLE)
+                                    / CAST(n_chars_norm AS DOUBLE))
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS compression
+            FROM cnt
+            ORDER BY doc_id
+        """,
         # full public-suffix algorithm replay: same fixture hosts,
         # same longest-match over the same three interpolated rule
         # arrays (exact / wildcard-parent / exception), same implicit

@@ -597,3 +597,45 @@ def lexicon_hits_arrow(
     return df.select(id_col, text_col).mapInPandas(
         count, f"{id_col} {id_type}, n_lexicon_hits long, flagged int"
     )
+
+
+#: Vendored stand-in merge table for corpus-scale ENCODING (the
+#: offline-training counterpart is :func:`bpe_train_merges`, oracled
+#: separately): 16 common-English merges in application order, the
+#: same (lhs, rhs) shape a trained table ships. Constants, so the
+#: encode plan is pure codegen and the DuckDB twin interpolates the
+#: identical pairs.
+BPE_VENDORED_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("an", "d"), ("o", "n"), ("r", "e"),
+    ("o", "u"), ("e", "d"), ("in", "g"), ("s", "t"),
+    ("a", "t"), ("e", "n"), ("o", "r"), ("t", "o"),
+)
+
+
+def bpe_encode_symbol_count(
+    col: Column | str,
+    merges: tuple[tuple[str, str], ...] = BPE_VENDORED_MERGES,
+) -> Column:
+    """Number of BPE symbols the text encodes to under an ordered
+    merge table — the INFERENCE side of BPE, the per-document token
+    count every packing/sharding/budget stage keys on, computed at
+    corpus scale as ONE codegen projection (the 100 TB path: encode
+    rides the ingest scan; training ran offline on the vocab
+    aggregate).
+
+    Implementation: normalized text with every [a-z0-9] char wrapped
+    in ``<>`` boundaries (spaces stay bare, so merges never cross
+    words), then the merge table applied IN ORDER as plain substring
+    replaces — identical greedy left-to-right semantics and identical
+    ``<sym>`` encoding as :func:`bpe_train_merges`, so a table it
+    trains plugs straight in. Symbol count = count of ``<``."""
+    c = F.col(col) if isinstance(col, str) else col
+    enc = F.regexp_replace(normalized_text(c), "([a-z0-9])", "<$1>")
+    for lhs, rhs in merges:
+        enc = F.replace(
+            enc, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")
+        )
+    return (
+        F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit("")))
+    ).cast("long")

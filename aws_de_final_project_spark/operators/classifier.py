@@ -116,13 +116,14 @@ def linear_text_scores(
     weights: tuple[float, ...] = QUALITY_CLF_WEIGHTS,
     bias: float = QUALITY_CLF_BIAS,
     impl: str = "auto",
+    pool: str = "mean",
 ) -> DataFrame:
     """Score every row with the linear model; returns
     (id_col, n_tokens, logit, keep).
 
     ``impl='sql'``: one projection, zero shuffles — the token array is
     built, hashed, gathered against the literal weight array, and
-    mean-pooled with array higher-order functions inside the scan
+    pooled with array higher-order functions inside the scan
     stage. ``impl='arrow'``: same math per Arrow batch with the
     weights as a closure numpy array (mandatory at deployment D — the
     literal bank's plan-build cost is linear in D). ``'auto'`` picks
@@ -130,13 +131,19 @@ def linear_text_scores(
     decision, expressed as logit>=0 so the oracle never has to replay
     floating-point exp().
 
+    ``pool``: ``'mean'`` (fastText-style classification — length-
+    normalized) or ``'sum'`` (log-likelihood-ratio accumulation, the
+    DSIR importance contract — see operators/dsir.py).
+
     Empty documents (0 tokens) score the bare bias — the conventional
     "no evidence" prediction.
     """
+    if pool not in ("mean", "sum"):
+        raise ValueError(f"pool must be 'mean' or 'sum', got {pool!r}")
     impl = _resolve_impl(impl, len(weights), "impl")
     if impl == "arrow":
-        return _scores_arrow(df, text_col, id_col, weights, bias)
-    return _scores_sql(df, text_col, id_col, weights, bias)
+        return _scores_arrow(df, text_col, id_col, weights, bias, pool)
+    return _scores_sql(df, text_col, id_col, weights, bias, pool)
 
 
 def _scores_sql(
@@ -145,6 +152,7 @@ def _scores_sql(
     id_col: str,
     weights: tuple[float, ...],
     bias: float,
+    pool: str = "mean",
 ) -> DataFrame:
     n = len(weights)
     w_arr = F.array(*[F.lit(float(w)) for w in weights])
@@ -160,8 +168,11 @@ def _scores_sql(
     wsum = F.aggregate(
         per_tok, F.lit(0.0), lambda acc, x: acc + x
     )
+    pooled = (
+        wsum if pool == "sum" else wsum / n_tokens.cast("double")
+    )
     logit = F.when(n_tokens == 0, F.lit(float(bias))).otherwise(
-        F.lit(float(bias)) + wsum / n_tokens.cast("double")
+        F.lit(float(bias)) + pooled
     )
     return df.select(
         F.col(id_col),
@@ -181,6 +192,7 @@ def _scores_arrow(
     id_col: str,
     weights: tuple[float, ...],
     bias: float,
+    pool: str = "mean",
 ) -> DataFrame:
     """Deployment-width scorer: weights ride the task closure as ONE
     numpy float64 array (D=2^21 is 16 MB — broadcast-sized, never SQL
@@ -229,7 +241,9 @@ def _scores_arrow(
                     acc = 0.0
                     for t in toks:  # left fold == SQL aggregate order
                         acc += float(w[bucket(t)])
-                    lg = b + acc / float(len(toks))
+                    lg = b + (
+                        acc if pool == "sum" else acc / float(len(toks))
+                    )
                 n_toks.append(len(toks))
                 logits.append(math.floor(lg * 10000.0 + 0.5) / 10000.0)
                 keeps.append(1 if lg >= 0 else 0)

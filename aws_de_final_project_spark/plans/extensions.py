@@ -3845,6 +3845,67 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(vocab, 16).orderBy("step")
 
 
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (operators/dsir.dsir_importance —
+    Xie et al. 2023): every 13th document stands in for the
+    high-quality TARGET seed corpus; the rest is the RAW pool to
+    select from. Hashed-unigram (md5 mod 64) Laplace-smoothed
+    log-ratio weights, summed per raw document. Both bucket-count
+    aggregates collapse map-side to <= D rows per task; the weight
+    table broadcasts; the per-doc sum is the one narrow keyed
+    shuffle. FULL DuckDB oracle: identical buckets (md5 family),
+    identical integer counts, identical smoothed ratios through the
+    same libm ln, floor-rounded at 4dp. ``selected`` = importance > 0
+    (more target-like than raw-like)."""
+    from aws_de_final_project_spark.operators import dsir
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    raw = docs.filter(F.col("doc_id") % 13 != 0)
+    out = dsir.dsir_importance(target, raw, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("importance"),
+        (F.col("importance") > 0).cast("int").alias("selected"),
+    ).orderBy("doc_id")
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING at corpus scale (functions/text
+    .bpe_encode_symbol_count): per-document symbol counts under the
+    vendored 16-merge table — the inference side of BPE (training is
+    bpe_merge_table), and the token count packing/sharding/budget
+    stages key on. ONE codegen projection, zero shuffles before the
+    output sort: boundary-encode, 16 ordered substring replaces,
+    count. FULL DuckDB oracle: the identical replace chain with the
+    identical interpolated pairs. compression = symbols/chars, the
+    fertility signal tokenizer evaluations report."""
+    from aws_de_final_project_spark.functions.numeric import (
+        round_half_up as rnd,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    norm_len = F.length(TX.normalized_text("text") )
+    syms = TX.bpe_encode_symbol_count("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            norm_len.cast("long").alias("n_chars_norm"),
+            syms.alias("n_bpe_symbols"),
+            F.when(
+                norm_len > 0,
+                rnd(
+                    syms.cast("double") / norm_len.cast("double"), 4
+                ),
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/curation
     .bloom_build_mask / bloom_decontaminate): every 97th document

@@ -31,6 +31,8 @@ HEADLINE = [
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",
+    "bpe_encode_docs",
+    "dsir_importance_docs",
     # round-8 additions
     "host_blocklist_filter",
     "warc_extract_stats",

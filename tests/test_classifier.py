@@ -227,3 +227,106 @@ def test_trained_weights_discriminate(spark):
         for i, _ in held:
             want = 1 if i % 2 == 0 else 0
             assert got[i] == want, (impl, i, got[i])
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """DSIR importance equals a pure-Python replay: md5 buckets,
+    Laplace-smoothed per-bucket log-ratios between target and raw,
+    per-doc sum — and target-vocabulary docs must outscore
+    raw-vocabulary docs (the selection signal, not just the math)."""
+    import hashlib
+    import math
+
+    from aws_de_final_project_spark.operators import dsir
+
+    target_texts = ["alpha beta gamma delta", "alpha beta epsilon",
+                    "gamma delta alpha"]
+    raw_texts = [
+        (0, "alpha beta gamma"),          # target-like
+        (1, "zeta eta theta iota"),       # raw-like
+        (2, "alpha zeta"),                # mixed
+        (3, ""),                          # empty -> 0
+        (4, "zeta eta zeta eta"),
+    ]
+    tgt = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target_texts)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(raw_texts, ["doc_id", "text"])
+
+    D = 64
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
+
+    def toks(t):
+        return [x for x in t.lower().strip().split() if x]
+
+    tcnt, rcnt = [0] * D, [0] * D
+    for t in target_texts:
+        for tok in toks(t):
+            tcnt[bucket(tok)] += 1
+    for _, t in raw_texts:
+        for tok in toks(t):
+            rcnt[bucket(tok)] += 1
+    T, R = sum(tcnt), sum(rcnt)
+    w = [
+        math.log((tcnt[b] + 1) / (T + D)) - math.log((rcnt[b] + 1) / (R + D))
+        for b in range(D)
+    ]
+
+    got = {
+        r.doc_id: r
+        for r in dsir.dsir_importance(tgt, raw, "text", "doc_id").collect()
+    }
+    for i, t in raw_texts:
+        tk = toks(t)
+        want = math.floor(sum(w[bucket(x)] for x in tk) * 10000.0 + 0.5) / 10000.0
+        assert got[i].n_tokens == len(tk)
+        assert abs(got[i].importance - want) < 1e-9, (i, got[i], want)
+    # the selection signal: target-like beats raw-like
+    assert got[0].importance > got[2].importance > got[1].importance
+    assert got[3].importance == 0.0
+
+    # deployment path: offline-trained weights + classifier sum-pool
+    # gather produce the SAME importance (zero-shuffle scoring twin)
+    from aws_de_final_project_spark.operators.classifier import (
+        linear_text_scores,
+    )
+
+    wts = dsir.dsir_train_weights(tgt, raw, "text")
+    assert all(abs(a - round(b, 4)) < 1e-12 for a, b in zip(wts, w))
+    scored = {
+        r.doc_id: r.logit
+        for r in linear_text_scores(
+            raw, "text", "doc_id", weights=wts, bias=0.0, pool="sum",
+            impl="sql",
+        ).collect()
+    }
+    for i, t in raw_texts:
+        tk = toks(t)
+        want = math.floor(
+            sum(round(w[bucket(x)], 4) for x in tk) * 10000.0 + 0.5
+        ) / 10000.0
+        assert abs(scored[i] - want) < 1e-9, (i, scored[i], want)
+
+
+def test_classifier_pool_sum_vs_mean(spark):
+    from aws_de_final_project_spark.operators.classifier import (
+        QUALITY_CLF_WEIGHTS,
+        linear_text_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "one two three four")], ["doc_id", "text"]
+    )
+    mean_row = linear_text_scores(df, "text", "doc_id", pool="mean").collect()[0]
+    sum_row = linear_text_scores(df, "text", "doc_id", pool="sum").collect()[0]
+    # sum = bias + 4 * (mean - bias), up to the 4dp rounding
+    import math
+    b = 0.1234
+    want = math.floor((b + (mean_row.logit - b) * 4) * 10000.0 + 0.5) / 10000.0
+    assert abs(sum_row.logit - want) < 2e-4  # rounding slack on mean
+    for impl in ("sql", "arrow"):
+        a = linear_text_scores(df, "text", "doc_id", pool="sum", impl=impl).collect()[0]
+        assert a.logit == sum_row.logit

@@ -559,3 +559,49 @@ def test_bpe_train_merges_match_python_reference(spark):
         for r in bpe_train_merges(df, 12).orderBy("step").collect()
     ]
     assert got == want, (got, want)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Corpus-scale BPE encoding equals a pure-Python application of
+    the same ordered merge table (greedy left-to-right per merge,
+    merges never crossing word boundaries)."""
+    from aws_de_final_project_spark.functions.text import (
+        BPE_VENDORED_MERGES,
+        bpe_encode_symbol_count,
+    )
+    import re
+
+    def py_count(text):
+        norm = re.sub(
+            r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", text.lower())
+        ).strip()
+        enc = re.sub(r"([a-z0-9])", r"<\1>", norm)
+        for l, r in BPE_VENDORED_MERGES:
+            enc = enc.replace(f"<{l}><{r}>", f"<{l}{r}>")
+        return enc.count("<")
+
+    texts = [
+        "The theater was there, and the thing ended.",
+        "singing and standing, in touring order",
+        "",
+        "punctuation!!! only???",
+        "aaa ttthhh ththth",  # runs + overlapping merge candidates
+        "to be or not to be, that is the question",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", bpe_encode_symbol_count("text").alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_count(t), (t, got[i], py_count(t))
+
+    plan = (
+        df.select(bpe_encode_symbol_count("text").alias("n"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
