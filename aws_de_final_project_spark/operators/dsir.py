@@ -92,8 +92,8 @@ def dsir_importance(
     rc = _bucket_counts(rt, n_buckets).withColumnRenamed("_cnt", "_r")
     # totals ride the weight frame relationally (no driver constant
     # besides D): cross-join the two 1-row total frames
-    t_tot = tc.agg(F.sum("_t").alias("_T"))
-    r_tot = rc.agg(F.sum("_r").alias("_R"))
+    t_tot = tc.agg(F.sum("_t").alias("_tsum"))
+    r_tot = rc.agg(F.sum("_r").alias("_rsum"))
     d = float(n_buckets)
     w = (
         tc.join(rc, "_bucket")
@@ -104,11 +104,11 @@ def dsir_importance(
             (
                 F.log(
                     (F.col("_t") + 1).cast("double")
-                    / (F.col("_T") + d).cast("double")
+                    / (F.col("_tsum") + d).cast("double")
                 )
                 - F.log(
                     (F.col("_r") + 1).cast("double")
-                    / (F.col("_R") + d).cast("double")
+                    / (F.col("_rsum") + d).cast("double")
                 )
             ).alias("_w"),
         )

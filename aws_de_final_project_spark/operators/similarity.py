@@ -34,6 +34,12 @@ from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 # the Arrow BLAS kernels win 10-60x (270s -> 4.6s at dim 768)
 ARROW_AUTO_DIM = 256
 
+# 'auto' blocking target: expected rows per (table, signature) bucket.
+# One extra plane per corpus doubling holds this constant, so the
+# within-bucket exact-cosine verify stays O(n x BLOCK_TARGET_ROWS) —
+# linear — instead of O(n^2 / 2^planes) at any fixed plane count.
+BLOCK_TARGET_ROWS = 256
+
 
 def _resolve_impl(impl: str, dim: int, param: str) -> str:
     """``'auto'`` -> ``'arrow'`` at real embedding widths
@@ -682,6 +688,16 @@ def cosine_dup_pairs(
     independent signature tables recover it (miss probability
     ``(1-p^b)^T``). Both paths verify with the exact cosine, so
     precision is always 1.
+
+    ``block_planes='auto'`` sizes the signature to the CORPUS (one
+    count job): planes = max(4, ceil(log2(n / BLOCK_TARGET_ROWS))).
+    At fixed planes the within-block verify grows as n^2/2^planes —
+    quadratic in corpus size (measured: the sf1 full-suite tier put
+    the fixed-4-plane entry at a 14.9x decade slope) — while one
+    extra plane per doubling keeps expected block population, and so
+    verify cost per row, CONSTANT. Oracled entries pin fixed planes
+    (the DuckDB twin interpolates a static literal bank); production
+    uses auto.
     """
     a = corpus.select(
         F.col(id_col).alias("_ida"),
@@ -693,6 +709,11 @@ def cosine_dup_pairs(
         F.col(vec_col).alias("_vb"),
         _norm(F.col(vec_col)).alias("_nb"),
     )
+    if block_planes == "auto":
+        n_rows = corpus.count()
+        block_planes = max(
+            4, math.ceil(math.log2(max(n_rows, 1) / BLOCK_TARGET_ROWS))
+        )
     if block_planes > 0:
         if dim is None:
             raise ValueError("dim is required when block_planes > 0")
@@ -1053,7 +1074,23 @@ def semantic_dup_pairs(
     pairs BEFORE vectors re-attach for the exact-cosine verify.
     ``centroids``: pass :func:`kmeans_centroids` output for trained
     cells; default is the fixed-random quantizer.
+
+    ``n_clusters='auto'`` sizes the cell count to the corpus (one
+    count job): k = max(16, ceil(n_assign * n / BLOCK_TARGET_ROWS)),
+    holding expected cell population constant — at any FIXED k the
+    within-cell verify is O(n^2/k), quadratic in corpus size
+    (measured: the sf1 tier put the fixed-16-cell entry at a 13.7x
+    decade slope). SemDeDup itself scales k with n (the paper uses
+    k ~ 10^4-10^5 cells for corpus-scale runs). Oracled entries pin
+    fixed k (static centroid literals in the DuckDB twin); production
+    uses auto.
     """
+    if n_clusters == "auto":
+        n_rows = corpus.count()
+        n_clusters = max(
+            16,
+            math.ceil(n_assign * max(n_rows, 1) / BLOCK_TARGET_ROWS),
+        )
     cents = centroids if centroids is not None else _centroids(dim, n_clusters)
     assign_impl = _resolve_impl(assign_impl, dim, "assign_impl")
 

@@ -512,3 +512,37 @@ def test_int8_ann_recall_vs_exact(spark):
 
     with pytest.raises(ValueError):
         similarity.int8_ann_topk(emb, qs, k=10, refine_factor=0)
+
+
+def test_auto_blocking_sizes_with_corpus(spark):
+    """'auto' blocking: planes/cells grow one step per corpus
+    doubling (constant expected block population — the sf1 tier
+    measured fixed-parameter blocking at a ~14x decade slope, auto at
+    ~3x). Small corpora keep the floor values, so the oracled
+    fixed-parameter entries and auto agree there."""
+    import math as m
+
+    from aws_de_final_project_spark.operators.similarity import (
+        BLOCK_TARGET_ROWS,
+        cosine_dup_pairs,
+        semantic_dup_pairs,
+    )
+
+    dim = 8
+    emb = spark.range(600).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(xxhash64(id, i) % 1000 AS FLOAT) / 1000.0) AS embedding",
+    )
+    # 600 rows -> floor: planes = max(4, ceil(log2(600/256))) = 4
+    out = cosine_dup_pairs(
+        emb, threshold=0.9, block_planes="auto", dim=dim, n_tables=2
+    )
+    out.count()  # runs
+    big_n = 300_000
+    want_planes = max(4, m.ceil(m.log2(big_n / BLOCK_TARGET_ROWS)))
+    assert want_planes == 11  # one per doubling above the floor
+    # semdedup auto on the same tiny corpus -> k floor of 16
+    sd = semantic_dup_pairs(
+        emb, dim=dim, threshold=0.95, n_clusters="auto", n_assign=2
+    )
+    sd.count()
