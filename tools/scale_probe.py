@@ -155,6 +155,16 @@ DOC_QUERIES = [
     # round-8: word-list filter is a scan-side HOF IN-set — flat
     # scan-speed claim
     "lexicon_filter_docs",
+    # round-9: full BPE training (16 jobs over the MATERIALIZED vocab
+    # — claim: cost = one corpus aggregate + vocab-sized iterations),
+    # BPE encoding (pure scan-side replace chain — flat scan speed),
+    # DSIR importance (two D-bounded aggregates + broadcast join +
+    # narrow keyed sum), PSL domain extraction (scan-side HOFs over
+    # literal rule arrays — flat scan speed)
+    "bpe_merge_table",
+    "bpe_encode_docs",
+    "dsir_importance_docs",
+    "registered_domain_psl_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
