@@ -64,8 +64,13 @@ def main() -> None:
     from tests.oracle_harness import canon_duck_type, canon_spark_type
 
     Q, O = E.queries(), E.oracle_sql()
+    # SWEEP_ONLY=a,b,c restricts to those entries (incremental sweeps
+    # of just-changed oracles; the FULL matrix run stays the per-round
+    # artifact)
+    only = os.environ.get("SWEEP_ONLY")
+    names = sorted(set(only.split(",")) & set(O)) if only else sorted(O)
     ok, skipped, failed = [], [], []
-    for name in sorted(O):
+    for name in names:
         timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
         timer.start()
         try:
