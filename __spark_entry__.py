@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": X.bpe_merge_table,
         "bpe_encode_docs": X.bpe_encode_docs,
         "dsir_importance_docs": X.dsir_importance_docs,
+        "pii_card_scrub_docs": X.pii_card_scrub_docs,
+        "script_mix_docs": X.script_mix_docs,
         "anchor_text_stats": X.anchor_text_stats,
         "sentence_stats_docs": X.sentence_stats_docs,
         "robots_filter_docs": X.robots_filter_docs,
@@ -400,6 +402,18 @@ def _sq(pattern: str) -> str:
     """Escape a regex constant for a single-quoted SQL literal (the
     href patterns contain ' since the single-quoted style landed)."""
     return pattern.replace("'", "''")
+
+
+def _luhn_sql(c: str) -> str:
+    """Luhn checksum as a DuckDB boolean expression over digit string
+    ``c`` — the twin of webcrawl.luhn_valid's codegen fold (reverse,
+    double every 2nd with digit-sum, total % 10 = 0)."""
+    d = f"CAST(substr(reverse({c}), i, 1) AS INTEGER)"
+    return (
+        f"(list_sum([CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN {d} > 4 THEN {d} * 2 - 9 ELSE {d} * 2 END "
+        f"ELSE {d} END for i in range(1, len({c}) + 1)]) % 10 = 0)"
+    )
 
 
 def _bpe_encode_sql(norm_expr: str) -> str:
@@ -4419,6 +4433,97 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full BPE training replay: 16 unrolled iterations, generated
         "bpe_merge_table": _bpe_merge_table_sql(16),
+        # script-mix: identical interpolated \x{hhhh} classes (BMP
+        # only -> UTF-16-unit == codepoint counts), same argmax order
+        "script_mix_docs": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' привет мир' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' 日本語テスト 한국' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' ελληνικά' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN ' مرحبا' ELSE '' END AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       {", ".join(
+                           f"CAST(len(regexp_extract_all(t, "
+                           f"'{pat}')) AS BIGINT) AS n_{name}"
+                           for name, pat in _TX.SCRIPT_RANGES.items()
+                       )},
+                       CAST(len(regexp_extract_all(t,
+                           '{_TX.NONSPACE_RE}')) AS BIGINT)
+                           AS n_nonspace
+                FROM raw
+            )
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+                   n_cjk, n_nonspace,
+                   CASE WHEN greatest(n_latin, n_cyrillic, n_greek,
+                                      n_arabic, n_cjk) = 0 THEN 'und'
+                        WHEN n_latin = greatest(n_latin, n_cyrillic,
+                             n_greek, n_arabic, n_cjk) THEN 'latin'
+                        WHEN n_cyrillic = greatest(n_latin,
+                             n_cyrillic, n_greek, n_arabic, n_cjk)
+                             THEN 'cyrillic'
+                        WHEN n_greek = greatest(n_latin, n_cyrillic,
+                             n_greek, n_arabic, n_cjk) THEN 'greek'
+                        WHEN n_arabic = greatest(n_latin, n_cyrillic,
+                             n_greek, n_arabic, n_cjk) THEN 'arabic'
+                        ELSE 'cjk' END AS script
+            FROM c
+            ORDER BY doc_id
+        """,
+        # Luhn card scrub: identical candidate pattern, identical
+        # checksum fold, identical split/judge/rebuild
+        "pii_card_scrub_docs": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' pay 4532015112830366 ok'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' ref 4532015112830367 id'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' amex 378282246310005 end'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN ' num 1234567890123 x'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' order 123456 short'
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id,
+                       string_split_regex(t, '{_WC.PII_CARD_RE}')
+                           AS parts,
+                       regexp_extract_all(t, '{_WC.PII_CARD_RE}')
+                           AS cands
+                FROM raw
+            )
+            SELECT doc_id,
+                   CAST(len(cands) AS BIGINT) AS n_card_candidates,
+                   CAST(len(list_filter(cands,
+                       c -> {_luhn_sql("c")})) AS BIGINT)
+                       AS n_cards_valid,
+                   coalesce(list_aggr(list_transform(
+                       generate_series(1, len(cands)),
+                       j -> parts[j] ||
+                            CASE WHEN {_luhn_sql("cands[j]")}
+                                 THEN '<CARD>' ELSE cands[j] END),
+                       'string_agg', ''), '')
+                   || parts[len(parts)] AS scrubbed
+            FROM sp
+            ORDER BY doc_id
+        """,
         # DSIR importance: identical md5 buckets and tokenization
         # (interpolated WS class), identical integer counts +
         # Laplace-smoothed ratios through the same libm ln, floor-4dp

@@ -639,3 +639,50 @@ def bpe_encode_symbol_count(
     return (
         F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit("")))
     ).cast("long")
+
+
+# Unicode script ranges for script-mix detection, deliberately BMP-only
+# (Java's length/regex counts UTF-16 units, DuckDB counts codepoints —
+# identical over the BMP, so every count below is engine-portable).
+# \x{hhhh} parses identically in java.util.regex and RE2.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    # kana + CJK unified + hangul syllables
+    "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]",
+}
+
+#: Non-whitespace, as the explicit class (the \s/\x0B dialect edge).
+NONSPACE_RE = r"[^ \t\n\x0B\f\r]"
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script character counts + the non-whitespace total — the
+    script-mix signal multilingual curation pipelines route on (keep
+    the target script, flag mixed-script spam/confusables). Pure
+    ``regexp_count`` codegen: zero shuffles, rides the ingest scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    out["n_nonspace"] = F.regexp_count(c, F.lit(NONSPACE_RE)).cast("long")
+    return out
+
+
+def dominant_script(col: Column | str) -> Column:
+    """Argmax script by character count, ``'und'`` when no script
+    range matches; ties broken by the fixed SCRIPT_RANGES order
+    (same greatest+reverse-chain determinism as lang_id)."""
+    counts = {name: F.regexp_count(
+        F.col(col) if isinstance(col, str) else col, F.lit(pat)
+    ) for name, pat in SCRIPT_RANGES.items()}
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    for name in reversed(list(SCRIPT_RANGES)):
+        out = F.when(
+            (best > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(out)
+    return out

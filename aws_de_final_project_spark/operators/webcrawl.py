@@ -988,3 +988,71 @@ def anchor_term_stats(
     return terms.groupBy("dst_domain", "term").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# Payment-card candidates: bare 13-19 digit runs (the PAN length
+# range), word-bounded. Deliberately the bare-run profile — separator
+# forms (4111 1111 ...) are a normalization concern upstream; the
+# checksum below is what regex alone cannot express.
+PII_CARD_RE = r"\b[0-9]{13,19}\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn mod-10 checksum over a digit string, as one codegen fold:
+    right-to-left, every 2nd digit doubled with digit-sum (2d>9 ->
+    2d-9). TRUE iff total % 10 == 0 — the test every real PAN passes
+    and random digit runs fail 90% of the time, which is what
+    separates card-number DETECTION from 16-digit-run matching."""
+    rev = F.reverse(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            # doubled position: 2d - 9 when 2d > 9, i.e. d > 4
+            F.when(
+                F.substring(rev, i, 1).cast("int") > 4,
+                F.substring(rev, i, 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(rev, i, 1).cast("int") * 2),
+        ).otherwise(F.substring(rev, i, 1).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def scrub_card_numbers(text: Column | str) -> Column:
+    """Replace Luhn-VALID card-number candidates with <CARD>, leaving
+    checksum-failing digit runs untouched (an order id is not a PAN).
+    A conditional replacement regexp_replace cannot express — built
+    with the same split / judge-each-match / interleave-rebuild
+    pattern as :func:`decode_html_entities`: still pure scan-side
+    codegen, zero shuffles, fully oracle-replayable."""
+    t = F.col(text) if isinstance(text, str) else text
+    parts = F.split(t, PII_CARD_RE, -1)
+    cands = F.regexp_extract_all(t, F.lit(PII_CARD_RE), F.lit(0))
+    repl = F.transform(
+        cands,
+        lambda c: F.when(luhn_valid(c), F.lit("<CARD>")).otherwise(c),
+    )
+    head = F.aggregate(
+        F.zip_with(
+            F.slice(parts, 1, F.size(cands)),
+            repl,
+            lambda p, r: F.concat(p, r),
+        ),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    return F.concat(head, F.element_at(parts, F.size(parts)))
+
+
+def card_number_counts(text: Column | str) -> dict[str, Column]:
+    """(n_candidates, n_valid) audit counts for the card scrub."""
+    t = F.col(text) if isinstance(text, str) else text
+    cands = F.regexp_extract_all(t, F.lit(PII_CARD_RE), F.lit(0))
+    return {
+        "n_card_candidates": F.size(cands).cast("long"),
+        "n_cards_valid": F.size(
+            F.filter(cands, luhn_valid)
+        ).cast("long"),
+    }

@@ -3845,6 +3845,71 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(vocab, 16).orderBy("step")
 
 
+def script_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix detection (functions/text.script_counts /
+    dominant_script) over a fixture planting Cyrillic (every 5th
+    doc), CJK+kana+hangul (every 7th), Greek (every 11th) and Arabic
+    (every 13th) suffixes on the Latin base text — the routing signal
+    multilingual curation uses (keep target script, flag confusable
+    mixes). All BMP, so Java UTF-16 counts == DuckDB codepoint
+    counts; pure regexp_count codegen, zero shuffles. FULL DuckDB
+    oracle via the same interpolated \\x{{hhhh}} classes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.lit(" привет мир")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" 日本語テスト 한국")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" ελληνικά")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(" مرحبا")).otherwise(F.lit("")),
+    )
+    base = t["documents"].select("doc_id", raw.alias("_raw"))
+    counts = TX.script_counts(F.col("_raw"))
+    return base.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        TX.dominant_script(F.col("_raw")).alias("script"),
+    ).orderBy("doc_id")
+
+
+def pii_card_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated payment-card scrubbing (operators/webcrawl
+    .scrub_card_numbers): 13-19-digit candidates are Luhn-checked in
+    a codegen fold and only VALID PANs become <CARD> — the detection
+    rule regex alone cannot express, and the reason order ids and
+    tracking numbers survive the scrub. Fixture plants a valid Visa
+    (every 5th doc), a checksum-broken twin (every 7th), a valid Amex
+    (every 11th), an invalid 13-digit run (every 13th) and a
+    too-short run (every 3rd; never a candidate). Split/judge/rebuild
+    — same pattern as the entity decoder: scan-side, zero shuffles.
+    FULL DuckDB oracle: identical candidate pattern, identical Luhn
+    fold, identical rebuild."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.lit(" pay 4532015112830366 ok")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" ref 4532015112830367 id")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" amex 378282246310005 end")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(" num 1234567890123 x")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" order 123456 short")).otherwise(F.lit("")),
+    )
+    counts = WC.card_number_counts(F.col("_raw"))
+    return (
+        t["documents"]
+        .select("doc_id", raw.alias("_raw"))
+        .select(
+            "doc_id",
+            counts["n_card_candidates"].alias("n_card_candidates"),
+            counts["n_cards_valid"].alias("n_cards_valid"),
+            WC.scrub_card_numbers(F.col("_raw")).alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scoring (operators/dsir.dsir_importance —
     Xie et al. 2023): every 13th document stands in for the

@@ -33,6 +33,8 @@ HEADLINE = [
     "registered_domain_psl_docs",
     "bpe_encode_docs",
     "dsir_importance_docs",
+    "pii_card_scrub_docs",
+    "script_mix_docs",
     # round-8 additions
     "host_blocklist_filter",
     "warc_extract_stats",

@@ -907,3 +907,69 @@ def test_load_psl_parses_standard_format(tmp_path):
     assert rules == ("com", "co.uk", "*.ck", "!www.ck", "k12.ma.us")
     exact, wild, exc = WC._psl_rule_sets(rules)
     assert "co.uk" in exact and "ck" in wild and "www.ck" in exc
+
+
+def test_luhn_card_scrub(spark):
+    """Checksum-gated card scrub: valid PANs (Visa 16, Amex 15,
+    Diners 14) -> <CARD>; checksum-failing runs and short digit runs
+    untouched; multiple candidates per doc each judged separately;
+    plan stays shuffle-free."""
+    rows = [
+        (0, "pay 4532015112830366 now", "pay <CARD> now"),
+        (1, "ref 4532015112830367 x", "ref 4532015112830367 x"),
+        (2, "amex 378282246310005.", "amex <CARD>."),
+        (3, "diners 30569309025904 ok", "diners <CARD> ok"),
+        (4, "short 123456789012 run", "short 123456789012 run"),
+        (5, "a 4532015112830366 b 1234567890123 c 5555555555554444 d",
+            "a <CARD> b 1234567890123 c <CARD> d"),
+        (6, "no digits here", "no digits here"),
+        (7, "", ""),
+        # 20 digits: too long for a PAN, not a candidate
+        (8, "id 45320151128303660000 x", "id 45320151128303660000 x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["i", "t"]
+    )
+    out = df.select(
+        "i",
+        WC.scrub_card_numbers("t").alias("s"),
+        *[c.alias(n) for n, c in WC.card_number_counts("t").items()],
+    )
+    got = {r.i: r for r in out.collect()}
+    for i, _, want in rows:
+        assert got[i].s == want, (i, got[i].s, want)
+    assert (got[5].n_card_candidates, got[5].n_cards_valid) == (3, 2)
+    assert (got[1].n_card_candidates, got[1].n_cards_valid) == (1, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_script_mix_detection(spark):
+    from aws_de_final_project_spark.functions import text as TX
+
+    rows = [
+        (0, "hello world", "latin"),
+        (1, "привет мир", "cyrillic"),
+        (2, "日本語のテキスト", "cjk"),
+        (3, "مرحبا بالعالم", "arabic"),
+        (4, "ελληνικά", "greek"),
+        (5, "1234 !!", "und"),
+        (6, "ab пр", "latin"),   # 2-2 tie -> earlier range order wins
+        (7, "", "und"),
+        (8, "한국어 텍스트", "cjk"),
+        (9, "café naïve", "latin"),  # Latin-1 supplement in range
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], ["i", "t"])
+    counts = TX.script_counts("t")
+    out = df.select(
+        "i",
+        *[c.alias(n) for n, c in counts.items()],
+        TX.dominant_script("t").alias("script"),
+    )
+    got = {r.i: r for r in out.collect()}
+    for i, t, want in rows:
+        assert got[i].script == want, (t, got[i].script, want)
+    assert got[0].n_latin == 10 and got[0].n_nonspace == 10
+    assert got[9].n_latin == 9  # é and ï count as Latin
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
