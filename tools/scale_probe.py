@@ -165,6 +165,10 @@ DOC_QUERIES = [
     "bpe_encode_docs",
     "dsir_importance_docs",
     "registered_domain_psl_docs",
+    # round-9 session: Luhn scrub and script-mix are pure scan-side
+    # codegen (flat scan-speed claims)
+    "pii_card_scrub_docs",
+    "script_mix_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
