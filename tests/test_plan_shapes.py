@@ -222,6 +222,9 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         "bigram_logprob_scores",
         # 1-row order-count denominator frame, same shape
         "basket_pair_affinity",
+        # two 1-row corpus-total frames (T, R) broadcast into the
+        # D-row smoothed log-ratio weight table, same shape
+        "dsir_importance_docs",
     }
     for name in bench.HEADLINE:
         p = plans(name)
