@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_docs": X.dsir_importance_docs,
         "pii_card_scrub_docs": X.pii_card_scrub_docs,
         "script_mix_docs": X.script_mix_docs,
+        "streaming_dedup_replay": X.streaming_dedup_replay,
         "anchor_text_stats": X.anchor_text_stats,
         "sentence_stats_docs": X.sentence_stats_docs,
         "robots_filter_docs": X.robots_filter_docs,
@@ -4433,6 +4434,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full BPE training replay: 16 unrolled iterations, generated
         "bpe_merge_table": _bpe_merge_table_sql(16),
+        # streaming bounded-state dedup replay: stream output must
+        # equal the ORIGINAL events (every planted re-delivery
+        # suppressed) — per-type counts + order-independent 60-bit
+        # md5 XOR of the integer id set
+        "streaming_dedup_replay": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   bit_xor(('0x' || substr(md5(
+                       CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+                       AS id_xor
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         # script-mix: identical interpolated \x{hhhh} classes (BMP
         # only -> UTF-16-unit == codepoint counts), same argmax order
         "script_mix_docs": f"""

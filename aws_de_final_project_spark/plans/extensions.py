@@ -2966,6 +2966,117 @@ def streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (streaming/dedup.dedup_stream:
+    watermark + ``dropDuplicatesWithinWatermark``) driven end-to-end
+    over a 2-slice replay — the fourth driver-checkable streaming
+    entry, covering the re-delivery suppression path the reference's
+    ``updated_on > hwm`` refetch loop needs (its Socrata ingest
+    re-delivers every updated row; see streaming/dedup.py header).
+
+    Replay construction: every 3rd event is re-delivered in the
+    SECOND slice (cross-batch: its key must still be in state when
+    the duplicate arrives), every 7th is duplicated within its OWN
+    slice (in-batch dedup), originals split at the epoch median so
+    slices stay time-ordered. The watermark delay (30 days) exceeds
+    the table's whole span, so no state expires mid-replay and the
+    contract is exact: output == the original events, every planted
+    duplicate suppressed. The expiry half of the contract (a
+    duplicate AFTER eviction re-emits) is pinned separately in
+    tests/test_streaming.py — it is time-dependent by nature and
+    belongs to the unit suite, not a value-hash oracle.
+
+    FULL DuckDB oracle: per-type counts + an order-independent 60-bit
+    md5 XOR over the event_id set straight off the events table — a
+    green row proves every duplicate was dropped AND nothing else
+    was (duplicates are identical full rows, so the id set is the
+    whole contract). Runs on an isolated newSession; the memory-sink
+    aggregate is returned directly (same pattern as the session
+    replay)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from aws_de_final_project_spark.functions.numeric import epoch_us
+    from aws_de_final_project_spark.streaming.dedup import dedup_stream
+
+    t = load_tables(spark, sf_dir, ("events",))
+    events = t["events"].select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    med = events.select(
+        F.percentile(epoch_us("ts"), F.lit(0.5)).alias("m")
+    ).collect()[0].m
+    e = epoch_us("ts")
+    base_slice = F.when(e < F.lit(med), 0).otherwise(1)
+    originals = events.withColumn("_slice", base_slice)
+    dup3 = events.filter(F.col("event_id") % 3 == 0).withColumn(
+        "_slice", F.lit(1)
+    )
+    dup7 = events.filter(F.col("event_id") % 7 == 0).withColumn(
+        "_slice", base_slice
+    )
+    replay = originals.unionByName(dup3).unionByName(dup7)
+    tmp = tempfile.mkdtemp(prefix="dedup_replay_")
+    try:
+        part_dir = os.path.join(tmp, "_parts")
+        (
+            replay.repartition("_slice")
+            .write.mode("overwrite")
+            .partitionBy("_slice")
+            .parquet(part_dir)
+        )
+        for i in range(2):
+            d = os.path.join(part_dir, f"_slice={i}")
+            f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+            dst = os.path.join(tmp, f"f{i}.parquet")
+            os.rename(os.path.join(d, f), dst)
+            now = time.time()
+            os.utime(dst, (now + i * 10, now + i * 10))
+        shutil.rmtree(part_dir)
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", "2")
+        iso.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = (
+            iso.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        qname = f"dedup_replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            dedup_stream(stream, keys=("event_id",), watermark="30 days")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # integer-keyed checksum only: double->string serialization
+        # differs across engines, and identical-row duplicates make
+        # the id set the whole contract
+        sig = F.conv(
+            F.substring(
+                F.md5(F.col("event_id").cast("string")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (
+            iso.table(qname)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.bit_xor(sig).alias("id_xor"),
+            )
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-keyed exact dedup (operators/webcrawl.dedup_by_url): a
     coarse messy-URL fixture (path = doc_id % 100, param order

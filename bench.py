@@ -35,6 +35,7 @@ HEADLINE = [
     "dsir_importance_docs",
     "pii_card_scrub_docs",
     "script_mix_docs",
+    "streaming_dedup_replay",
     # round-8 additions
     "host_blocklist_filter",
     "warc_extract_stats",
