@@ -53,6 +53,9 @@ QUERIES = [
     # round-8: the foreachBatch drift-monitor replay — reference
     # freeze + 2 micro-batch PSI aggregates, linear in events
     "streaming_drift_replay",
+    # round-9: bounded-state dedup replay — dedup state is O(keys in
+    # horizon) and each batch's filter is linear in its events
+    "streaming_dedup_replay",
 ]
 
 # dedup/text family runs against the documents x10/x30 tiers built by
