@@ -4565,11 +4565,18 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT (SELECT coalesce(sum(t), 0) FROM tc) AS t_,
                            (SELECT coalesce(sum(r), 0) FROM rc) AS r_),
             w AS (
+                -- per-bucket weight floor-rounded 4dp BEFORE the
+                -- per-doc sum, mirroring dsir_importance: quantized
+                -- addends keep the summed score half a quantum from
+                -- the final round's decision boundary, so neither
+                -- engine's accumulation order can flip it
                 SELECT s.b,
-                       ln((coalesce(tc.t, 0) + 1)::DOUBLE
-                          / (tot.t_ + 64)::DOUBLE)
-                     - ln((coalesce(rc.r, 0) + 1)::DOUBLE
-                          / (tot.r_ + 64)::DOUBLE) AS w
+                       floor((
+                           ln((coalesce(tc.t, 0) + 1)::DOUBLE
+                              / (tot.t_ + 64)::DOUBLE)
+                         - ln((coalesce(rc.r, 0) + 1)::DOUBLE
+                              / (tot.r_ + 64)::DOUBLE)
+                       ) * 10000.0 + 0.5) / 10000.0 AS w
                 FROM spine s
                 LEFT JOIN tc ON s.b = tc.b
                 LEFT JOIN rc ON s.b = rc.b

@@ -563,6 +563,9 @@ def lexicon_hits_arrow(
     the agreement test vs the IN-set form in tests/test_webcrawl.py.
 
     Returns (id_col, n_lexicon_hits, flagged) — one row per input.
+    NULL text yields NULL hits/flagged, matching the IN-set form
+    (where split/size propagate the NULL) — pinned by a NULL row in
+    tests/test_webcrawl.py::test_lexicon_arrow_agrees_with_inset.
     """
     import re as _re
 
@@ -571,26 +574,24 @@ def lexicon_hits_arrow(
     strip = _re.compile("[^a-z0-9]+")
 
     def count(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            hits = []
+            hits: list[int | None] = []
             for text in pdf[text_col].astype(object):
-                toks = (
-                    strip.sub(" ", text.lower()).split()
-                    if isinstance(text, str)
-                    else []
-                )
+                if not isinstance(text, str):
+                    hits.append(None)
+                    continue
+                toks = strip.sub(" ", text.lower()).split()
                 hits.append(sum(1 for t in toks if t in lex))
-            h = np.asarray(hits, dtype=np.int64)
+            h = pd.array(hits, dtype="Int64")
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "n_lexicon_hits": h,
-                    "flagged": (h > 0).astype(np.int32),
+                    "flagged": (h > 0).astype("Int32"),
                 }
             )
 

@@ -199,7 +199,13 @@ def _scores_arrow(
     text), tokens of each batch are hashed once per distinct string,
     and each document's gathered weights are summed with an explicit
     left fold so the result is bit-identical to the SQL aggregate's
-    left-to-right accumulation (numpy's pairwise sum is NOT)."""
+    left-to-right accumulation (numpy's pairwise sum is NOT).
+
+    NULL text scores (NULL, NULL, NULL) exactly like the SQL path
+    (where lower/split propagate the NULL through every derived
+    column) — emitted via pandas nullable dtypes so Arrow ships real
+    NULLs, not sentinel zeros; pinned by a NULL row in
+    tests/test_classifier.py::test_arrow_matches_sql_exactly."""
     import numpy as np
 
     w = np.ascontiguousarray(weights, dtype=np.float64)
@@ -226,15 +232,17 @@ def _scores_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            n_toks: list[int] = []
-            logits: list[float] = []
-            keeps: list[int] = []
+            n_toks: list[int | None] = []
+            logits: list[float | None] = []
+            keeps: list[int | None] = []
             for text in pdf[text_col].astype(object):
-                toks = (
-                    [t for t in split(text.lower()) if t]
-                    if isinstance(text, str)
-                    else []
-                )
+                if not isinstance(text, str):
+                    # NULL text -> NULL outputs, same as the SQL path
+                    n_toks.append(None)
+                    logits.append(None)
+                    keeps.append(None)
+                    continue
+                toks = [t for t in split(text.lower()) if t]
                 if not toks:
                     lg = b
                 else:
@@ -250,9 +258,9 @@ def _scores_arrow(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "n_tokens": np.asarray(n_toks, dtype=np.int64),
-                    "logit": np.asarray(logits, dtype=np.float64),
-                    "keep": np.asarray(keeps, dtype=np.int32),
+                    "n_tokens": pd.array(n_toks, dtype="Int64"),
+                    "logit": pd.array(logits, dtype="Float64"),
+                    "keep": pd.array(keeps, dtype="Int32"),
                 }
             )
 

@@ -84,8 +84,17 @@ def dsir_importance(
     """Importance score for every RAW document (id, n_tokens, score):
     sum over tokens of the smoothed per-bucket target/raw log-ratio.
     Laplace alpha = 1: w_b = ln((t_b + 1)/(T + D)) - ln((r_b + 1)/
-    (R + D)). Empty documents score 0 (no evidence). Score rounded
-    4dp (floor form) for engine-stable hashing."""
+    (R + D)). Empty documents score 0 (no evidence). Per-bucket
+    weights are rounded to 4dp BEFORE the per-doc sum (the same
+    discipline dsir_train_weights applies to the deployment bank):
+    F.sum accumulates in shuffle order, so summing unrounded doubles
+    could land within an ulp of a 1e-4 floor boundary and flip the
+    rounded score between runs/engines; a sum of 4dp-quantized
+    addends is (up to ulps) a MULTIPLE of 1e-4 — half a quantum away
+    from the floor(x*1e4+0.5) decision boundary — so ulp-scale
+    accumulation-order error can never flip the rounded result. The
+    final score is also floor-rounded 4dp for engine-stable
+    hashing."""
     tt = _doc_buckets(target, text_col, id_col, n_buckets)
     rt = _doc_buckets(raw, text_col, id_col, n_buckets)
     tc = _bucket_counts(tt, n_buckets).withColumnRenamed("_cnt", "_t")
@@ -101,7 +110,7 @@ def dsir_importance(
         .crossJoin(F.broadcast(r_tot))
         .select(
             "_bucket",
-            (
+            rnd(
                 F.log(
                     (F.col("_t") + 1).cast("double")
                     / (F.col("_tsum") + d).cast("double")
@@ -109,7 +118,8 @@ def dsir_importance(
                 - F.log(
                     (F.col("_r") + 1).cast("double")
                     / (F.col("_rsum") + d).cast("double")
-                )
+                ),
+                4,
             ).alias("_w"),
         )
     )

@@ -2978,10 +2978,14 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SECOND slice (cross-batch: its key must still be in state when
     the duplicate arrives), every 7th is duplicated within its OWN
     slice (in-batch dedup), originals split at the epoch median so
-    slices stay time-ordered. The watermark delay (30 days) exceeds
-    the table's whole span, so no state expires mid-replay and the
-    contract is exact: output == the original events, every planted
-    duplicate suppressed. The expiry half of the contract (a
+    slices stay time-ordered. The watermark delay is DERIVED FROM THE
+    DATA — whole span (max ts - min ts) plus a 1-day margin, computed
+    in the same aggregate as the median — so the "no state expires
+    mid-replay" invariant holds at every sf tier by construction (a
+    fixed 30-day literal held sf0.1's ~30-day span by 35 minutes and
+    was false at sf1's ~300-day span — r9 advice). Contract is exact:
+    output == the original events, every planted duplicate
+    suppressed. The expiry half of the contract (a
     duplicate AFTER eviction re-emits) is pinned separately in
     tests/test_streaming.py — it is time-dependent by nature and
     belongs to the unit suite, not a value-hash oracle.
@@ -3006,9 +3010,15 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t["events"].select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    med = events.select(
-        F.percentile(epoch_us("ts"), F.lit(0.5)).alias("m")
-    ).collect()[0].m
+    stats = events.select(
+        F.percentile(epoch_us("ts"), F.lit(0.5)).alias("m"),
+        F.min(epoch_us("ts")).alias("lo"),
+        F.max(epoch_us("ts")).alias("hi"),
+    ).collect()[0]
+    med = stats.m
+    # watermark > whole data span + 1 day margin: no state can expire
+    # mid-replay regardless of sf tier (span scales with sf)
+    wm_seconds = int((stats.hi - stats.lo) // 1_000_000) + 86_400
     e = epoch_us("ts")
     base_slice = F.when(e < F.lit(med), 0).otherwise(1)
     originals = events.withColumn("_slice", base_slice)
@@ -3046,7 +3056,11 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qname = f"dedup_replay_{uuid.uuid4().hex[:8]}"
         q = (
-            dedup_stream(stream, keys=("event_id",), watermark="30 days")
+            dedup_stream(
+                stream,
+                keys=("event_id",),
+                watermark=f"{wm_seconds} seconds",
+            )
             .writeStream.format("memory")
             .queryName(qname)
             .outputMode("append")

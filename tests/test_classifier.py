@@ -118,10 +118,10 @@ def test_arrow_matches_sql_exactly(spark):
         (6, None),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    # NULL text: the SQL path propagates NULL through lower/split ->
-    # size()=-1 guard differs per engine; score only non-null docs
-    # (the registered entry's documents.text is non-nullable).
-    df = df.filter(F.col("text").isNotNull())
+    # NULL text stays IN: the SQL path propagates NULL through
+    # lower/split into NULL n_tokens/logit/keep, and the arrow path
+    # must emit the same NULLs (pandas nullable dtypes), not score
+    # the bare bias — the silent-keep-flip the r9 advice flagged.
     a = {
         r.doc_id: r
         for r in CLF.linear_text_scores(df, "text", "doc_id", impl="sql").collect()
@@ -135,6 +135,9 @@ def test_arrow_matches_sql_exactly(spark):
         assert a[k].n_tokens == b[k].n_tokens, (k, a[k], b[k])
         assert a[k].logit == b[k].logit, (k, a[k], b[k])
         assert a[k].keep == b[k].keep, (k, a[k], b[k])
+    # and the NULL row really is NULL on both paths
+    assert a[6].n_tokens is None and a[6].logit is None and a[6].keep is None
+    assert b[6].n_tokens is None and b[6].logit is None and b[6].keep is None
 
 
 def test_auto_dispatch_picks_arrow_at_deployment_width(spark):
@@ -275,13 +278,18 @@ def test_dsir_importance_matches_python_reference(spark):
         for b in range(D)
     ]
 
+    # dsir_importance floor-rounds each per-bucket weight to 4dp
+    # BEFORE the per-doc sum (determinism vs F.sum accumulation
+    # order) — replay the same quantization here
+    w4 = [math.floor(x * 10000.0 + 0.5) / 10000.0 for x in w]
+
     got = {
         r.doc_id: r
         for r in dsir.dsir_importance(tgt, raw, "text", "doc_id").collect()
     }
     for i, t in raw_texts:
         tk = toks(t)
-        want = math.floor(sum(w[bucket(x)] for x in tk) * 10000.0 + 0.5) / 10000.0
+        want = math.floor(sum(w4[bucket(x)] for x in tk) * 10000.0 + 0.5) / 10000.0
         assert got[i].n_tokens == len(tk)
         assert abs(got[i].importance - want) < 1e-9, (i, got[i], want)
     # the selection signal: target-like beats raw-like

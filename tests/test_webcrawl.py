@@ -774,6 +774,7 @@ def test_lexicon_arrow_agrees_with_inset(spark):
         (3, ""),
         (4, "freebie-giveaway viagra, warez; spam."),
         (5, "unicode tökens and 日本語 with lottery"),
+        (6, None),  # NULL text -> NULL hits/flagged on BOTH forms
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     inset = {
@@ -788,6 +789,12 @@ def test_lexicon_arrow_agrees_with_inset(spark):
     }
     assert inset == arrow, (inset, arrow)
     assert inset[0] == 3 and inset[2] == 2 and inset[3] == 0
+    assert inset[6] is None and arrow[6] is None
+    flagged = {
+        r.doc_id: r.flagged
+        for r in TX.lexicon_hits_arrow(df, "text", "doc_id").collect()
+    }
+    assert flagged[6] is None and flagged[0] == 1 and flagged[1] == 0
 
     big_lex = TX.FILTER_LEXICON + tuple(f"badword{i}" for i in range(50_000))
     t0 = time.monotonic()
