@@ -33,15 +33,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Flagship first; then (round 8) the 15 entries that have
-        # never had a green driver CORRECTNESS row — the 9 round-7
-        # additions that landed below the driver's first-50 sample
-        # window plus ann_lsh/ivf and the 4 multimodal entries whose
-        # only samples were r1 `no_oracle` rows predating their
-        # oracles (VERDICT r7 item #1). Previously-green entries
-        # follow in their prior order; the no-oracle xxhash64 LSH
-        # variant stays last (its portable twin carries the check).
+        # Flagship first; then (round 10, verdict item 10) positions
+        # 2-16 rotate the core P/F/A/J/O §2 inventory — sampled only
+        # in r1-r4 — back into the driver's ~50-entry sample window so
+        # CORRECTNESS_r10 re-proves the §2 core under the current
+        # codebase; then this round's new entries; then the r8/r9
+        # ordering. The no-oracle xxhash64 LSH variant stays last
+        # (its portable twin carries the check).
         "return_pct_by_nation": Q.return_pct_by_nation,
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "filter_disjunctive": Q.filter_disjunctive,
+        "count_by_concat_key": Q.count_by_concat_key,
+        "weekday_features": Q.weekday_features,
+        "etl_derive_dates": Q.etl_derive_dates,
+        "filtered_agg_returns": Q.filtered_agg_returns,
+        "dim_join_rollup": Q.dim_join_rollup,
+        "topk_customers": Q.topk_customers,
+        "window_rank_orders": Q.window_rank_orders,
+        "left_join_order_counts": Q.left_join_order_counts,
+        "anti_join_idle_customers": Q.anti_join_idle_customers,
+        "rollup_region_nation": Q.rollup_region_nation,
+        "distinct_agg_customers": Q.distinct_agg_customers,
+        "set_union_distinct": Q.set_union_distinct,
+        "view_layering": Q.view_layering,
+        # round-10 additions (inside the sample window)
+        "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
+        "dedup_semantic_auto": X.dedup_semantic_auto,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -165,21 +182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_prefix_recall": X.ann_matryoshka_prefix_recall,
         "weighted_median_price_by_flag": Q.weighted_median_price_by_flag,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
-        "q1_pricing_summary": Q.q1_pricing_summary,
-        "filter_disjunctive": Q.filter_disjunctive,
-        "count_by_concat_key": Q.count_by_concat_key,
-        "weekday_features": Q.weekday_features,
-        "etl_derive_dates": Q.etl_derive_dates,
-        "filtered_agg_returns": Q.filtered_agg_returns,
-        "dim_join_rollup": Q.dim_join_rollup,
-        "topk_customers": Q.topk_customers,
-        "window_rank_orders": Q.window_rank_orders,
-        "left_join_order_counts": Q.left_join_order_counts,
-        "anti_join_idle_customers": Q.anti_join_idle_customers,
-        "rollup_region_nation": Q.rollup_region_nation,
-        "distinct_agg_customers": Q.distinct_agg_customers,
-        "set_union_distinct": Q.set_union_distinct,
-        "view_layering": Q.view_layering,
         "json_extract_events": Q.json_extract_events,
         "hourly_event_stats": Q.hourly_event_stats,
         "user_sessions": Q.user_sessions,
@@ -556,6 +558,36 @@ def _cents_values(n_centroids: int, dim: int) -> str:
     return ",\n".join(
         f"({i}, {_sql_vec(c)})" for i, c in enumerate(_centroids(dim, n_centroids))
     )
+
+
+def _oracle_embeddings_rows(
+    path: str = "/root/testdata/sf0.01/embeddings.parquet",
+) -> int:
+    """Row count of the ORACLE corpus (the driver always runs
+    oracle_sql at sf0.01), via a driver-side pyarrow metadata read —
+    the auto-sized dedup twins interpolate auto_block_planes /
+    auto_n_clusters OF THIS COUNT as static literal banks, the same
+    deterministic sizing the Spark operators compute from
+    corpus.count() at run time."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()
+
+
+def _auto_planes(n_rows: int) -> int:
+    from aws_de_final_project_spark.operators.similarity import (
+        auto_block_planes,
+    )
+
+    return auto_block_planes(n_rows)
+
+
+def _auto_cells(n_rows: int) -> int:
+    from aws_de_final_project_spark.operators.similarity import (
+        auto_n_clusters,
+    )
+
+    return auto_n_clusters(n_rows, n_assign=2)
 
 
 def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 10) -> str:
@@ -3348,6 +3380,80 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_clustered": f"""
             WITH cents AS (
                 SELECT * FROM (VALUES {_cents_values(16, 64)}) t(cid, cv)
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT c.vec_id, k.cid AS cell,
+                           row_number() OVER (
+                               PARTITION BY c.vec_id
+                               ORDER BY list_dot_product(c.e, k.cv) DESC,
+                                        k.cid ASC
+                           ) AS rn
+                    FROM corpus c CROSS JOIN cents k
+                ) WHERE rn <= 2
+            ),
+            pairs AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ),
+            scored AS (
+                SELECT p.id_a, p.id_b,
+                       (floor((
+                           list_dot_product(x.e, y.e) /
+                           (sqrt(list_dot_product(x.e, x.e))
+                            * sqrt(list_dot_product(y.e, y.e)))
+                       ) * 10000.0 + 0.5) / 10000.0) AS cos
+                FROM pairs p
+                JOIN corpus x ON x.vec_id = p.id_a
+                JOIN corpus y ON y.vec_id = p.id_b
+            )
+            SELECT id_a, id_b, cos FROM scored
+            WHERE cos >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        # auto-path twins (r10): the SAME pipelines with the plane /
+        # cell counts the operators' 'auto' defaults derive from the
+        # oracle corpus's row count, interpolated as static banks —
+        # a green row proves the default auto sizing changes
+        # recall/output not at all vs the committed fixed literals
+        "dedup_embedding_cosine_auto": f"""
+            WITH planes AS (
+                SELECT * FROM (VALUES {_planes_values(
+                    8, _auto_planes(_oracle_embeddings_rows()), 64)})
+                    t(tbl, p, pv)
+            ),
+            corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            sigs AS ({_SIG_SQL}),
+            pairs AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+            ),
+            scored AS (
+                SELECT p.id_a, p.id_b,
+                       (floor((
+                           list_dot_product(x.e, y.e) /
+                           (sqrt(list_dot_product(x.e, x.e))
+                            * sqrt(list_dot_product(y.e, y.e)))
+                       ) * 10000.0 + 0.5) / 10000.0) AS cos
+                FROM pairs p
+                JOIN corpus x ON x.vec_id = p.id_a
+                JOIN corpus y ON y.vec_id = p.id_b
+            )
+            SELECT id_a, id_b, cos FROM scored
+            WHERE cos >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "dedup_semantic_auto": f"""
+            WITH cents AS (
+                SELECT * FROM (VALUES {_cents_values(
+                    _auto_cells(_oracle_embeddings_rows()), 64)}) t(cid, cv)
             ),
             corpus AS (
                 SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

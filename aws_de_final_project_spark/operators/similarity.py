@@ -34,11 +34,34 @@ from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
 # the Arrow BLAS kernels win 10-60x (270s -> 4.6s at dim 768)
 ARROW_AUTO_DIM = 256
 
+# opt-in ceiling for the exact O(n^2) paths: above this many rows the
+# quadratic baseline raises unless allow_quadratic=True (r9 verdict:
+# the naive caller must get the blocked plan, not the cross join)
+QUADRATIC_ROW_CAP = 50_000
+
 # 'auto' blocking target: expected rows per (table, signature) bucket.
 # One extra plane per corpus doubling holds this constant, so the
 # within-bucket exact-cosine verify stays O(n x BLOCK_TARGET_ROWS) —
 # linear — instead of O(n^2 / 2^planes) at any fixed plane count.
 BLOCK_TARGET_ROWS = 256
+
+
+def auto_block_planes(n_rows: int) -> int:
+    """Corpus-sized hyperplane count: one extra plane per corpus
+    doubling holds expected bucket population at BLOCK_TARGET_ROWS.
+    Shared by the operator's 'auto' path and the oracle builders
+    (which interpolate the SAME value as a static literal bank)."""
+    return max(
+        4, math.ceil(math.log2(max(max(n_rows, 1) / BLOCK_TARGET_ROWS, 1)))
+    )
+
+
+def auto_n_clusters(n_rows: int, n_assign: int = 2) -> int:
+    """Corpus-sized SemDeDup cell count: k grows linearly with n so
+    expected cell population (and so the O(n^2/k) within-cell verify
+    cost per row) stays constant — the paper's own regime (k ~
+    10^4-10^5 at corpus scale)."""
+    return max(16, math.ceil(n_assign * max(n_rows, 1) / BLOCK_TARGET_ROWS))
 
 
 def _resolve_impl(impl: str, dim: int, param: str) -> str:
@@ -672,32 +695,40 @@ def cosine_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_planes: int = 0,
+    block_planes: int | str = "auto",
     dim: int | None = None,
     n_tables: int = 1,
     sig_impl: str = "auto",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     ``cos(a,b) >= threshold``.
 
-    ``block_planes=0`` is the exact O(n^2) baseline (oracle-checkable).
-    With ``block_planes>0`` the self-join is blocked by a random-
-    hyperplane signature (vectors with cos >= ~0.9 agree on most sign
-    bits), turning the cross product into an equi-join on the bucket —
-    the 100 TB path, at the cost of S-curve recall; ``n_tables``
+    ``block_planes='auto'`` (the DEFAULT — r9 verdict: the scale-safe
+    path must be what a naive caller gets) sizes the signature to the
+    CORPUS (one count job): planes = max(4, ceil(log2(n /
+    BLOCK_TARGET_ROWS))). At fixed planes the within-block verify
+    grows as n^2/2^planes — quadratic in corpus size (measured: the
+    sf1 full-suite tier put the fixed-4-plane entry at a 14.9x decade
+    slope) — while one extra plane per doubling keeps expected block
+    population, and so verify cost per row, CONSTANT. Oracled entries
+    pin fixed planes (the DuckDB twin interpolates a static literal
+    bank); production uses auto.
+
+    With explicit ``block_planes>0`` the self-join is blocked by a
+    random-hyperplane signature (vectors with cos >= ~0.9 agree on
+    most sign bits), turning the cross product into an equi-join on
+    the bucket, at the cost of S-curve recall; ``n_tables``
     independent signature tables recover it (miss probability
     ``(1-p^b)^T``). Both paths verify with the exact cosine, so
     precision is always 1.
 
-    ``block_planes='auto'`` sizes the signature to the CORPUS (one
-    count job): planes = max(4, ceil(log2(n / BLOCK_TARGET_ROWS))).
-    At fixed planes the within-block verify grows as n^2/2^planes —
-    quadratic in corpus size (measured: the sf1 full-suite tier put
-    the fixed-4-plane entry at a 14.9x decade slope) — while one
-    extra plane per doubling keeps expected block population, and so
-    verify cost per row, CONSTANT. Oracled entries pin fixed planes
-    (the DuckDB twin interpolates a static literal bank); production
-    uses auto.
+    ``block_planes=0`` is the exact O(n^2) cross-join baseline
+    (oracle-checkable) — OPT-IN ONLY: above QUADRATIC_ROW_CAP rows it
+    raises unless ``allow_quadratic=True``, because n^2/2 exact dots
+    at corpus scale is the one plan that can never finish at 100 TB.
+
+    ``dim`` is required whenever signatures are built ('auto' or >0).
     """
     a = corpus.select(
         F.col(id_col).alias("_ida"),
@@ -710,10 +741,24 @@ def cosine_dup_pairs(
         _norm(F.col(vec_col)).alias("_nb"),
     )
     if block_planes == "auto":
+        if dim is None:
+            raise ValueError(
+                "dim is required with block_planes='auto' (the default "
+                "blocked path builds hyperplane signatures); pass "
+                "block_planes=0 for the exact baseline on a small corpus"
+            )
         n_rows = corpus.count()
-        block_planes = max(
-            4, math.ceil(math.log2(max(n_rows, 1) / BLOCK_TARGET_ROWS))
-        )
+        block_planes = auto_block_planes(n_rows)
+    elif block_planes == 0 and not allow_quadratic:
+        n_rows = corpus.count()
+        if n_rows > QUADRATIC_ROW_CAP:
+            raise ValueError(
+                f"block_planes=0 is the exact O(n^2) cross-join and the "
+                f"corpus has {n_rows} rows (> QUADRATIC_ROW_CAP="
+                f"{QUADRATIC_ROW_CAP}); use block_planes='auto' (scale-"
+                f"safe default) or pass allow_quadratic=True if you "
+                f"really want n^2/2 exact dots"
+            )
     if block_planes > 0:
         if dim is None:
             raise ValueError("dim is required when block_planes > 0")
@@ -1047,7 +1092,7 @@ def semantic_dup_pairs(
     corpus: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     n_assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1075,22 +1120,20 @@ def semantic_dup_pairs(
     ``centroids``: pass :func:`kmeans_centroids` output for trained
     cells; default is the fixed-random quantizer.
 
-    ``n_clusters='auto'`` sizes the cell count to the corpus (one
-    count job): k = max(16, ceil(n_assign * n / BLOCK_TARGET_ROWS)),
-    holding expected cell population constant — at any FIXED k the
-    within-cell verify is O(n^2/k), quadratic in corpus size
-    (measured: the sf1 tier put the fixed-16-cell entry at a 13.7x
-    decade slope). SemDeDup itself scales k with n (the paper uses
-    k ~ 10^4-10^5 cells for corpus-scale runs). Oracled entries pin
-    fixed k (static centroid literals in the DuckDB twin); production
-    uses auto.
+    ``n_clusters='auto'`` (the DEFAULT — r9 verdict: the scale-safe
+    sizing must be what a naive caller gets) sizes the cell count to
+    the corpus (one count job): k = max(16, ceil(n_assign * n /
+    BLOCK_TARGET_ROWS)), holding expected cell population constant —
+    at any FIXED k the within-cell verify is O(n^2/k), quadratic in
+    corpus size (measured: the sf1 tier put the fixed-16-cell entry
+    at a 13.7x decade slope). SemDeDup itself scales k with n (the
+    paper uses k ~ 10^4-10^5 cells for corpus-scale runs). Oracled
+    entries pin fixed k (static centroid literals in the DuckDB
+    twin); production uses auto.
     """
     if n_clusters == "auto":
         n_rows = corpus.count()
-        n_clusters = max(
-            16,
-            math.ceil(n_assign * max(n_rows, 1) / BLOCK_TARGET_ROWS),
-        )
+        n_clusters = auto_n_clusters(n_rows, n_assign)
     cents = centroids if centroids is not None else _centroids(dim, n_clusters)
     assign_impl = _resolve_impl(assign_impl, dim, "assign_impl")
 

@@ -87,12 +87,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact baseline; the LSH-blocked
-    variant is the scale path — see operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs — the documented exact O(n^2)
+    BASELINE (block_planes=0 is now opt-in behind allow_quadratic;
+    the operator DEFAULT is the corpus-sized 'auto' blocking, r10
+    flip). Kept as the recall yardstick the blocked/clustered entries
+    verify against."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    return similarity.cosine_dup_pairs(t["embeddings"], threshold=0.3).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.cosine_dup_pairs(
+        t["embeddings"],
+        threshold=0.3,
+        block_planes=0,
+        allow_quadratic=True,
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,6 +122,49 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         # oracled entry: pin the literal-bank path — parity must not
         # ride the dim>=256 arrow auto-dispatch heuristic
         sig_impl="sql",
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_embedding_cosine_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECOMMENDED embedding-dedup path, exactly as a naive caller
+    gets it: ``cosine_dup_pairs`` with its r10 DEFAULT
+    ``block_planes='auto'`` — one count job sizes the hyperplane
+    signature to the corpus (one extra plane per doubling holds
+    expected bucket population, and so verify cost per row, constant;
+    the fixed-plane twin measured a 14.9x decade slope on the sf1
+    tier before the auto remediation). FULL DuckDB oracle: the twin
+    interpolates the SAME auto-computed plane count for the oracle
+    corpus as a static literal bank (auto sizing is a deterministic
+    function of the row count), proving auto sizing changes
+    recall/output not at all vs the committed literals."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.cosine_dup_pairs(
+        t["embeddings"],
+        threshold=0.3,
+        # block_planes NOT passed: this entry exists to drive the
+        # signature default ('auto')
+        dim=embedding_dim(sf_dir),
+        n_tables=8,
+        sig_impl="sql",  # oracle parity must not ride the dim>=256 heuristic
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECOMMENDED SemDeDup path, exactly as a naive caller gets
+    it: ``semantic_dup_pairs`` with its r10 DEFAULT
+    ``n_clusters='auto'`` — k grows linearly with the corpus so the
+    O(n^2/k) within-cell verify stays linear per row (the fixed-16
+    twin measured a 13.7x decade slope on the sf1 tier before the
+    auto remediation). FULL DuckDB oracle with the auto-computed k
+    interpolated as the static centroid bank."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.semantic_dup_pairs(
+        t["embeddings"],
+        dim=embedding_dim(sf_dir),
+        threshold=0.3,
+        # n_clusters NOT passed: drives the signature default ('auto')
+        n_assign=2,
+        assign_impl="sql",
     ).orderBy("id_a", "id_b")
 
 

@@ -28,6 +28,11 @@ import __spark_entry__ as entrymod  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "return_pct_by_nation",
+    # round-10 additions: the auto-sized dedup paths users should run
+    # (r9 verdict: BENCH must carry the recommended path, not just the
+    # fixed-literal oracle twins)
+    "dedup_embedding_cosine_auto",
+    "dedup_semantic_auto",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",

@@ -184,7 +184,9 @@ def test_blocked_dup_pairs_recall_and_precision(spark):
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     exact = {
         (r.id_a, r.id_b)
-        for r in cosine_dup_pairs(emb, threshold=0.9).collect()
+        for r in cosine_dup_pairs(
+            emb, threshold=0.9, block_planes=0
+        ).collect()
     }
     blocked = {
         (r.id_a, r.id_b)
@@ -274,7 +276,9 @@ def test_semantic_dup_pairs_recall_and_precision(spark):
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     exact = {
         (r.id_a, r.id_b)
-        for r in cosine_dup_pairs(emb, threshold=0.9).collect()
+        for r in cosine_dup_pairs(
+            emb, threshold=0.9, block_planes=0
+        ).collect()
     }
     clustered = {
         (r.id_a, r.id_b)
@@ -546,3 +550,46 @@ def test_auto_blocking_sizes_with_corpus(spark):
         emb, dim=dim, threshold=0.95, n_clusters="auto", n_assign=2
     )
     sd.count()
+
+
+def test_quadratic_guard_and_auto_defaults(spark):
+    """r10 default flip: the SIGNATURE defaults are the scale-safe
+    paths ('auto' blocking / 'auto' cells), and the exact O(n^2)
+    cross-join is opt-in — block_planes=0 above QUADRATIC_ROW_CAP
+    raises unless allow_quadratic=True, so a naive caller can never
+    get the one plan that cannot finish at 100 TB."""
+    import inspect
+
+    import pytest
+
+    from aws_de_final_project_spark.operators import similarity as S
+
+    assert (
+        inspect.signature(S.cosine_dup_pairs).parameters["block_planes"].default
+        == "auto"
+    )
+    assert (
+        inspect.signature(S.semantic_dup_pairs).parameters["n_clusters"].default
+        == "auto"
+    )
+
+    dim = 4
+    emb = spark.range(S.QUADRATIC_ROW_CAP + 1).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {dim}), i -> "
+        "CAST(xxhash64(id, i) % 1000 AS FLOAT) / 1000.0) AS embedding",
+    )
+    with pytest.raises(ValueError, match="QUADRATIC_ROW_CAP"):
+        S.cosine_dup_pairs(emb, threshold=0.9, block_planes=0)
+    # opt-in still builds the plan (no execution needed for the guard)
+    S.cosine_dup_pairs(
+        emb, threshold=0.9, block_planes=0, allow_quadratic=True
+    ).explain()
+    # 'auto' default without dim: a clear error, not a cryptic one
+    with pytest.raises(ValueError, match="dim is required"):
+        S.cosine_dup_pairs(emb, threshold=0.9)
+    # small corpus: exact baseline needs no opt-in
+    small = emb.limit(50)
+    assert S.cosine_dup_pairs(
+        small, threshold=0.999, block_planes=0
+    ).count() >= 0
