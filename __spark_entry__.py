@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 additions (inside the sample window)
         "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
         "dedup_semantic_auto": X.dedup_semantic_auto,
+        "html_main_content_docs": X.html_main_content_docs,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -390,6 +391,44 @@ def _entity_decode_ctes(src_cte: str, col: str, keys: str) -> str:
                        || parts[len(parts)] AS t
                 FROM entsplit
             )"""
+
+
+def _main_block_txt_sql(b: str) -> str:
+    """webcrawl._block_visible_text twin: inline tags to spaces,
+    whitespace collapsed, trimmed (entities stay encoded — densities
+    are computed pre-decode on both engines)."""
+    return (
+        f"trim(regexp_replace(regexp_replace({b}, '<[^>]*>', ' ', 'g'), "
+        f"'{_WC.WS_RE}', ' ', 'g'))"
+    )
+
+
+def _main_keep_sql(b: str) -> str:
+    """webcrawl.html_main_content keep-rule twin over one raw block
+    fragment ``b``: length floor, anchor-chars link-density cap and
+    stopword prose floor — multiply-form, same interpolated module
+    constants (MAIN_*), nested RE2-safe lambdas."""
+    txt = _main_block_txt_sql(b)
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+    # array_join([]) is '' — a no-anchor block must score link 0
+    anch = _main_block_txt_sql(
+        f"coalesce(array_to_string(regexp_extract_all({b}, "
+        f"'{_WC.MAIN_ANCHOR_INNER_RE}', 1), ' '), '')"
+    )
+    stop_list = "[" + ", ".join(f"'{w}'" for w in _WC.MAIN_STOPWORDS) + "]"
+    toks = (
+        f"list_filter(string_split(lower({txt}), ' '), "
+        f"xx -> len(xx) > 0)"
+    )
+    nstop = (
+        f"len(list_filter({toks}, xx -> list_contains({stop_list}, "
+        f"regexp_replace(xx, '[^a-z]', '', 'g'))))"
+    )
+    return (
+        f"(len({txt}) >= {_WC.MAIN_MIN_BLOCK_CHARS} "
+        f"AND len({anch}) <= {_WC.MAIN_MAX_LINK_DENSITY!r} * len({txt}) "
+        f"AND {nstop} >= {_WC.MAIN_MIN_STOPWORD_DENSITY!r} * len({toks}))"
+    )
 
 
 def _strip_href_quotes_sql(v: str) -> str:
@@ -5099,6 +5138,89 @@ def oracle_sql() -> dict[str, str]:
             FROM entdec
             ORDER BY doc_id
         """.replace("__WS_RE__", _WC.WS_RE),
+        # main-content extraction: same planted-boilerplate page
+        # (nav / cookie / link-farm / keyword-stuffing / footer must
+        # vanish, article paragraphs must survive), same interpolated
+        # block/anchor regexes and MAIN_* constants, same nested-
+        # lambda keep rule, same one-pass entity decode on the kept
+        # concatenation
+        "html_main_content_docs": f"""
+            WITH wrapped AS (
+                SELECT doc_id, text,
+                       '<html><head><title>Doc ' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '</title><script>var x = 1; // <p>not text</p>'
+                       || '</script>'
+                       || '<style>.nav {{ color: red }}</style></head>'
+                       || '<body><nav><a href="/home">Home</a> '
+                       || '<a href="/about">About</a> '
+                       || '<a href="/contact">Contact</a></nav>' ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '<div class="cookie">We use cookies '
+                                 || 'to improve your experience '
+                                 || '<a href="#">Accept</a> '
+                                 || '<a href="#">Decline</a></div>'
+                            ELSE '' END ||
+                       '<p>{X.MAIN_FIXTURE_LEAD}' || text || '</p>' ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '<h2>related</h2><p>and then it was '
+                                 || 'written that the ' || text ||
+                                 ' was all about the data in the end '
+                                 || '.</p>'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '<div class="more">'
+                                 || '<a href="/1">read more here now</a> '
+                                 || '<a href="/2">read more here now</a> '
+                                 || '<a href="/3">read more here now</a> '
+                                 || '<a href="/4">read more here now</a> '
+                                 || '<a href="/5">read more here now</a> '
+                                 || '<a href="/6">read more here now</a>'
+                                 || '</div>'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '<div class="kw">lorem ipsum dolor '
+                                 || 'sit amet consectetur adipiscing '
+                                 || 'elit sed eiusmod tempor '
+                                 || 'incididunt labore magna aliqua '
+                                 || 'veniam quis nostrud exercitation '
+                                 || 'ullamco</div>'
+                            ELSE '' END ||
+                       '<footer>&copy; 2026 '
+                       || '<a href="/privacy">Privacy</a> '
+                       || '<a href="/terms">Terms</a></footer>'
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            cleaned AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           html,
+                           '(?is)<script\\b[^>]*>.*?</script>', ' ',
+                           'g'),
+                           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g') AS t
+                FROM wrapped
+            ),
+            kept AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           list_filter(
+                               string_split_regex(t,
+                                   '{_WC.MAIN_BLOCK_TAG_RE}'),
+                               b -> {_main_keep_sql('b')}),
+                           b -> {_main_block_txt_sql('b')}), ' ') AS t0
+                FROM cleaned
+            ),
+            {_entity_decode_ctes("kept", "t0", "doc_id")}
+            SELECT doc_id,
+                   trim(regexp_replace(t, '{_WC.WS_RE}', ' ', 'g'))
+                       AS main_content,
+                   CAST(length(trim(regexp_replace(t, '{_WC.WS_RE}',
+                        ' ', 'g'))) AS BIGINT) AS n_chars_main
+            FROM entdec
+            ORDER BY doc_id
+        """,
         # PII scrub: same injection fixture, and the PATTERNS ARE THE
         # MODULE CONSTANTS (webcrawl.PII_*_RE interpolated below), so
         # the Spark operator and the oracle literally share regex

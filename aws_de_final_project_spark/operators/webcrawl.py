@@ -663,6 +663,125 @@ def html_extract_text(html: Column | str) -> Column:
 # keep the edge exercised.
 WS_RE = r"[ \t\n\x0B\f\r]+"
 
+# ---------------------------------------------------------------------------
+# Main-content (boilerplate) extraction — jusText/trafilatura-shaped
+# block text-density classification (Pomikálek 2011 "Removing
+# boilerplate and duplicate content from web corpora"; public method).
+# Between WARC parse and quality filtering, every C4/RefinedWeb-style
+# pipeline drops nav/footer/cookie chrome — the single biggest
+# text-quality lever in real web corpora (r9 verdict item 2).
+# ---------------------------------------------------------------------------
+
+# Block boundary: any opening OR closing block-level tag (longest
+# names first — Java and RE2 alternation are both leftmost-first).
+# Inline tags (<a>, <b>, <span>, ...) stay inside their block so link
+# density can be measured. RE2-compatible: no lookaround, \b word
+# boundary is shared syntax.
+MAIN_BLOCK_TAG_RE = (
+    r"(?i)</?(?:blockquote|section|article|header|footer|table|aside"
+    r"|main|form|nav|div|ul|ol|li|td|th|tr|h[1-6]|p|br)\b[^>]*>"
+)
+# Inner HTML of an anchor element (group 1) — the link-chars numerator.
+MAIN_ANCHOR_INNER_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+#: English function words for the prose (stopword-density) signal —
+#: jusText's core feature. Deliberately tiny: the signal needs "does
+#: this read like sentences", not a full lexicon.
+MAIN_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was",
+    "it", "for", "on", "with", "as", "at", "by", "that", "this",
+    "are", "be", "were", "because", "about",
+)
+MAIN_MIN_BLOCK_CHARS = 80
+MAIN_MAX_LINK_DENSITY = 0.33
+MAIN_MIN_STOPWORD_DENSITY = 0.02
+
+
+def _block_visible_text(b: Column) -> Column:
+    """Visible text of ONE block fragment: remaining (inline) tags to
+    spaces, whitespace runs collapsed, trimmed. Entities stay ENCODED
+    here — densities are computed pre-decode on both engines, and the
+    final kept concatenation decodes once."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), WS_RE, " ")
+    )
+
+
+def html_main_content(
+    html: Column | str,
+    min_chars: int = MAIN_MIN_BLOCK_CHARS,
+    max_link_density: float = MAIN_MAX_LINK_DENSITY,
+    min_stopword_density: float = MAIN_MIN_STOPWORD_DENSITY,
+) -> Column:
+    """Main article text from raw HTML with boilerplate removed —
+    block-level text-density classification (jusText shape), as ONE
+    scan-side codegen expression: zero joins, zero shuffles, zero
+    UDFs, DuckDB-replayable.
+
+    1. drop <script>/<style> elements and comments (as
+       :func:`html_extract_text`);
+    2. split on every block-level tag boundary (MAIN_BLOCK_TAG_RE) —
+       nav links, footers and cookie banners sit in their own blocks;
+    3. score each block on its visible text: length, link density
+       (anchor-text chars / text chars), stopword density (function
+       words / tokens);
+    4. KEEP blocks that are long enough (>= min_chars), not link-
+       dominated (link_chars <= max_link_density * chars) and
+       prose-like (stopwords >= min_stopword_density * tokens);
+    5. join kept blocks, decode entities once, collapse whitespace.
+
+    Density tests multiply instead of divide (no div-by-zero, and the
+    int x double product is bit-identical across engines).
+    """
+    t = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(t, MAIN_BLOCK_TAG_RE, -1)
+    stop = F.array(*[F.lit(w) for w in MAIN_STOPWORDS])
+
+    def keep(b: Column) -> Column:
+        txt = _block_visible_text(b)
+        n = F.length(txt)
+        anchor_txt = _block_visible_text(
+            F.array_join(
+                F.regexp_extract_all(
+                    b, F.lit(MAIN_ANCHOR_INNER_RE), F.lit(1)
+                ),
+                " ",
+            )
+        )
+        link_chars = F.length(anchor_txt)
+        toks = F.filter(
+            F.split(F.lower(txt), " "), lambda x: F.length(x) > 0
+        )
+        n_stop = F.size(
+            F.filter(
+                toks,
+                lambda x: F.array_contains(
+                    stop, F.regexp_replace(x, "[^a-z]", "")
+                ),
+            )
+        )
+        return (
+            (n >= F.lit(min_chars))
+            & (
+                link_chars.cast("double")
+                <= F.lit(float(max_link_density)) * n.cast("double")
+            )
+            & (
+                n_stop.cast("double")
+                >= F.lit(float(min_stopword_density))
+                * F.size(toks).cast("double")
+            )
+        )
+
+    joined = F.array_join(
+        F.transform(F.filter(blocks, keep), _block_visible_text), " "
+    )
+    return F.trim(
+        F.regexp_replace(decode_html_entities(joined), WS_RE, " ")
+    )
+
 # PII patterns, deliberately RE2-compatible (no lookaround — RE2 has
 # none) so the DuckDB oracle runs byte-identical regexes; the oracle
 # SQL interpolates THESE constants, so the two sides cannot drift.

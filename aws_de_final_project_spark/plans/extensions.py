@@ -3228,6 +3228,92 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Fixed English lead sentence for the main-content fixture: supplies
+#: the prose stopword signal for EVERY doc (the synthetic corpus text
+#: is word soup with few function words) and plants an entity the
+#: final decode must handle. Shared verbatim with the DuckDB oracle.
+MAIN_FIXTURE_LEAD = (
+    "the quick brown fox and the lazy dog were reading this article "
+    "because it was a good day to learn about Q&amp;A . "
+)
+
+
+def html_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content / boilerplate extraction (operators/webcrawl
+    .html_main_content — jusText-shaped block text-density
+    classification) over a deterministic page wrapping of each
+    document that plants every boilerplate class a real crawl page
+    carries: nav link row + cookie banner (short and/or link-dense —
+    must vanish), a long link-farm div on every 4th doc (>= 80 chars
+    but link density ~1 — must vanish BY DENSITY), a long
+    zero-stopword keyword-stuffing div on every 5th (must vanish by
+    prose score), a footer with entity + links (must vanish), and one
+    or two ARTICLE paragraphs (lead sentence + the document text —
+    must survive). The step every C4/RefinedWeb-shaped pipeline runs
+    between WARC parse and quality filtering. Pure scan-side codegen
+    (split / nested HOF filter / join / one-pass entity decode), zero
+    shuffles before the output sort. FULL DuckDB oracle: same
+    construction, same interpolated block/anchor regexes, same
+    multiply-form density rule."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title><script>var x = 1; // <p>not text</p></script>"
+              "<style>.nav { color: red }</style></head><body>"
+              "<nav><a href=\"/home\">Home</a> <a href=\"/about\">About"
+              "</a> <a href=\"/contact\">Contact</a></nav>"),
+        F.when(
+            d % 2 == 0,
+            F.lit("<div class=\"cookie\">We use cookies to improve "
+                  "your experience <a href=\"#\">Accept</a> "
+                  "<a href=\"#\">Decline</a></div>"),
+        ).otherwise(F.lit("")),
+        F.lit("<p>" + MAIN_FIXTURE_LEAD),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<h2>related</h2><p>and then it was written "
+                      "that the "),
+                F.col("text"),
+                F.lit(" was all about the data in the end .</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.lit("<div class=\"more\"><a href=\"/1\">read more here "
+                  "now</a> <a href=\"/2\">read more here now</a> "
+                  "<a href=\"/3\">read more here now</a> "
+                  "<a href=\"/4\">read more here now</a> "
+                  "<a href=\"/5\">read more here now</a> "
+                  "<a href=\"/6\">read more here now</a></div>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.lit("<div class=\"kw\">lorem ipsum dolor sit amet "
+                  "consectetur adipiscing elit sed eiusmod tempor "
+                  "incididunt labore magna aliqua veniam quis "
+                  "nostrud exercitation ullamco</div>"),
+        ).otherwise(F.lit("")),
+        F.lit("<footer>&copy; 2026 <a href=\"/privacy\">Privacy</a> "
+              "<a href=\"/terms\">Terms</a></footer></body></html>"),
+    )
+    docs = t["documents"].select("doc_id", html.alias("html"))
+    return docs.select(
+        "doc_id",
+        WC.html_main_content("html").alias("main_content"),
+    ).select(
+        "doc_id",
+        "main_content",
+        F.length("main_content").cast("long").alias("n_chars_main"),
+    ).orderBy("doc_id")
+
+
 def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-grade PII redaction (operators/webcrawl.scrub_pii):
     emails/IPv6/IPv4/phones replaced with typed placeholders over a

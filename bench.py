@@ -33,6 +33,7 @@ HEADLINE = [
     # fixed-literal oracle twins)
     "dedup_embedding_cosine_auto",
     "dedup_semantic_auto",
+    "html_main_content_docs",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",

@@ -980,3 +980,64 @@ def test_script_mix_detection(spark):
     assert got[9].n_latin == 9  # é and ï count as Latin
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_html_main_content_boilerplate_vanishes(spark):
+    """jusText-shaped block classification: nav/cookie/footer (short
+    and/or link-dense), a LONG link-farm (dies by link density, not
+    length) and a LONG zero-stopword keyword block (dies by prose
+    score) must all vanish; article paragraphs survive with entities
+    decoded; and the whole operator is one scan-side projection —
+    zero exchanges in the plan."""
+    html = (
+        '<html><head><script>var x=1; // <p>not text</p></script>'
+        '<style>.a{}</style><title>T</title></head>'
+        '<body><nav><a href="/a">Home</a> <a href="/b">About</a> '
+        '<a href="/c">Contact</a></nav>'
+        '<div class="cookie">We use cookies to improve your '
+        'experience <a>Accept</a> <a>Decline</a></div>'
+        '<p>the quick brown fox and the lazy dog were reading this '
+        'article because it was a good day to learn about Q&amp;A '
+        'and the weather was fine so they kept on reading.</p>'
+        '<div><a href=/1>read more here now</a> <a href=/2>read more '
+        'here now</a> <a href=/3>read more here now</a> <a href=/4>'
+        'read more here now</a> <a href=/5>read more here now</a> '
+        '<a href=/6>read more here now</a></div>'
+        '<div>lorem ipsum dolor sit amet consectetur adipiscing elit '
+        'sed eiusmod tempor incididunt labore magna aliqua veniam '
+        'quis nostrud</div>'
+        '<footer>&copy; 2026 <a href=/p>Privacy</a> '
+        '<a href=/t>Terms</a></footer></body></html>'
+    )
+    df = spark.createDataFrame([(0, html)], ["i", "html"])
+    out = df.select(WC.html_main_content("html").alias("m"))
+    m = out.collect()[0].m
+    assert "quick brown fox" in m and "Q&A" in m
+    for boiler in ("Home", "About", "Contact", "cookies", "Accept",
+                   "read more", "lorem ipsum", "Privacy", "Terms"):
+        assert boiler not in m, (boiler, m)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_html_main_content_density_edges(spark):
+    """Rule edges: a long prose block JUST over the link-density cap
+    dies; the same block without links survives; an empty page gives
+    an empty string (not NULL)."""
+    prose = ("the cat and the dog were in the house because it was "
+             "raining and they did not want to be wet at all today")
+    linky = "<p>" + prose + ' <a href="/x">' + "x" * 60 + "</a></p>"
+    clean = "<p>" + prose + "</p>"
+    df = spark.createDataFrame(
+        [(0, linky), (1, clean), (2, "<html><body></body></html>")],
+        ["i", "html"],
+    )
+    got = {
+        r.i: r.m
+        for r in df.select(
+            "i", WC.html_main_content("html").alias("m")
+        ).collect()
+    }
+    assert got[1] == prose
+    assert got[0] == ""  # 60 link chars vs ~100+60 text chars > 0.33
+    assert got[2] == ""
