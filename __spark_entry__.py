@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
         "dedup_semantic_auto": X.dedup_semantic_auto,
         "html_main_content_docs": X.html_main_content_docs,
+        "robots_wildcard_docs": X.robots_wildcard_docs,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -429,6 +430,34 @@ def _main_keep_sql(b: str) -> str:
         f"AND len({anch}) <= {_WC.MAIN_MAX_LINK_DENSITY!r} * len({txt}) "
         f"AND {nstop} >= {_WC.MAIN_MIN_STOPWORD_DENSITY!r} * len({toks}))"
     )
+
+
+def _robots_wild_values() -> str:
+    """(host, prefix, allow, spec, wild, pattern) VALUES rows for the
+    wildcard/agent-group robots oracle: spec/wild and the compiled
+    anchored pattern are computed by the Python twin
+    (webcrawl.py_robots_rule_pattern) of the Spark-side compile —
+    pinned equal in tests/test_webcrawl.py — for agent 'samplebot'."""
+    from aws_de_final_project_spark.operators.webcrawl import (
+        py_robots_rule_pattern,
+    )
+
+    rows = []
+    for host, prefix, allow, agent in X.ROBOTS_WILDCARD_RULES:
+        spec = agent.strip().lower() == "samplebot"
+        wild = ("*" in prefix) or prefix.endswith("$")
+        pat = py_robots_rule_pattern(prefix)
+        rows.append(
+            f"('{host}', '{prefix}', {str(bool(allow)).upper()}, "
+            f"{str(spec).upper()}, {str(wild).upper()}, '{pat}')"
+        )
+    return ", ".join(rows)
+
+
+_ROBOTS_PQ_SQL = (
+    "regexp_extract(w.canon_url, "
+    "'^[a-z][a-z0-9+.-]*://[^/?]+(.*)$', 1)"
+)
 
 
 def _strip_href_quotes_sql(v: str) -> str:
@@ -4437,6 +4466,54 @@ def oracle_sql() -> dict[str, str]:
                            j -> starts_with(regexp_extract(w.canon_url,
                                '^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?',
                                1), p.prefixes[j]))[1]
+                   ], FALSE) AS blocked
+            FROM withdomain w LEFT JOIN perhost p ON w.host = p.host
+            ORDER BY w.doc_id
+        """,
+        # RFC 9309 wildcards + agent groups: same rule bank with the
+        # Python-twin-compiled patterns interpolated, §2.2.1 group
+        # replacement (specific group wins per host), longest-rule
+        # precedence with Allow ties, PATH+QUERY match target
+        "robots_wildcard_docs": f"""
+            WITH urls AS (
+                SELECT doc_id, {_MESSY_URL} AS url FROM documents
+            ),
+            {_URL_CANON_CTES},
+            rules AS (
+                SELECT * FROM (VALUES {_robots_wild_values()})
+                    AS r(host, prefix, allow, spec, wild, pattern)
+            ),
+            hostspec AS (
+                SELECT host, max(CASE WHEN spec THEN 1 ELSE 0 END) AS hs
+                FROM rules GROUP BY host
+            ),
+            eff AS (
+                SELECT r.* FROM rules r JOIN hostspec h
+                    ON r.host = h.host
+                WHERE (CASE WHEN r.spec THEN 1 ELSE 0 END) = h.hs
+            ),
+            perhost AS (
+                SELECT host,
+                       list(prefix ORDER BY len(prefix) DESC,
+                            allow DESC, prefix) AS prefixes,
+                       list(allow ORDER BY len(prefix) DESC,
+                            allow DESC, prefix) AS allows,
+                       list(wild ORDER BY len(prefix) DESC,
+                            allow DESC, prefix) AS wilds,
+                       list(pattern ORDER BY len(prefix) DESC,
+                            allow DESC, prefix) AS patterns
+                FROM eff GROUP BY host
+            )
+            SELECT w.doc_id,
+                   w.canon_url,
+                   w.host,
+                   coalesce(NOT p.allows[
+                       list_filter(generate_series(1, len(p.prefixes)),
+                           j -> CASE WHEN p.wilds[j]
+                                THEN regexp_matches({_ROBOTS_PQ_SQL},
+                                     p.patterns[j])
+                                ELSE starts_with({_ROBOTS_PQ_SQL},
+                                     p.prefixes[j]) END)[1]
                    ], FALSE) AS blocked
             FROM withdomain w LEFT JOIN perhost p ON w.host = p.host
             ORDER BY w.doc_id

@@ -970,27 +970,91 @@ def url_path(canon_url: Column) -> Column:
     )
 
 
+def url_path_query(canon_url: Column) -> Column:
+    """Everything after the authority of a canonical URL — path plus
+    '?query' when present, '' when neither. The robots match target:
+    RFC 9309 rules apply to the path AND query (``Disallow: /*?`` is
+    the canonical real-world use), not the bare path."""
+    return F.regexp_extract(
+        canon_url, r"^[a-z][a-z0-9+.-]*://[^/?]+(.*)$", 1
+    )
+
+
+# Regex metacharacters a robots rule path must have escaped before its
+# '*' wildcards become '.*' — every special EXCEPT '*' itself ('$' is
+# handled positionally: only a TRAILING '$' is the RFC end anchor).
+# Shared Java/RE2 syntax, so the compiled pattern runs on both engines.
+ROBOTS_SPECIAL_RE = r"([.^$+?()\[\]{}|\\])"
+
+
+def robots_rule_pattern(prefix: Column) -> Column:
+    """Compile one robots rule path to an anchored regex (RFC 9309
+    §2.2.3): ``*`` matches any character sequence, a TRAILING ``$``
+    anchors the end, everything else is literal. Runs scan-side on
+    the (small) rules frame at aggregation time — URLs never pay the
+    compile. Python twin: :func:`py_robots_rule_pattern` (the oracle
+    interpolates ITS output, pinned equal in tests)."""
+    ends = F.endswith(prefix, F.lit("$"))
+    body = F.when(
+        ends, prefix.substr(F.lit(1), F.length(prefix) - 1)
+    ).otherwise(prefix)
+    esc = F.regexp_replace(body, ROBOTS_SPECIAL_RE, r"\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), wild, F.when(ends, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def py_robots_rule_pattern(prefix: str) -> str:
+    """Driver-side twin of :func:`robots_rule_pattern` — used by the
+    DuckDB oracle builder to interpolate the identical compiled
+    pattern for a static rule fixture."""
+    import re as _re
+
+    ends = prefix.endswith("$")
+    body = prefix[:-1] if ends else prefix
+    esc = _re.sub(r"([.^$+?()\[\]{}|\\])", r"\\\1", body)
+    return "^" + esc.replace("*", ".*") + ("$" if ends else "")
+
+
 def robots_disallow_filter(
-    df: DataFrame, rules: DataFrame, url_col: str = "url"
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    agent: str = "*",
 ) -> DataFrame:
     """Crawl-politeness filtering against robots.txt rules with RFC
-    9309 precedence: ``rules`` is (host, prefix[, allow]) — agent-
-    ``*`` Allow/Disallow lines (a missing ``allow`` column means all
-    Disallow, the pre-RFC restricted profile) — and a URL's verdict
-    comes from the LONGEST rule prefix matching its canonical path,
-    with Allow winning an equal-length tie (RFC 9309 §2.2.2: "the
-    least restrictive rule"). No matching rule (or no rules for the
-    host) means not blocked. Match length is measured in characters,
-    not the RFC's octets — equivalent for the ASCII paths
-    canonicalization emits. ``%``-encoding equivalence and ``$``/``*``
-    wildcards remain out of scope (documented fetcher concerns).
+    9309 semantics: ``rules`` is (host, prefix[, allow[, agent]]) —
+    Allow/Disallow lines (a missing ``allow`` column means all
+    Disallow, the pre-RFC restricted profile; a missing ``agent``
+    column means every line belongs to the ``*`` group).
 
-    Shape at 100 TB: rules collapse to ONE array row per host (a
-    robots file is small by protocol), PRE-SORTED by (length desc,
+    GROUP SELECTION (§2.2.1): lines whose agent token case-
+    insensitively FULL-matches ``agent`` form the crawler's group;
+    when a host has any such line, ONLY that group applies there —
+    the ``*`` group is the fallback for hosts without one (r9 verdict
+    item 6).
+
+    MATCHING (§2.2.3): rule paths support ``*`` (any sequence) and a
+    trailing ``$`` (end anchor) — ``Disallow: /*?`` works (r9 verdict
+    item 3). Wildcard-free rules stay plain ``startswith`` (no per-
+    row regex); wildcard rules compile ONCE per rule at aggregation
+    time (:func:`robots_rule_pattern`) and match with ``rlike``. The
+    match target is the canonical PATH + QUERY
+    (:func:`url_path_query`), per the RFC's URI-path-and-query rule.
+
+    PRECEDENCE (§2.2.2): longest rule text wins (octets == characters
+    for the ASCII paths canonicalization emits; wildcard chars count,
+    the same measure Google's open-source matcher uses), Allow wins
+    an equal-length tie. No matching rule (or no rules for the host)
+    means not blocked.
+
+    Shape at 100 TB: rules collapse to ONE array row per (host) —
+    a robots file is small by protocol — PRE-SORTED by (length desc,
     allow-first) at aggregation time so precedence is a first-match
     scan, and BROADCAST; the URL side gets one broadcast hash join
-    plus a scan-side ``filter``/``element_at`` over the rule array —
-    never shuffled, never multiplied by the rule count.
+    plus a scan-side ``filter``/``get`` over the rule array — never
+    shuffled, never multiplied by the rule count.
 
     Reserved output columns: adds/overwrites ``_canon``, ``host`` and
     ``blocked`` on the input frame — callers carrying their own
@@ -998,6 +1062,16 @@ def robots_disallow_filter(
     """
     if "allow" not in rules.columns:
         rules = rules.withColumn("allow", F.lit(False))
+    if "agent" not in rules.columns:
+        rules = rules.withColumn("agent", F.lit("*"))
+    tok = agent.strip().lower()
+    a = F.lower(F.trim(F.col("agent")))
+    # only this crawler's group and the default group can ever apply
+    rules = rules.filter(a.isin(tok, "*"))
+    is_spec = (a == F.lit(tok)) & F.lit(tok != "*")
+    has_wild = F.contains(F.col("prefix"), F.lit("*")) | F.endswith(
+        F.col("prefix"), F.lit("$")
+    )
     per_host = F.broadcast(
         rules.groupBy("host").agg(
             F.sort_array(
@@ -1010,6 +1084,11 @@ def robots_disallow_filter(
                         .alias("tie"),
                         F.col("prefix").alias("prefix"),
                         F.col("allow").alias("allow"),
+                        is_spec.alias("spec"),
+                        has_wild.alias("wild"),
+                        robots_rule_pattern(F.col("prefix")).alias(
+                            "pattern"
+                        ),
                     )
                 )
             ).alias("_rules")
@@ -1020,12 +1099,18 @@ def robots_disallow_filter(
         "host", url_host(F.col("_canon"))
     )
     joined = u.join(per_host, "host", "left")
-    path = url_path(F.col("_canon"))
+    pq = url_path_query(F.col("_canon"))
+    # §2.2.1: the specific group REPLACES '*' wherever it exists
+    has_spec = F.exists(F.col("_rules"), lambda r: r["spec"])
+    eff = F.filter(F.col("_rules"), lambda r: r["spec"] == has_spec)
     # F.get (0-based) returns NULL on an empty match list where ANSI
     # element_at would throw
     first = F.get(
         F.filter(
-            F.col("_rules"), lambda r: F.startswith(path, r["prefix"])
+            eff,
+            lambda r: F.when(
+                r["wild"], F.rlike(pq, r["pattern"])
+            ).otherwise(F.startswith(pq, r["prefix"])),
         ),
         0,
     )

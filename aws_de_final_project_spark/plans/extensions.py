@@ -3654,6 +3654,28 @@ ROBOTS_RULES: tuple[tuple[str, str, bool], ...] = tuple(
     ("src2.site2.com", "/Docs/1", True),
 )
 
+#: (host, prefix, allow, agent) — the RFC 9309 wildcard + user-agent-
+#: group fixture (r9 verdict items 3 + 6). Canonical path+query for
+#: every fixture URL is '/Docs/{d}?a=1&b=2', so: src0 exercises
+#: wildcard PRECEDENCE (the longer '/Docs/1*' Allow beats '/Docs/*');
+#: src1 the classic 'Disallow: /*?' (every URL has a query ->
+#: everything blocked); src2 a '$'-anchored rule the query tail stops
+#: from ever matching; src3 a wildcard+'$' rule that matches the
+#: query tail itself; src4 an agent-specific group OVERRIDING a
+#: blanket '*' Disallow; src5 a '*'-only host (fallback applies);
+#: src6 an agent-specific wildcard Disallow.
+ROBOTS_WILDCARD_RULES: tuple[tuple[str, str, bool, str], ...] = (
+    ("src0.site0.com", "/Docs/*", False, "*"),
+    ("src0.site0.com", "/Docs/1*", True, "*"),
+    ("src1.site1.com", "/*?", False, "*"),
+    ("src2.site2.com", "/Docs/2$", False, "*"),
+    ("src3.site3.com", "/*&b=2$", False, "*"),
+    ("src4.site4.com", "/", False, "*"),
+    ("src4.site4.com", "/Docs/*", True, "samplebot"),
+    ("src5.site5.com", "/", False, "*"),
+    ("src6.site6.com", "/Docs/1*", False, "samplebot"),
+)
+
 
 def lexicon_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style word-list filtering (functions/text.lexicon_hits)
@@ -3885,6 +3907,38 @@ def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(ROBOTS_RULES), ["host", "prefix", "allow"]
     )
     out = WC.robots_disallow_filter(docs, rules, "url")
+    return out.select(
+        "doc_id",
+        F.col("_canon").alias("canon_url"),
+        "host",
+        "blocked",
+    ).orderBy("doc_id")
+
+
+def robots_wildcard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard matching + user-agent group selection
+    (operators/webcrawl.robots_disallow_filter with agent=
+    'SampleBot') over the shared messy-URL fixture and the
+    ROBOTS_WILDCARD_RULES bank: '*' any-sequence rules, trailing-'$'
+    end anchors matched against PATH+QUERY (the 'Disallow: /*?'
+    real-world profile), longest-rule-text precedence with Allow
+    ties, and §2.2.1 group selection (a host's agent-specific group
+    REPLACES its '*' group; hosts without one fall back). Same
+    broadcast one-rule-array-per-host shape as robots_filter_docs —
+    wildcard-free rules still match with plain startswith, wildcard
+    rules with a once-per-rule compiled anchored regex. FULL DuckDB
+    oracle: interpolates the rule bank WITH the Python-twin-compiled
+    patterns (py_robots_rule_pattern, pinned equal to the Spark
+    compile in tests/test_webcrawl.py) and replays group selection +
+    precedence + match order."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", _messy_url().alias("url"))
+    rules = spark.createDataFrame(
+        list(ROBOTS_WILDCARD_RULES), ["host", "prefix", "allow", "agent"]
+    )
+    out = WC.robots_disallow_filter(docs, rules, "url", agent="SampleBot")
     return out.select(
         "doc_id",
         F.col("_canon").alias("canon_url"),

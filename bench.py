@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_embedding_cosine_auto",
     "dedup_semantic_auto",
     "html_main_content_docs",
+    "robots_wildcard_docs",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",

@@ -1041,3 +1041,52 @@ def test_html_main_content_density_edges(spark):
     assert got[1] == prose
     assert got[0] == ""  # 60 link chars vs ~100+60 text chars > 0.33
     assert got[2] == ""
+
+
+def test_robots_wildcards_and_agent_groups(spark):
+    """RFC 9309 §2.2.3 wildcards ('*' any-sequence, trailing-'$'
+    anchor) matched against PATH+QUERY, longest-rule-text precedence
+    with Allow ties, and §2.2.1 group selection: an agent-specific
+    group REPLACES the host's '*' group (case-insensitive token),
+    hosts without one fall back to '*'."""
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/Docs/1?x=1"),
+         (2, "https://a.com/Docs/10"),
+         (3, "https://a.com/other"),
+         (4, "https://b.com/p/q?track=1"),
+         (5, "https://b.com/p/q"),
+         (6, "https://c.com/file.php"),
+         (7, "https://c.com/file.php?id=2"),
+         (8, "https://d.com/Docs/5"),
+         (9, "https://e.com/Docs/5")],
+        ["i", "url"])
+    rules = spark.createDataFrame(
+        [("a.com", "/Docs/*", False, "*"),
+         ("a.com", "/Docs/1*", True, "*"),   # longer rule text wins
+         ("b.com", "/*?", False, "*"),       # the real-world classic
+         ("c.com", "/*.php$", False, "*"),   # $ anchors the end
+         ("d.com", "/", False, "*"),
+         ("d.com", "/Docs/", True, "examplebot"),  # overrides '*'
+         ("e.com", "/", False, "*")],
+        ["host", "prefix", "allow", "agent"])
+    out = WC.robots_disallow_filter(urls, rules, "url", agent="ExampleBot")
+    got = {r.i: r.blocked for r in out.collect()}
+    assert got == {1: False, 2: False, 3: False, 4: True, 5: False,
+                   6: True, 7: False, 8: False, 9: True}, got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_robots_pattern_python_twin_matches_spark(spark):
+    """The oracle interpolates py_robots_rule_pattern output; pin it
+    bit-equal to the Spark-side compile over every wildcard shape
+    (escape-needing metachars, *, trailing $, backslash)."""
+    prefixes = ["/Docs/*", "/*?", "/*.php$", "/a+b(c)", "/end$",
+                "/x\\y", "/*&b=2$", "/", "/plain/path", "/[br]ackets*"]
+    rows = spark.createDataFrame(
+        [(p,) for p in prefixes], ["prefix"]
+    ).select(
+        "prefix", WC.robots_rule_pattern(F.col("prefix")).alias("pat")
+    ).collect()
+    for r in rows:
+        assert r.pat == WC.py_robots_rule_pattern(r.prefix), r
