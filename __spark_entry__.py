@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_auto": X.dedup_semantic_auto,
         "html_main_content_docs": X.html_main_content_docs,
         "robots_wildcard_docs": X.robots_wildcard_docs,
+        "lang_id_classifier_docs": X.lang_id_classifier_docs,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -458,6 +459,104 @@ _ROBOTS_PQ_SQL = (
     "regexp_extract(w.canon_url, "
     "'^[a-z][a-z0-9+.-]*://[^/?]+(.*)$', 1)"
 )
+
+
+def _langid_oracle_sql() -> str:
+    """GENERATED lang-id oracle: interpolates the SAME deterministic
+    trained integer weight banks the Spark operator ships as literals
+    (operators/langid.train_langid_weights — quantized 4dp, scaled
+    1e4, so both engines fold exact BIGINTs and accumulation order
+    cannot flip the argmax), replays the identical fixture sentences,
+    char-1/2/3-gram extraction, md5-bucket gather, mean pool,
+    floor-round, and lexicographic-tie argmax."""
+    from aws_de_final_project_spark.operators import langid as _LI
+
+    m = _LI.train_langid_weights()
+    D = _LI.LANGID_BUCKETS
+    ws = _WC.WS_RE
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    fix_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN (CASE doc_id % 3 "
+            f"WHEN 0 THEN '{sq(vs[0])}' WHEN 1 THEN '{sq(vs[1])}' "
+            f"ELSE '{sq(vs[2])}' END)"
+            for lang, vs in X.LANGID_FIXTURE.items()
+        )
+        + " END"
+    )
+    logit_cols = []
+    for lang in _LI.LANGID_LANGS:
+        w_int, bias = m[lang]
+        bank = "[" + ",".join(str(int(v)) for v in w_int) + "]"
+        acc = (
+            f"CAST(coalesce(list_sum(list_transform(bks, "
+            f"k -> ({bank})[k + 1])), 0) AS BIGINT)"
+        )
+        logit_cols.append(
+            f"floor((CASE WHEN ng = 0 THEN {bias!r} "
+            f"ELSE {bias!r} + ((CAST({acc} AS DOUBLE) / 10000.0) "
+            f"/ CAST(ng AS DOUBLE)) END) * 10000.0 + 0.5) / 10000.0 "
+            f"AS l_{lang}"
+        )
+    top = "greatest(" + ", ".join(f"l_{la}" for la in _LI.LANGID_LANGS) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN l_{la} = top THEN '{la}'" for la in _LI.LANGID_LANGS
+        )
+        + " END"
+    )
+    return f"""
+        WITH fixture AS (
+            SELECT doc_id, lang,
+                   ({fix_case}) || ' ' ||
+                   CAST(doc_id % 100 AS VARCHAR) AS t0
+            FROM documents
+        ),
+        norm AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(lower(t0), '{ws}', ' ', 'g')) AS t
+            FROM fixture
+        ),
+        b AS (
+            SELECT doc_id, lang,
+                   len(grams) AS ng,
+                   list_transform(grams,
+                       gg -> CAST(('0x' || substr(md5(gg), 1, 15))
+                                  AS BIGINT) % {D}) AS bks
+            FROM (
+                SELECT doc_id, lang,
+                       [substr(t, i, 1) for i in range(1, len(t) + 1)]
+                       || [substr(t, i, 2) for i in range(1, len(t))]
+                       || [substr(t, i, 3) for i in range(1, len(t) - 1)]
+                           AS grams
+                FROM norm
+            )
+        ),
+        sc AS (
+            SELECT doc_id, lang, ng, {", ".join(logit_cols)}
+            FROM b
+        ),
+        ranked AS (
+            SELECT *, {top} AS top FROM sc
+        ),
+        fin AS (
+            SELECT doc_id, lang,
+                   CAST(ng AS BIGINT) AS n_grams,
+                   {pred} AS lang_pred,
+                   top AS lang_score
+            FROM ranked
+        )
+        SELECT doc_id, lang, n_grams, lang_pred, lang_score,
+               CAST(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END
+                    AS INT) AS match
+        FROM fin
+        ORDER BY doc_id
+    """
 
 
 def _strip_href_quotes_sql(v: str) -> str:
@@ -4518,6 +4617,10 @@ def oracle_sql() -> dict[str, str]:
             FROM withdomain w LEFT JOIN perhost p ON w.host = p.host
             ORDER BY w.doc_id
         """,
+        # fastText-style 8-language ID: generated oracle (see
+        # _langid_oracle_sql) — identical trained integer banks,
+        # gram set, exact BIGINT folds, argmax with lex tie-break
+        "lang_id_classifier_docs": _langid_oracle_sql(),
         # regex sentence segmentation with the interpolated explicit-
         # WS-class boundary; trailing-empty filter and floor-form mean
         # replayed on both sides

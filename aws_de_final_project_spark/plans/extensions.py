@@ -3228,6 +3228,88 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Held-out sentences (NOT in operators/langid.LANGID_SAMPLES) per
+#: document language — the planted-language fixture for the lang-id
+#: classifier entry; 3 variants per language picked by doc_id % 3.
+LANGID_FIXTURE: dict[str, tuple[str, str, str]] = {
+    "en": (
+        "there was a storm last night but the morning is calm",
+        "we should call them before the meeting starts",
+        "the train arrives at the station on time today",
+    ),
+    "de": (
+        "am abend essen wir zusammen und sprechen über den tag",
+        "der zug kommt immer pünktlich am bahnhof an",
+        "wir kaufen morgen gemüse auf dem markt",
+    ),
+    "es": (
+        "la comida estaba muy rica y el lugar era bonito",
+        "la ciudad estaba llena de gente durante las fiestas",
+        "el tren llega a la estación a tiempo hoy",
+    ),
+    "fr": (
+        "demain nous irons au marché pour acheter des légumes",
+        "il faut que nous partions avant la tombée de la nuit",
+        "le train arrive à la gare à l'heure aujourd'hui",
+    ),
+    "zh": (
+        "昨天晚上我们在城市里散步很久",
+        "火车总是准时到达车站",
+        "我们明天去市场买菜",
+    ),
+}
+
+
+def lang_id_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual language ID (operators/langid.lang_id_scores —
+    fastText-style hashed char-1/2/3-gram one-vs-rest linear model,
+    8 languages incl. Cyrillic and Han) over a planted-language
+    fixture: each document's text is replaced by a HELD-OUT sentence
+    of its own ``lang`` (3 variants by doc_id % 3, a doc_id%100 digit
+    suffix for row variety) — the discrimination the 4-language
+    stopword heuristic (lang_id_heuristic) cannot do for zh. ONE
+    scan-side projection: integer weight banks as literals, exact
+    BIGINT folds (accumulation-order-proof — see operators/langid.py),
+    greatest + when-chain argmax. FULL DuckDB oracle: the identical
+    trained int banks, gram set, fold, and argmax replayed; the
+    ``match`` column pins 100%% planted-language accuracy into the
+    value hash."""
+    from aws_de_final_project_spark.operators import langid as LI
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    variant = F.lit(None).cast("string")
+    for lang, vs in LANGID_FIXTURE.items():
+        pick = (
+            F.when(d % 3 == 0, F.lit(vs[0]))
+            .when(d % 3 == 1, F.lit(vs[1]))
+            .otherwise(F.lit(vs[2]))
+        )
+        variant = F.when(F.col("lang") == lang, pick).otherwise(variant)
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.concat(variant, F.lit(" "), (d % 100).cast("string")).alias(
+            "_txt"
+        ),
+    )
+    out = LI.lang_id_scores(docs, "_txt", "doc_id", impl="sql")
+    return (
+        out.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            "lang_pred",
+            "lang_score",
+            (F.col("lang_pred") == F.col("lang")).cast("int").alias(
+                "match"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Fixed English lead sentence for the main-content fixture: supplies
 #: the prose stopword signal for EVERY doc (the synthetic corpus text
 #: is word soup with few function words) and plants an entity the
