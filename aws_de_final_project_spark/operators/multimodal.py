@@ -220,6 +220,214 @@ def _parse_png_gray8(payload: bytes) -> tuple[int, int, list[float]]:
     return (int(w), int(h), feature)
 
 
+#: JPEG zig-zag scan order (ITU-T T.81 Figure 5): position i in the
+#: entropy-coded stream maps to index ZIGZAG[i] of the row-major 8x8
+#: block. Public spec constant.
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_lookup(counts, symbols) -> dict:
+    """Canonical Huffman (T.81 Annex C): codes of each length are
+    consecutive, lengths ascending. Returns {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; any other 0xFF-marker inside the scan (RSTn —
+    profile rejects DRI — or a truncated stream) raises."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bits, self.nbits = data, pos, 0, 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated jpeg scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside jpeg scan")
+                self.pos += 1
+            self.bits, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed
+    coefficient value."""
+    return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
+
+
+def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL (restricted-profile) baseline JPEG decode with stdlib +
+    numpy only: SOF0, 8-bit, single grayscale component, 1x1 sampling,
+    no restart intervals — the profile the CI fixture encoder writes
+    (tests/test_multimodal.py) and the common grayscale-JFIF subset.
+    This is the actual T.81 pipeline — marker walk, canonical Huffman
+    entropy decode with byte-unstuffing, DC prediction + EXTEND,
+    run-length AC, dequantize, de-zigzag, float IDCT, level shift —
+    not a fake; anything outside the profile raises (-> the (0,0,[])
+    sentinel upstream). Feature math is IDENTICAL to the PIL codec
+    path (256-bin histogram collapsed to 8 bands). NOTE: unlike the
+    PNG parser, bit-exact agreement with PIL/libjpeg is NOT
+    guaranteed on arbitrary images (T.81 allows IDCT tolerance, so
+    decoders may differ by ~±1/pixel); the agreement fixtures keep
+    pixel values away from 32-band boundaries so band features still
+    match."""
+    import numpy as _np
+
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_tq = None
+    scan = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg marker sync lost")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment
+        if pos + 2 > len(data):
+            raise ValueError("truncated jpeg segment")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                if seg[i] >> 4 != 0:
+                    raise ValueError("16-bit quant table unsupported")
+                tq = seg[i] & 0x0F
+                qtables[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                syms = list(seg[i + 17 : i + 17 + n])
+                huffs[(tc, th)] = _jpeg_huff_lookup(counts, syms)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8 or seg[5] != 1:
+                raise ValueError("unsupported jpeg profile")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_tq = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline jpeg unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            scan = (seg[2] >> 4, seg[2] & 0x0F, pos + seglen)
+            break
+        pos += seglen
+    if w is None or scan is None or comp_tq not in qtables:
+        raise ValueError("incomplete jpeg header")
+    td, ta, scan_pos = scan
+    dc_tab, ac_tab = huffs[(0, td)], huffs[(1, ta)]
+    q = _np.asarray(qtables[comp_tq], dtype=_np.float64)
+
+    # float IDCT basis (T.81 A.3.3): C[u, x] = 0.5*a(u)*cos((2x+1)u*pi/16)
+    xs = _np.arange(8, dtype=_np.float64)
+    basis = 0.5 * _np.cos((2.0 * xs[None, :] + 1.0)
+                          * xs[:, None] * _np.pi / 16.0)
+    basis[0] *= 1.0 / _np.sqrt(2.0)
+
+    reader = _JpegBitReader(data, scan_pos)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    pixels = _np.zeros((by * 8, bx * 8), dtype=_np.uint8)
+    pred = 0
+    for mb in range(bx * by):
+        coef = _np.zeros(64, dtype=_np.float64)
+        s = reader.decode_huff(dc_tab)
+        pred += _jpeg_extend(reader.receive(s), s)
+        coef[0] = pred
+        k = 1
+        while k < 64:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    break  # EOB
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("ac coefficient overrun")
+            coef[k] = _jpeg_extend(reader.receive(s), s)
+            k += 1
+        block = _np.zeros((8, 8), dtype=_np.float64)
+        flat = coef * q
+        for i in range(64):
+            block[divmod(JPEG_ZIGZAG[i], 8)] = flat[i]
+        spatial = basis.T @ block @ basis + 128.0
+        r0, c0 = (mb // bx) * 8, (mb % bx) * 8
+        pixels[r0 : r0 + 8, c0 : c0 + 8] = _np.clip(
+            _np.round(spatial), 0, 255
+        ).astype(_np.uint8)
+    crop = pixels[:h, :w]
+    hist = _np.bincount(crop.reshape(-1), minlength=256)
+    total = float(w * h) or 1.0
+    feature = [float(hist[32 * i : 32 * (i + 1)].sum()) / total
+               for i in range(8)]
+    return (int(w), int(h), feature)
+
+
+def _parse_image_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
+    """Magic-byte dispatch for the stdlib image codec: PNG signature ->
+    restricted-PNG parser, SOI -> restricted baseline-JPEG parser;
+    anything else raises (-> sentinel upstream)."""
+    head = bytes(payload[:8])
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png_gray8(payload)
+    if head[:2] == b"\xff\xd8":
+        return _parse_jpeg_gray8(payload)
+    raise ValueError("unsupported image container")
+
+
 def _parse_wav_pcm(payload: bytes) -> tuple[int, int, list[float]]:
     """REAL PCM WAV decode with the stdlib ``wave`` parser. Samples
     normalize by the int range (int16 -> /32768), mono-mix across
@@ -251,12 +459,12 @@ def _parse_wav_pcm(payload: bytes) -> tuple[int, int, list[float]]:
 
 def _stdlib_codecs() -> dict:
     """The always-available real-decoder registry: stdlib parsers for
-    the restricted PNG profile and PCM WAV. Explicit opt-in
+    the restricted PNG/baseline-JPEG profiles and PCM WAV. Explicit opt-in
     (``codec='stdlib'``) rather than part of ``auto`` so the
     environment-dependent auto path keeps its exact contract
     (PIL/soundfile or stub — never a third behavior appearing
     mid-fleet on a heterogeneous cluster)."""
-    return {"image": _parse_png_gray8, "audio": _parse_wav_pcm}
+    return {"image": _parse_image_stdlib, "audio": _parse_wav_pcm}
 
 
 def decode_media(media: DataFrame, codec: str = "auto") -> DataFrame:
@@ -274,7 +482,8 @@ def decode_media(media: DataFrame, codec: str = "auto") -> DataFrame:
     substituting stub features for real ones. ``codec="stub"`` forces
     the stub everywhere — what the oracle-checked queries pin, so
     their results are environment-independent. ``codec="stdlib"``
-    forces the stdlib real parsers (restricted-PNG + PCM-WAV) — the
+    forces the stdlib real parsers (restricted-PNG + baseline-JPEG +
+    PCM-WAV) — the
     CI path that exercises genuine decoding in containers without
     PIL/soundfile.
     """

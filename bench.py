@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_semantic_auto",
     "html_main_content_docs",
     "robots_wildcard_docs",
+    "lang_id_classifier_docs",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",
