@@ -928,6 +928,23 @@ def exact_span_pairs(
     on (doc_a, doc_b, diag) whose partitions are per-pair-diagonal
     (small by the anchor guard). Anchor skew is capped by construction
     in step 2.
+
+    Recall bound vs a true suffix-array oracle (r9 verdict item 8,
+    quantified in tests/test_dedup.py::
+    test_exact_span_recall_bound_vs_suffix_oracle): a shared run of
+    ``s`` normalized tokens contains ``s - k + 1`` k-windows, so the
+    MIN DETECTABLE SPAN IS EXACTLY ``k`` — for ``k <=
+    min_span_tokens`` (the shipped default, 8 <= 12) every qualifying
+    span is fully anchored and ``max_span_tokens`` equals the true
+    longest shared token run: recall 1.0, zero approximation. Spans
+    shorter than ``k`` produce no window and are invisible (they can
+    never reach ``min_span_tokens`` anyway while ``k <=
+    min_span_tokens``). The ONLY recall loss channel is the
+    ``max_anchor_docs`` boilerplate guard: dropping a ubiquitous
+    window can split a run, truncating the detected span to (longest
+    surviving consecutive-window stretch) + k - 1; a span whose every
+    window is ubiquitous is dropped entirely — the deliberate
+    quadratic-blowup trade, tuned via ``max_anchor_docs``.
     """
     from pyspark.sql.window import Window
 

@@ -610,3 +610,142 @@ def test_containment_hot_shingle_guard(spark):
     spurious = got - set(planted) - {(b, a) for a, b in planted}
     for a, b in spurious:
         assert a >= 1000 or b >= 1000, (a, b)
+
+
+def _token_lcs(a: list[str], b: list[str]) -> int:
+    """True longest-common-substring (in TOKENS) oracle — the exact
+    quantity a suffix-array implementation (Lee et al.) computes,
+    done as O(n*m) DP since fixtures are tiny."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_exact_span_recall_bound_vs_suffix_oracle(spark):
+    """VERDICT r9 item 8 — quantify the anchor-k/recall trade against
+    a true suffix-array-equivalent oracle: for every anchor length k,
+    (a) a shared span of k-1 tokens is INVISIBLE (min detectable span
+    == k, by construction: it contains no k-window), and (b) every
+    shared span >= k is reported with max_span_tokens EXACTLY equal
+    to the true longest common token run — recall 1.0, not an
+    approximation — as long as k <= min_span_tokens and no anchor
+    trips the boilerplate guard."""
+    import random
+
+    from aws_de_final_project_spark.operators import dedup
+
+    for k in (3, 5, 8):
+        rng = random.Random(1000 + k)
+        uid = iter(f"u{k}x{i}" for i in range(100000))
+
+        def filler(n):
+            return [next(uid) for _ in range(n)]
+
+        def span(n, tag):
+            return [f"s{k}{tag}{i}" for i in range(n)]
+
+        long_span = span(k + 4, "a")     # detectable, > k
+        exact_span = span(k, "b")        # detectable, == k boundary
+        tiny_span = span(k - 1, "c")     # invisible: no k-window
+        twin1, twin2 = span(k, "d"), span(k + 6, "e")  # max wins
+
+        docs_tok = {
+            1: filler(20) + long_span + filler(20),
+            2: filler(20) + long_span + filler(20),
+            3: filler(15) + exact_span + filler(15),
+            4: filler(15) + exact_span + filler(15),
+            5: filler(15) + tiny_span + filler(15),
+            6: filler(15) + tiny_span + filler(15),
+            7: filler(9) + twin1 + filler(9) + twin2 + filler(9),
+            8: filler(9) + twin2 + filler(9) + twin1 + filler(9),
+            9: filler(40),  # shares nothing
+        }
+        # sanity: the generator produced the LCS lengths we think
+        truth = {}
+        ids = sorted(docs_tok)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    truth[(i, j)] = _token_lcs(docs_tok[i], docs_tok[j])
+        assert truth[(1, 2)] == k + 4
+        assert truth[(3, 4)] == k
+        assert truth[(5, 6)] == k - 1
+        assert truth[(7, 8)] == k + 6
+        assert truth[(1, 9)] == 0
+
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs_tok.items()],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.max_span_tokens
+            for r in dedup.exact_span_pairs(
+                df, "text", "doc_id", k=k, min_span_tokens=k
+            ).collect()
+        }
+        want = {p: s for p, s in truth.items() if s >= k}
+        assert got == want, (k, got, want)
+        # the k-1 span is the quantified blind spot: one token shorter
+        # than the anchor and the pair vanishes even at min_span==k-1
+        missed = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.exact_span_pairs(
+                df, "text", "doc_id", k=k, min_span_tokens=k - 1
+            ).collect()
+        }
+        assert (5, 6) not in missed, k
+
+
+def test_exact_span_guard_truncation_bound(spark):
+    """The max_anchor_docs guard's quantified loss channel: when the
+    MIDDLE window of a shared span is ubiquitous (> max_anchor_docs
+    docs), the detected span truncates to the longest surviving
+    consecutive-window stretch + k - 1 — never silently wrong, just
+    conservatively shorter; raising the cap restores exactness."""
+    from aws_de_final_project_spark.operators import dedup
+
+    k = 4
+    # span of 12 tokens -> 9 windows; make windows 4..6 (the middle
+    # k+2 tokens) ubiquitous by planting those tokens in many docs
+    span = [f"p{i}" for i in range(12)]
+    mid = span[3 : 3 + 2 * k - 1]  # tokens covering windows 4..6
+    rows = [
+        (1, " ".join([f"f1x{i}" for i in range(10)] + span)),
+        (2, " ".join([f"f2x{i}" for i in range(10)] + span)),
+    ]
+    # 5 boilerplate docs carrying ONLY the middle stretch
+    rows += [
+        (10 + i, " ".join([f"g{i}x{j}" for j in range(8)] + mid))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    tight = {
+        (r.doc_a, r.doc_b): r.max_span_tokens
+        for r in dedup.exact_span_pairs(
+            df, "text", "doc_id", k=k, min_span_tokens=k,
+            max_anchor_docs=2,
+        ).collect()
+    }
+    # windows fully inside `mid` appear in 7 docs -> dropped; the
+    # surviving prefix/suffix stretches each have >= 3 consecutive
+    # windows -> detected span in [3 + k - 1, 12)
+    assert (1, 2) in tight
+    assert k - 1 + 3 <= tight[(1, 2)] < 12, tight[(1, 2)]
+
+    loose = {
+        (r.doc_a, r.doc_b): r.max_span_tokens
+        for r in dedup.exact_span_pairs(
+            df, "text", "doc_id", k=k, min_span_tokens=k,
+            max_anchor_docs=50,
+        ).collect()
+    }
+    assert loose[(1, 2)] == 12  # cap lifted -> exact again
