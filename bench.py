@@ -561,6 +561,16 @@ def final_line(warm: dict, total_warm: float, sf, quality: dict | None = None) -
     return line
 
 
+def _load_optional(name: str):
+    """A sibling JSON artifact if present (heavy off-tier runs write
+    these; the per-round bench only carries them forward)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # sample external load BEFORE any Spark work: once the bench is
@@ -641,6 +651,10 @@ def main() -> None:
         "streaming": streaming,
         "scaling": scaling,
         "scaling_probe": scaling_probe,
+        # joint sf1 streaming-replay interference run (r9 verdict item
+        # 9; tools/streaming_joint_bench.py writes it — too heavy to
+        # rebuild per bench run, same posture as the scaling probe)
+        "streaming_joint_sf1": _load_optional("STREAMING_JOINT_SF1.json"),
         "sf": float(sf) if sf else sf_dir,
     }
     # $SPARK_GRAFT_DETAIL redirects the detail artifact so an
