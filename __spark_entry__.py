@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content_docs": X.html_main_content_docs,
         "robots_wildcard_docs": X.robots_wildcard_docs,
         "lang_id_classifier_docs": X.lang_id_classifier_docs,
+        "perplexity_buckets_docs": X.perplexity_buckets_docs,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -3933,6 +3934,66 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN total
             GROUP BY t.doc_id
             ORDER BY t.doc_id
+        """,
+        # CCNet head/middle/tail (plans/extensions.perplexity_buckets_docs
+        # + operators/curation.fluency_buckets): the unigram-LM score CTE
+        # replayed verbatim, then the SAME integer-rank histogram
+        # terciles — strictly-better cumulative count vs ceil(n*i/3)
+        # boundaries, ties share the best qualifying bucket; exact
+        # integer arithmetic so no quantile-interpolation drift.
+        "perplexity_buckets_docs": """
+            WITH toks AS (
+                SELECT doc_id, tok
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+')) AS tok
+                    FROM documents
+                )
+                WHERE len(tok) > 0
+            ),
+            vocab AS (
+                SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+            ),
+            total AS (SELECT sum(tf) AS n FROM vocab),
+            scored AS (
+                SELECT t.doc_id,
+                       floor(avg(ln(v.tf::DOUBLE / total.n::DOUBLE))
+                             * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+                FROM toks t
+                JOIN vocab v USING (tok)
+                CROSS JOIN total
+                GROUP BY t.doc_id
+            ),
+            sl AS (
+                SELECT s.doc_id, d.lang, s.avg_logprob
+                FROM scored s JOIN documents d USING (doc_id)
+            ),
+            hist AS (
+                SELECT lang, avg_logprob, count(*) AS cnt
+                FROM sl GROUP BY lang, avg_logprob
+            ),
+            ranked AS (
+                SELECT lang, avg_logprob,
+                       coalesce(SUM(cnt) OVER (
+                           PARTITION BY lang ORDER BY avg_logprob DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS gt,
+                       SUM(cnt) OVER (PARTITION BY lang) AS n
+                FROM hist
+            ),
+            buck AS (
+                SELECT lang, avg_logprob,
+                       CASE WHEN gt >= CAST(floor((n * 2 + 2) / 3)
+                                            AS BIGINT) THEN 'tail'
+                            WHEN gt >= CAST(floor((n * 1 + 2) / 3)
+                                            AS BIGINT) THEN 'middle'
+                            ELSE 'head' END AS bucket
+                FROM ranked
+            )
+            SELECT sl.doc_id, sl.lang, sl.avg_logprob, b.bucket
+            FROM sl JOIN buck b USING (lang, avg_logprob)
+            ORDER BY sl.doc_id
         """,
         "funnel_user_steps": """
             WITH v AS (

@@ -620,3 +620,78 @@ def mixture_plan_rates(
         rnd(rate, decimals).alias("rate"),
         "capped",
     ).orderBy(group_col)
+
+
+def fluency_buckets(
+    scores: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-group fluency bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): split each group's documents into len(labels)
+    equal-population buckets by a fluency score (higher = better),
+    the head/middle/tail partition CCNet cuts on per-language LM
+    perplexity so downstream training can sample buckets at different
+    rates (no curation stage exists in the reference —
+    zcauchon/AWS_DE_Final_Project ships only the Glue date-derivation
+    ETL; training-data extension surface).
+
+    Bucketing is DETERMINISTIC INTEGER RANK, not percentile
+    interpolation: a document lands in bucket i (0 = best) when the
+    count of STRICTLY better-scoring documents in its group has
+    reached ceil(n*i/b) but not ceil(n*(i+1)/b). All ties share one
+    bucket (the best one the tied score qualifies for), so the split
+    is reproducible across engines bit-for-bit — no cross-engine
+    quantile-interpolation arithmetic to drift at a boundary ulp
+    (the r9-advice failure class). Feed it 4dp-quantized scores.
+
+    Scale shape: one hash aggregate builds the (group, score)
+    HISTOGRAM — its row count is bounded by distinct quantized scores
+    per group (a few 10^5 at 4dp), NOT by corpus size — so the
+    cumulative window runs over the tiny histogram and the per-doc
+    bucket arrives by a broadcast join back on (group, score). The
+    tempting percent_rank window over raw documents would funnel each
+    group's whole 100 TB share through one partition; this never
+    touches a per-doc sort.
+    """
+    b = len(labels)
+    if b < 2:
+        raise ValueError("need at least 2 bucket labels")
+    from pyspark.sql.window import Window
+
+    hist = spread(scores).groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = hist.groupBy(group_col).agg(F.sum("_cnt").alias("_n"))
+    ranked = hist.select(
+        group_col,
+        score_col,
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_gt"),
+    ).join(F.broadcast(totals), group_col)
+    # bucket index = number of boundaries ceil(n*i/b) already passed
+    # by the strictly-better count; integer arithmetic is exact in
+    # doubles far past any real corpus size (n*i < 2^53)
+    idx = None
+    for i in range(1, b):
+        passed = (
+            F.col("_gt")
+            >= F.floor((F.col("_n") * i + (b - 1)) / F.lit(b)).cast("long")
+        ).cast("int")
+        idx = passed if idx is None else idx + passed
+    lab = F.array(*[F.lit(x) for x in labels])
+    buckets = ranked.select(
+        group_col,
+        score_col,
+        F.element_at(lab, idx + 1).alias("bucket"),
+    )
+    return scores.join(F.broadcast(buckets), [group_col, score_col]).select(
+        id_col, group_col, score_col, "bucket"
+    )

@@ -1112,6 +1112,30 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-LANGUAGE equal-population fluency
+    terciles over the unigram mean-logprob score (higher = more
+    fluent = head) — the bucketing CCNet applies to LM perplexity so
+    training can sample head and middle at higher rates than tail.
+    Composition: the oracled unigram LM score (unigram_logprob_scores
+    above), lang joined back from the documents scan, then
+    curation.fluency_buckets' integer-rank histogram terciles — the
+    whole bucket assignment is exact integer arithmetic on 4dp
+    scores, so the oracle replays it bit-for-bit."""
+    from aws_de_final_project_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = unigram_logprob_scores(spark, sf_dir).join(
+        t["documents"].select("doc_id", "lang"), "doc_id"
+    )
+    out = curation.fluency_buckets(
+        scored, "avg_logprob", "lang", "doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", "avg_logprob", "bucket"
+    ).orderBy("doc_id")
+
+
 def curation_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE curation pipeline as one driver-checkable query —
     the manifest a corpus build hands to training: exact dedup

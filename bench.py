@@ -36,6 +36,7 @@ HEADLINE = [
     "html_main_content_docs",
     "robots_wildcard_docs",
     "lang_id_classifier_docs",
+    "perplexity_buckets_docs",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",

@@ -605,3 +605,66 @@ def test_bpe_encode_matches_python_reference(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_fluency_buckets_integer_rank_terciles(spark):
+    """CCNet head/middle/tail bucketing: deterministic integer-rank
+    terciles per group — hand-computed boundaries on a non-divisible
+    group size, ties sharing the best qualifying bucket, and group
+    independence."""
+    from aws_de_final_project_spark.operators import curation
+
+    # group g1: 7 docs, scores descending 7..1 -> ceil(7/3)=3,
+    # ceil(14/3)=5: head = top 3, middle = next 2, tail = last 2
+    rows = [(i, "g1", float(8 - i)) for i in range(1, 8)]
+    # group g2: 5 docs with a 3-way tie at the top: strictly-better
+    # count for the tied score is 0 < ceil(5/3)=2 -> ALL THREE head
+    rows += [(10, "g2", 9.0), (11, "g2", 9.0), (12, "g2", 9.0),
+             (13, "g2", 5.0), (14, "g2", 1.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "score"])
+    got = {
+        r.doc_id: r.bucket
+        for r in curation.fluency_buckets(
+            df, "score", "grp", "doc_id"
+        ).collect()
+    }
+    assert [got[i] for i in range(1, 8)] == [
+        "head", "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    assert got[10] == got[11] == got[12] == "head"
+    # gt for 5.0 is 3 >= ceil(5/3)=2 -> not head; 3 < ceil(10/3)=4 -> middle
+    assert got[13] == "middle"
+    assert got[14] == "tail"
+
+
+def test_fluency_buckets_histogram_not_percent_rank(spark):
+    """The 100 TB posture pin: bucket assignment must come from the
+    histogram aggregate + broadcast join back — NO window over the
+    raw per-document frame (a percent_rank would funnel each group
+    through one partition). The executed plan's window operates on
+    the aggregated histogram, so the doc-side frame shows no Window
+    node before the final join."""
+    from aws_de_final_project_spark.operators import curation
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 11).cast("double").alias("score"),
+    )
+    out = curation.fluency_buckets(df, "score", "grp", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only sort feeding a Window must be over the histogram: in
+    # the printed tree (children below parents) the first node under
+    # the Window must be the aggregate, reached before any raw scan
+    assert "Window" in plan
+    w = plan.index("Window")
+    assert plan.index("HashAggregate", w) < plan.index("Range", w)
+    # population check: equal-population terciles over 100 rows
+    counts = {
+        (r.grp, r.bucket): r.n
+        for r in out.groupBy("grp", "bucket").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for g in ("0", "1", "2"):
+        tot = sum(v for (gg, _), v in counts.items() if gg == g)
+        assert tot in (33, 34)
