@@ -489,14 +489,24 @@ def _langid_oracle_sql() -> str:
         )
         + " END"
     )
+    # bank table: ONE zipped unnest of the 8 literal int lists (the
+    # per-row list_transform gather form rebuilt each 1024-literal
+    # list per doc per lang — minutes at sf0.1; this join form sweeps
+    # sf0.1 in seconds with identical exact-BIGINT sums)
+    bank_cols = ",\n                   ".join(
+        "unnest(["
+        + ",".join(str(int(v)) for v in m[lang][0])
+        + f"]) AS w_{lang}"
+        for lang in _LI.LANGID_LANGS
+    )
+    acc_cols = ", ".join(
+        f"CAST(sum(w_{lang}) AS BIGINT) AS a_{lang}"
+        for lang in _LI.LANGID_LANGS
+    )
     logit_cols = []
     for lang in _LI.LANGID_LANGS:
-        w_int, bias = m[lang]
-        bank = "[" + ",".join(str(int(v)) for v in w_int) + "]"
-        acc = (
-            f"CAST(coalesce(list_sum(list_transform(bks, "
-            f"k -> ({bank})[k + 1])), 0) AS BIGINT)"
-        )
+        bias = m[lang][1]
+        acc = f"CAST(coalesce(a_{lang}, 0) AS BIGINT)"
         logit_cols.append(
             f"floor((CASE WHEN ng = 0 THEN {bias!r} "
             f"ELSE {bias!r} + ((CAST({acc} AS DOUBLE) / 10000.0) "
@@ -538,9 +548,19 @@ def _langid_oracle_sql() -> str:
                 FROM norm
             )
         ),
+        banks AS (
+            SELECT unnest(generate_series(0, {D - 1})) AS k,
+                   {bank_cols}
+        ),
+        acc AS (
+            SELECT doc_id, {acc_cols}
+            FROM (SELECT doc_id, unnest(bks) AS k FROM b) g
+            JOIN banks USING (k)
+            GROUP BY doc_id
+        ),
         sc AS (
-            SELECT doc_id, lang, ng, {", ".join(logit_cols)}
-            FROM b
+            SELECT b.doc_id, b.lang, b.ng, {", ".join(logit_cols)}
+            FROM b LEFT JOIN acc USING (doc_id)
         ),
         ranked AS (
             SELECT *, {top} AS top FROM sc
