@@ -333,21 +333,34 @@ def lang_id_scores(
     if impl == "arrow":
         return _langid_arrow(df, text_col, id_col, m, n_buckets)
 
+    # STAGED projections so every expensive expression is evaluated
+    # ONCE: md5 buckets hashed once (not once per language), each
+    # language's fold computed once (not re-expanded inside greatest
+    # and every when arm — the unstaged form re-evaluated the full
+    # per-gram fold ~dozens of times and ran 30x slower at sf0.1).
+    # Catalyst's CollapseProject keeps the stages apart because each
+    # aliased expression is non-cheap and referenced multiple times.
     t = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " ")
     )
     grams = _grams_col(t)
-    ng = F.size(grams)
-    logits = {}
+    bks = F.transform(
+        grams, lambda g: hashed_bucket(g, n_buckets).cast("int")
+    )
+    staged = df.select(
+        F.col(id_col),
+        t.isNull().alias("_isnull"),
+        bks.alias("_bks"),
+    )
+    ng = F.size("_bks")
+    logit_cols = []
     for lang in LANGID_LANGS:
         w_int, bias = m[lang]
         bank = F.expr(_int_lit_array_sql(w_int))
         acc = F.aggregate(
             F.transform(
-                grams,
-                lambda g: F.element_at(
-                    bank, (hashed_bucket(g, n_buckets) + 1).cast("int")
-                ).cast("bigint"),
+                F.col("_bks"),
+                lambda k: F.element_at(bank, k + 1).cast("bigint"),
             ),
             F.lit(0).cast("bigint"),
             lambda a, x: a + x,
@@ -356,26 +369,35 @@ def lang_id_scores(
             F.lit(float(bias))
             + (acc.cast("double") / F.lit(10000.0)) / ng.cast("double")
         )
-        logits[lang] = rnd(pooled, 4)
-    top = F.greatest(*logits.values())
+        logit_cols.append(rnd(pooled, 4).alias(f"_l_{lang}"))
+    scored = staged.select(
+        id_col, "_isnull", ng.alias("_ng"), *logit_cols
+    )
+    top = F.greatest(*[F.col(f"_l_{lang}") for lang in LANGID_LANGS])
+    ranked = scored.select(
+        id_col, "_isnull", "_ng", *[f"_l_{la}" for la in LANGID_LANGS],
+        top.alias("_top"),
+    )
     pred = F.lit(None).cast("string")
     for lang in reversed(LANGID_LANGS):  # earlier langs win ties
-        pred = F.when(logits[lang] == top, F.lit(lang)).otherwise(pred)
+        pred = F.when(
+            F.col(f"_l_{lang}") == F.col("_top"), F.lit(lang)
+        ).otherwise(pred)
     # NULL text -> NULL outputs on BOTH impls (the normalized column
     # is NULL; without the guard the empty-array fallback would score
     # the bare biases — the same silent-flip class the r9 advice
     # flagged on the quality classifier)
-    isnull = t.isNull()
-    return df.select(
+    isnull = F.col("_isnull")
+    return ranked.select(
         F.col(id_col),
         F.when(isnull, F.lit(None).cast("long"))
-        .otherwise(ng.cast("long"))
+        .otherwise(F.col("_ng").cast("long"))
         .alias("n_grams"),
         F.when(isnull, F.lit(None).cast("string"))
         .otherwise(pred)
         .alias("lang_pred"),
         F.when(isnull, F.lit(None).cast("double"))
-        .otherwise(top)
+        .otherwise(F.col("_top"))
         .alias("lang_score"),
     )
 
