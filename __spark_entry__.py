@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard_docs": X.robots_wildcard_docs,
         "lang_id_classifier_docs": X.lang_id_classifier_docs,
         "perplexity_buckets_docs": X.perplexity_buckets_docs,
+        "kneser_ney_logprob_docs": X.kneser_ney_logprob_docs,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -2865,6 +2866,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM clean
             )
             ORDER BY doc_id
+        """,
+        # interpolated Kneser-Ney bigram LM (extensions.
+        # kneser_ney_logprob_docs): same tokenization/bigram CTEs as
+        # the add-alpha entry below; discount 0.75 (exactly
+        # representable), continuation counts from the c12 table,
+        # the IDENTICAL parenthesized IEEE expression, 4dp floor
+        "kneser_ney_logprob_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ts)),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS bg
+                FROM toks
+                WHERE len(ts) >= 2
+            ),
+            c12 AS (
+                SELECT bg, count(*) AS c12 FROM bg GROUP BY bg
+            ),
+            w1s AS (
+                SELECT split_part(bg, ' ', 1) AS w1,
+                       CAST(sum(c12) AS BIGINT) AS c1,
+                       CAST(count(*) AS BIGINT) AS n1p_w1
+                FROM c12 GROUP BY 1
+            ),
+            w2s AS (
+                SELECT split_part(bg, ' ', 2) AS w2,
+                       CAST(count(*) AS BIGINT) AS n1p_w2
+                FROM c12 GROUP BY 1
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM c12)
+            SELECT b.doc_id,
+                   count(*) AS n_bigrams,
+                   floor(avg(ln(
+                       greatest(c12.c12::DOUBLE - 0.75, 0.0)
+                           / w1s.c1::DOUBLE
+                       + ((0.75 * w1s.n1p_w1::DOUBLE) / w1s.c1::DOUBLE)
+                         * (w2s.n1p_w2::DOUBLE / tot.n1p_all::DOUBLE)
+                   )) * 10000.0 + 0.5) / 10000.0 AS avg_logprob_kn
+            FROM bg b
+            JOIN c12 USING (bg)
+            JOIN w1s ON split_part(b.bg, ' ', 1) = w1s.w1
+            JOIN w2s ON split_part(b.bg, ' ', 2) = w2s.w2
+            CROSS JOIN tot
+            GROUP BY b.doc_id
+            ORDER BY b.doc_id
         """,
         # bigram LM: identical tokenization (repetition_top_bigram's),
         # identical add-alpha arithmetic, 4dp floor rounding

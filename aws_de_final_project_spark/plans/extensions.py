@@ -1267,6 +1267,89 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing KenLM/CCNet-class LMs actually use, one model class up
+    from the add-alpha bigram above): score each document by its mean
+    ln p_KN(w2|w1) under the corpus's own bigram statistics, where
+
+        p_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                      + (D * N1+(w1,.)/c(w1)) * N1+(.,w2)/N1+(.,.)
+
+    with absolute discount D = 0.75 and continuation counts N1+ =
+    distinct-neighbor counts. KN's continuation probability fixes the
+    add-alpha failure mode: a word frequent only inside one collocation
+    ("francisco") stops inflating unseen-context estimates.
+
+    Relational shape, all derived FROM the bigram count table (never a
+    second corpus pass): c12 = one hash agg on the bigram; c(w1) and
+    N1+(w1,.) = one agg of c12 on w1; N1+(.,w2) = one agg of c12 on
+    w2; N1+(.,.) = count(c12) broadcast as a 1-row total (the
+    plan-pin-whitelisted corpus-total shape). Every term is an exact
+    integer count and D is exactly representable, so both engines
+    evaluate the identical IEEE expression tree — the oracle replays
+    it verbatim. Self-scoring means every doc bigram exists in c12
+    (c12 >= 1), so no OOV branch is needed."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = d.select("doc_id", ts.alias("_ts")).filter(F.size("_ts") >= 2)
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("_ts"), i),
+            F.lit(" "),
+            F.element_at(F.col("_ts"), i + 1),
+        ),
+    )
+    doc_bg = docs.select("doc_id", F.explode(pair).alias("bg"))
+    c12 = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    by_w1 = c12.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_w1"),
+    )
+    by_w2 = c12.groupBy(
+        F.substring_index("bg", " ", -1).alias("w2")
+    ).agg(F.count(F.lit(1)).alias("n1p_w2"))
+    n1p_all = c12.agg(F.count(F.lit(1)).alias("n1p_all"))
+    disc = 0.75
+    scored = (
+        doc_bg.join(c12, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(by_w1, "w1")
+        .join(by_w2, "w2")
+        .crossJoin(F.broadcast(n1p_all))
+        .select(
+            "doc_id",
+            F.log(
+                F.greatest(
+                    F.col("c12").cast("double") - F.lit(disc), F.lit(0.0)
+                )
+                / F.col("c1").cast("double")
+                + (
+                    (F.lit(disc) * F.col("n1p_w1").cast("double"))
+                    / F.col("c1").cast("double")
+                )
+                * (
+                    F.col("n1p_w2").cast("double")
+                    / F.col("n1p_all").cast("double")
+                )
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            rnd(F.avg("lp"), 4).alias("avg_logprob_kn"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def spatial_near_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join (1 km) over deterministic per-customer
     coordinates in the Chicago band — the grid-bucketed spatial pair

@@ -37,6 +37,7 @@ HEADLINE = [
     "robots_wildcard_docs",
     "lang_id_classifier_docs",
     "perplexity_buckets_docs",
+    "kneser_ney_logprob_docs",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",

@@ -668,3 +668,72 @@ def test_fluency_buckets_histogram_not_percent_rank(spark):
     for g in ("0", "1", "2"):
         tot = sum(v for (gg, _), v in counts.items() if gg == g)
         assert tot in (33, 34)
+
+
+def test_kneser_ney_matches_python_ground_truth(spark, tmp_path):
+    """Interpolated KN bigram scoring vs a from-the-definition Python
+    replay on a small corpus: per-doc mean ln p_KN matches to 4dp, and
+    KN's continuation probability separates the collocation-bound word
+    case from add-alpha (the 'san francisco' effect: a word frequent
+    only after one history gets a LOW continuation count)."""
+    import math
+    import os
+    from collections import Counter
+
+    from aws_de_final_project_spark.plans.extensions import (
+        kneser_ney_logprob_docs,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "san francisco san francisco san francisco"),
+        (4, "a cat and a dog and a mat"),
+        (5, "one-token"),  # < 2 tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    # ground truth straight from the definition
+    doc_bg = {
+        i: [
+            (ts[k], ts[k + 1])
+            for k in range(len(ts) - 1)
+        ]
+        for i, text in rows
+        if len(ts := text.lower().strip().split()) >= 2
+    }
+    c12 = Counter(b for bgs in doc_bg.values() for b in bgs)
+    c1 = Counter()
+    n1p_w1 = Counter()
+    n1p_w2 = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p_w1[w1] += 1
+        n1p_w2[w2] += 1
+    n1p_all = len(c12)
+    D = 0.75
+
+    def pkn(w1, w2):
+        return max(c12[(w1, w2)] - D, 0.0) / c1[w1] + (
+            (D * n1p_w1[w1]) / c1[w1]
+        ) * (n1p_w2[w2] / n1p_all)
+
+    got = {
+        r.doc_id: r
+        for r in kneser_ney_logprob_docs(spark, d).collect()
+    }
+    assert 5 not in got
+    for i, bgs in doc_bg.items():
+        want = sum(math.log(pkn(*b)) for b in bgs) / len(bgs)
+        want = math.floor(want * 10000.0 + 0.5) / 10000.0
+        assert got[i].n_bigrams == len(bgs), i
+        assert abs(got[i].avg_logprob_kn - want) < 1e-9, (
+            i, got[i].avg_logprob_kn, want)
+    # sanity on probabilities: every p_KN in (0, 1]
+    for (w1, w2) in c12:
+        assert 0.0 < pkn(w1, w2) <= 1.0 + 1e-12
+    # the collocation-bound word: 'francisco' follows only 'san', so
+    # its continuation count is 1 -> tiny continuation probability
+    assert n1p_w2[("francisco")] == 1

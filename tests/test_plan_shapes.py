@@ -220,6 +220,11 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         # 1-row vocab-size frame broadcast into the smoothing term
         # (same shape as the unigram entry's corpus-total cross join)
         "bigram_logprob_scores",
+        # 1-row N1+(.,.) continuation-total frame, same shape
+        "kneser_ney_logprob_docs",
+        # inherits the unigram entry's 1-row corpus-total broadcast
+        # (the bucketing itself is keyed: histogram equi-join)
+        "perplexity_buckets_docs",
         # 1-row order-count denominator frame, same shape
         "basket_pair_affinity",
         # two 1-row corpus-total frames (T, R) broadcast into the
