@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_classifier_docs": X.lang_id_classifier_docs,
         "perplexity_buckets_docs": X.perplexity_buckets_docs,
         "kneser_ney_logprob_docs": X.kneser_ney_logprob_docs,
+        "temperature_mixture_rates": X.temperature_mixture_rates_docs,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -2866,6 +2867,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM clean
             )
             ORDER BY doc_id
+        """,
+        # temperature-smoothed sampling rates (extensions.
+        # temperature_mixture_rates_docs): alpha=0.25 as nested sqrt
+        # (correctly-rounded IEEE in both engines, no libm pow),
+        # weights 4dp-scaled to BIGINT before the order-free sum,
+        # identical divisions
+        "temperature_mixture_rates": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_docs
+                FROM documents GROUP BY lang
+            ),
+            weighted AS (
+                SELECT lang, n_docs,
+                       CAST(floor(sqrt(sqrt(n_docs::DOUBLE)) * 10000.0
+                                  + 0.5) AS BIGINT) AS w
+                FROM counts
+            ),
+            tot AS (
+                SELECT CAST(sum(w) AS BIGINT) AS tw,
+                       CAST(sum(n_docs) AS BIGINT) AS tn
+                FROM weighted
+            )
+            SELECT lang,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   floor((n_docs::DOUBLE / tn::DOUBLE) * 10000.0 + 0.5)
+                       / 10000.0 AS p_natural,
+                   floor((w::DOUBLE / tw::DOUBLE) * 10000.0 + 0.5)
+                       / 10000.0 AS p_sampling,
+                   floor(((w::DOUBLE / tw::DOUBLE)
+                          / (n_docs::DOUBLE / tn::DOUBLE))
+                         * 10000.0 + 0.5) / 10000.0 AS boost_vs_natural
+            FROM weighted CROSS JOIN tot
+            ORDER BY lang
         """,
         # interpolated Kneser-Ney bigram LM (extensions.
         # kneser_ney_logprob_docs): same tokenization/bigram CTEs as

@@ -1267,6 +1267,51 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mixture_rates_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed multilingual sampling rates (the XLM-R /
+    mT5 rule: p_i proportional to n_i^alpha) over the documents table's
+    language mix — the step that upsamples low-resource languages so a
+    multilingual model is not swamped by the head language.
+
+    Engine-exactness: alpha is fixed at 0.25 so n^alpha =
+    sqrt(sqrt(n)) — IEEE sqrt is CORRECTLY ROUNDED in both engines,
+    unlike libm pow/exp whose last-ulp may differ. Weights are then
+    4dp-quantized and SCALED TO INTEGERS before the corpus sum (the
+    int-bank discipline), so the denominator is an order-free BIGINT
+    and every division runs on identical operands. Output per lang:
+    n_docs, the natural share, the temperature-smoothed sampling
+    probability, and the boost factor vs natural.
+
+    Scale shape: one hash aggregate (|langs| rows), a 1-row broadcast
+    total, scan-free arithmetic after that — the planner runs on
+    aggregate statistics, never per-doc data."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    counts = t["documents"].groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_int = F.floor(
+        F.sqrt(F.sqrt(F.col("n_docs").cast("double"))) * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    weighted = counts.select("lang", "n_docs", w_int.alias("_w"))
+    tot = weighted.agg(
+        F.sum("_w").alias("_tw"),
+        F.sum("n_docs").alias("_tn"),
+    )
+    out = weighted.crossJoin(F.broadcast(tot))
+    p_nat = F.col("n_docs").cast("double") / F.col("_tn").cast("double")
+    p_smooth = F.col("_w").cast("double") / F.col("_tw").cast("double")
+    return out.select(
+        "lang",
+        "n_docs",
+        rnd(p_nat, 4).alias("p_natural"),
+        rnd(p_smooth, 4).alias("p_sampling"),
+        rnd(p_smooth / p_nat, 4).alias("boost_vs_natural"),
+    ).orderBy("lang")
+
+
 def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
     smoothing KenLM/CCNet-class LMs actually use, one model class up

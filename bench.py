@@ -38,6 +38,7 @@ HEADLINE = [
     "lang_id_classifier_docs",
     "perplexity_buckets_docs",
     "kneser_ney_logprob_docs",
+    "temperature_mixture_rates",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",

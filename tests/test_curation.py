@@ -737,3 +737,36 @@ def test_kneser_ney_matches_python_ground_truth(spark, tmp_path):
     # the collocation-bound word: 'francisco' follows only 'san', so
     # its continuation count is 1 -> tiny continuation probability
     assert n1p_w2[("francisco")] == 1
+
+
+def test_temperature_mixture_upsamples_low_resource(spark, tmp_path):
+    """alpha=0.25 temperature sampling: probabilities sum to ~1, the
+    head language's sampling share drops below natural, the rarest
+    language's rises above it, and ordering by size is preserved."""
+    import os
+
+    from aws_de_final_project_spark.plans.extensions import (
+        temperature_mixture_rates_docs,
+    )
+
+    rows = (
+        [(i, "x", "en") for i in range(800)]
+        + [(1000 + i, "x", "de") for i in range(150)]
+        + [(2000 + i, "x", "zh") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.lang: r for r in temperature_mixture_rates_docs(spark, d).collect()}
+    assert abs(sum(r.p_sampling for r in got.values()) - 1.0) < 1e-3
+    assert got["en"].boost_vs_natural < 1.0
+    assert got["zh"].boost_vs_natural > 1.0
+    assert got["en"].p_sampling > got["de"].p_sampling > got["zh"].p_sampling
+    # exact ground truth: w = round(n^0.25 * 1e4) ints
+    want_w = {lang: round((got[lang].n_docs ** 0.25) * 10000)
+              for lang in got}
+    tw = sum(want_w.values())
+    import math
+    for lang in got:
+        want = math.floor(want_w[lang] / tw * 10000.0 + 0.5) / 10000.0
+        assert abs(got[lang].p_sampling - want) < 1e-12, lang

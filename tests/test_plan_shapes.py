@@ -225,6 +225,9 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         # inherits the unigram entry's 1-row corpus-total broadcast
         # (the bucketing itself is keyed: histogram equi-join)
         "perplexity_buckets_docs",
+        # 1-row weight/doc-total frame against the |langs|-row
+        # aggregate — the planner never touches per-doc data
+        "temperature_mixture_rates",
         # 1-row order-count denominator frame, same shape
         "basket_pair_affinity",
         # two 1-row corpus-total frames (T, R) broadcast into the
