@@ -327,6 +327,11 @@ def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
         if pos + 2 > len(data):
             raise ValueError("truncated jpeg segment")
         seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2:
+            # a segment length below its own 2 length bytes cannot
+            # advance the walk — corrupt stream, raise instead of
+            # spinning forever on one executor
+            raise ValueError("invalid jpeg segment length")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             i = 0

@@ -549,3 +549,19 @@ def test_stdlib_image_codec_sniffs_png_and_jpeg(spark):
     assert (got[1].width, got[1].height) == (6, 4)
     assert (got[2].width, got[2].height) == (8, 8)
     assert abs(got[2].feature[2] - 1.0) < 1e-6  # all pixels in band 2
+
+
+def test_jpeg_zero_length_segment_terminates():
+    """Regression: a segment whose 2-byte length field is < 2 cannot
+    advance the marker walk; the parser must raise (-> sentinel), not
+    spin forever on a corrupt payload."""
+    import pytest as _pytest
+
+    # SOI + DQT marker with a ZERO length field
+    evil = b"\xff\xd8\xff\xdb\x00\x00" + b"\x00" * 16
+    with _pytest.raises(ValueError):
+        multimodal._parse_jpeg_gray8(evil)
+    # length 1 (also below the 2 length bytes themselves)
+    evil1 = b"\xff\xd8\xff\xdb\x00\x01" + b"\x00" * 16
+    with _pytest.raises(ValueError):
+        multimodal._parse_jpeg_gray8(evil1)
