@@ -4783,7 +4783,7 @@ def oracle_sql() -> dict[str, str]:
             FROM withdomain w LEFT JOIN perhost p ON w.host = p.host
             ORDER BY w.doc_id
         """,
-        # fastText-style 8-language ID: generated oracle (see
+        # fastText-style 14-language ID: generated oracle (see
         # _langid_oracle_sql) — identical trained integer banks,
         # gram set, exact BIGINT folds, argmax with lex tie-break
         "lang_id_classifier_docs": _langid_oracle_sql(),

@@ -6,8 +6,8 @@ operators/classifier.py, replacing the 4-language Latin-script
 stopword heuristic (functions/text.lang_id) for corpora with
 non-Latin scripts (r9 verdict item 4).
 
-Model: features are the characters AND character bigrams of the
-whitespace-normalized lowercase text, hashed md5-mod-D (the engine-
+Model: features are the characters, character bigrams AND trigrams of
+the whitespace-normalized lowercase text, hashed md5-mod-D (the engine-
 portable bucket family every scorer here shares); one weight vector +
 bias per language, trained offline one-vs-rest on the vendored sample
 sentences below; prediction is the argmax of the mean-pooled linear
@@ -18,7 +18,7 @@ decimals and VENDORED AS INTEGERS scaled by 1e4, so the per-document
 gather-fold is exact BIGINT arithmetic — accumulation order cannot
 matter — and the only floating-point steps (one /1e4, one /n_grams,
 one +bias, one floor-round) run on identical operands in Spark and
-DuckDB. That is what makes an 8-way argmax hash-stable across engines
+DuckDB. That is what makes a 14-way argmax hash-stable across engines
 (a double fold could land within an ulp of a 4dp boundary and flip
 the predicted language).
 
@@ -50,12 +50,125 @@ from aws_de_final_project_spark.operators.webcrawl import WS_RE
 LANGID_BUCKETS = 1024
 
 #: lexicographically ordered — the tie-break order (first max wins).
-LANGID_LANGS = ("de", "en", "es", "fr", "it", "pt", "ru", "zh")
+LANGID_LANGS = (
+    "ar", "de", "en", "es", "fr", "hi", "it",
+    "ja", "ko", "nl", "pt", "ru", "tr", "zh",
+)
 
 #: Vendored training sentences (everyday phrases, written for this
-#: repo — public knowledge, no corpus dependency). Two non-Latin
-#: scripts (ru Cyrillic, zh Han) plus six confusable Latin languages.
+#: repo — public knowledge, no corpus dependency). Six non-Latin
+#: scripts (ar Arabic, hi Devanagari, ja kana+Han, ko Hangul,
+#: ru Cyrillic, zh Han) plus eight confusable Latin languages.
+#: All BMP-only (see _py_grams).
 LANGID_SAMPLES: dict[str, tuple[str, ...]] = {
+    "ar": (
+        "الطقس جميل اليوم ونحن ذاهبون إلى الحديقة",
+        "ليس لدي وقت لهذه الأشياء الآن",
+        "الكلب يركض في الشارع وينبح بصوت عال",
+        "يجب أن نستيقظ باكرا صباح الغد",
+        "هل يمكنك مساعدتي في هذا السؤال من فضلك",
+        "هذا سؤال جيد جدا عن البيانات",
+        "هي تقرأ كتابا كل مساء في غرفة الجلوس",
+        "يلعب الأطفال في الحديقة بعد المدرسة",
+        "هذا الصباح شربت القهوة وقرأت الجريدة",
+        "في الأسبوع القادم سنسافر بالقطار إلى الجبال",
+        "لماذا النافذة مفتوحة بينما تمطر في الخارج",
+        "يعمل أخي في هذه المدينة منذ ثلاث سنوات",
+        "في العام الماضي ذهبنا إلى البحر مع العائلة كلها",
+        "أحب كثيرا الاستماع إلى الموسيقى أثناء العمل",
+        "في المدينة شوارع ضيقة كثيرة وساحات قديمة",
+        "عندما كنت طفلا كنت ألعب كرة القدم كل يوم أحد",
+    ),
+    "hi": (
+        "आज मौसम अच्छा है और हम पार्क जा रहे हैं",
+        "अभी मेरे पास इन चीज़ों के लिए समय नहीं है",
+        "कुत्ता सड़क पर दौड़ता है और ज़ोर से भौंकता है",
+        "हमें कल सुबह जल्दी उठना होगा",
+        "क्या आप कृपया इस सवाल में मेरी मदद कर सकते हैं",
+        "यह आंकड़ों के बारे में बहुत अच्छा सवाल है",
+        "वह हर शाम बैठक में किताब पढ़ती है",
+        "बच्चे स्कूल के बाद बगीचे में खेलते हैं",
+        "आज सुबह मैंने कॉफ़ी पी और अख़बार पढ़ा",
+        "अगले हफ़्ते हम रेलगाड़ी से पहाड़ों पर जाएंगे",
+        "बाहर बारिश हो रही है तो खिड़की क्यों खुली है",
+        "मेरा भाई तीन साल से इस शहर में काम करता है",
+        "पिछले साल हम पूरे परिवार के साथ समुद्र गए थे",
+        "मुझे काम करते हुए संगीत सुनना बहुत पसंद है",
+        "इस शहर में कई तंग गलियां और पुराने चौक हैं",
+        "बचपन में मैं हर रविवार फ़ुटबॉल खेलता था",
+    ),
+    "ja": (
+        "今日は天気がいいので公園へ行きます",
+        "今はこれらのことをする時間がありません",
+        "犬が通りを走って大きな声で吠えています",
+        "明日は朝早く起きなければなりません",
+        "この質問を手伝っていただけませんか",
+        "それはデータについてのとても良い質問です",
+        "彼女は毎晩居間で本を読んでいます",
+        "子供たちは放課後に庭で遊びます",
+        "今朝はコーヒーを飲んで新聞を読みました",
+        "来週は電車で山へ行きます",
+        "外は雨なのにどうして窓が開いているのですか",
+        "私の兄はこの町で三年間働いています",
+        "去年は家族みんなで海へ行きました",
+        "仕事をしながら音楽を聞くのが好きです",
+        "この町には狭い道と古い広場がたくさんあります",
+        "子供の頃は毎週日曜日にサッカーをしていました",
+    ),
+    "ko": (
+        "오늘은 날씨가 좋아서 우리는 공원에 갑니다",
+        "지금은 이런 일을 할 시간이 없습니다",
+        "개가 길을 뛰어다니며 크게 짖습니다",
+        "우리는 내일 아침 일찍 일어나야 합니다",
+        "이 질문 좀 도와주시겠습니까",
+        "그것은 데이터에 관한 아주 좋은 질문입니다",
+        "그녀는 매일 저녁 거실에서 책을 읽습니다",
+        "아이들은 방과 후에 정원에서 놉니다",
+        "오늘 아침에 커피를 마시고 신문을 읽었습니다",
+        "다음 주에 우리는 기차를 타고 산에 갑니다",
+        "밖에 비가 오는데 왜 창문이 열려 있습니까",
+        "우리 형은 이 도시에서 삼 년째 일하고 있습니다",
+        "작년에 우리는 온 가족과 함께 바다에 갔습니다",
+        "나는 일하면서 음악 듣는 것을 아주 좋아합니다",
+        "이 도시에는 좁은 골목과 오래된 광장이 많습니다",
+        "어렸을 때 나는 일요일마다 축구를 했습니다",
+    ),
+    "nl": (
+        "het weer is vandaag mooi en we gaan naar het park",
+        "ik heb nu geen tijd voor deze dingen",
+        "de hond rent over de straat en blaft hard",
+        "we moeten morgen vroeg opstaan",
+        "kunt u mij alstublieft helpen met deze vraag",
+        "dat is een heel goede vraag over de gegevens",
+        "zij leest elke avond een boek in de woonkamer",
+        "de kinderen spelen na school in de tuin",
+        "vanochtend dronk ik koffie en las ik de krant",
+        "volgende week gaan we met de trein naar de bergen",
+        "waarom staat het raam open terwijl het buiten regent",
+        "mijn broer werkt al drie jaar in deze stad",
+        "vorig jaar gingen we met het hele gezin naar zee",
+        "ik luister heel graag naar muziek terwijl ik werk",
+        "de stad heeft veel smalle straten en oude pleinen",
+        "als kind speelde ik elke zondag voetbal",
+    ),
+    "tr": (
+        "bugün hava güzel ve parka gidiyoruz",
+        "şu anda bu işler için zamanım yok",
+        "köpek sokakta koşuyor ve yüksek sesle havlıyor",
+        "yarın sabah erken kalkmamız gerekiyor",
+        "bu soruda bana yardım eder misiniz lütfen",
+        "bu veriler hakkında çok iyi bir soru",
+        "o her akşam oturma odasında kitap okur",
+        "çocuklar okuldan sonra bahçede oynuyor",
+        "bu sabah kahve içtim ve gazete okudum",
+        "gelecek hafta trenle dağlara gideceğiz",
+        "dışarıda yağmur yağarken pencere neden açık",
+        "kardeşim üç yıldır bu şehirde çalışıyor",
+        "geçen yıl bütün aileyle deniz kenarına gittik",
+        "çalışırken müzik dinlemeyi çok severim",
+        "şehirde birçok dar sokak ve eski meydan var",
+        "çocukken her pazar futbol oynardım",
+    ),
     "de": (
         "das wetter ist heute schön und wir gehen in den park",
         "ich habe keine zeit für diese dinge",

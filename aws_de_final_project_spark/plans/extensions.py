@@ -3391,8 +3391,8 @@ LANGID_FIXTURE: dict[str, tuple[str, str, str]] = {
     ),
     "de": (
         "am abend essen wir zusammen und sprechen über den tag",
-        "der zug kommt immer pünktlich am bahnhof an",
-        "wir kaufen morgen gemüse auf dem markt",
+        "die straßenbahn fährt alle zehn minuten zum hauptbahnhof",
+        "ich weiß nicht ob wir heute noch genug zeit dafür haben",
     ),
     "es": (
         "la comida estaba muy rica y el lugar era bonito",
@@ -3402,11 +3402,11 @@ LANGID_FIXTURE: dict[str, tuple[str, str, str]] = {
     "fr": (
         "demain nous irons au marché pour acheter des légumes",
         "il faut que nous partions avant la tombée de la nuit",
-        "le train arrive à la gare à l'heure aujourd'hui",
+        "les enfants regardent les oiseaux dans le jardin chaque matin",
     ),
     "zh": (
         "昨天晚上我们在城市里散步很久",
-        "火车总是准时到达车站",
+        "这个问题我们明天开会的时候再说吧",
         "我们明天去市场买菜",
     ),
 }
@@ -3415,7 +3415,7 @@ LANGID_FIXTURE: dict[str, tuple[str, str, str]] = {
 def lang_id_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilingual language ID (operators/langid.lang_id_scores —
     fastText-style hashed char-1/2/3-gram one-vs-rest linear model,
-    8 languages incl. Cyrillic and Han) over a planted-language
+    14 languages incl. Arabic, Devanagari, Hangul, kana, Cyrillic, Han) over a planted-language
     fixture: each document's text is replaced by a HELD-OUT sentence
     of its own ``lang`` (3 variants by doc_id % 3, a doc_id%100 digit
     suffix for row variety) — the discrimination the 4-language

@@ -189,3 +189,47 @@ def test_inference_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+#: one held-out sentence per supported language (parallel meaning,
+#: none present in LANGID_SAMPLES) — full-surface discrimination
+HELD_OUT_14 = {
+    "ar": "القطار يصل إلى المحطة في الوقت المحدد اليوم",
+    "de": "der zug kommt heute pünktlich am bahnhof an",
+    "en": "the train arrives at the station on time today",
+    "es": "el tren llega a la estación a tiempo hoy",
+    "fr": "le train arrive à la gare à l'heure aujourd'hui",
+    "hi": "रेलगाड़ी आज समय पर स्टेशन पहुंचती है",
+    "it": "il treno arriva in stazione puntuale oggi",
+    "ja": "電車は今日時間どおりに駅に着きます",
+    "ko": "기차는 오늘 제시간에 역에 도착합니다",
+    "nl": "de trein komt vandaag op tijd aan op het station",
+    "pt": "o trem chega à estação a tempo hoje",
+    "ru": "поезд прибывает на станцию вовремя сегодня",
+    "tr": "tren bugün istasyona zamanında varıyor",
+    "zh": "火车今天准时到达车站",
+}
+
+
+def test_all_14_languages_held_out(spark):
+    """Every supported language — incl. the six round-10 additions
+    (ar Arabic, hi Devanagari, ja kana+Han, ko Hangul, nl, tr) — must
+    classify a HELD-OUT parallel sentence correctly through the Spark
+    sql path; ja vs zh exercises the kana-vs-pure-Han split two Han-
+    sharing languages need trigrams to separate."""
+    assert set(HELD_OUT_14) == set(LI.LANGID_LANGS)
+    for lang, s in HELD_OUT_14.items():
+        assert all(
+            s not in sents for sents in LI.LANGID_SAMPLES.values()
+        ), f"held-out sentence leaked into training set: {lang}"
+    rows = list(enumerate(HELD_OUT_14.values()))
+    langs = list(HELD_OUT_14)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.lang_pred
+        for r in LI.lang_id_scores(df, "text", "doc_id", impl="sql").collect()
+    }
+    misses = {
+        langs[i]: got[i] for i in range(len(langs)) if got[i] != langs[i]
+    }
+    assert not misses, misses
