@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets_docs": X.perplexity_buckets_docs,
         "kneser_ney_logprob_docs": X.kneser_ney_logprob_docs,
         "temperature_mixture_rates": X.temperature_mixture_rates_docs,
+        "repetition_signals_docs": X.repetition_signals_docs,
         "url_canonicalize": X.url_canonicalize_docs,
         "host_quality_stats": X.host_quality_stats_docs,
         "mixture_plan_rates": X.mixture_plan_rates_docs,
@@ -2867,6 +2868,75 @@ def oracle_sql() -> dict[str, str]:
                 FROM clean
             )
             ORDER BY doc_id
+        """,
+        # Gopher repetition signals (extensions.repetition_signals_docs):
+        # identical tokenization, per-n gram explode + count, integer
+        # char-mass (count x gram length incl. separators), 4dp floor
+        "repetition_signals_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS ts
+                FROM documents
+            ),
+            docs AS (
+                SELECT doc_id, ts,
+                       length(array_to_string(ts, ' ')) AS chars
+                FROM toks WHERE len(ts) >= 2
+            ),
+            g2 AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS g
+                    FROM docs
+                ) GROUP BY doc_id, g
+            ),
+            g3 AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1] || ' '
+                                    || ts[i + 2])) AS g
+                    FROM docs WHERE len(ts) >= 3
+                ) GROUP BY doc_id, g
+            ),
+            g5 AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ts) - 3),
+                               i -> ts[i] || ' ' || ts[i + 1] || ' '
+                                    || ts[i + 2] || ' ' || ts[i + 3]
+                                    || ' ' || ts[i + 4])) AS g
+                    FROM docs WHERE len(ts) >= 5
+                ) GROUP BY doc_id, g
+            ),
+            t2 AS (SELECT doc_id, max(c * length(g)) AS m FROM g2
+                   GROUP BY doc_id),
+            t3 AS (SELECT doc_id, max(c * length(g)) AS m FROM g3
+                   GROUP BY doc_id),
+            d5 AS (SELECT doc_id,
+                          sum(CASE WHEN c >= 2 THEN c * length(g)
+                              ELSE 0 END) AS m
+                   FROM g5 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(d.chars AS BIGINT) AS n_chars,
+                   floor((coalesce(t2.m, 0)::DOUBLE / d.chars::DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0
+                       AS top_2gram_char_frac,
+                   floor((coalesce(t3.m, 0)::DOUBLE / d.chars::DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0
+                       AS top_3gram_char_frac,
+                   floor((coalesce(d5.m, 0)::DOUBLE / d.chars::DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0
+                       AS dup_5gram_char_frac
+            FROM docs d
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # temperature-smoothed sampling rates (extensions.
         # temperature_mixture_rates_docs): alpha=0.25 as nested sqrt

@@ -1267,6 +1267,82 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Table A1 class):
+    per document, the fraction of characters covered by (a) the MOST
+    FREQUENT word 2-gram and 3-gram, and (b) ALL DUPLICATED word
+    5-grams — the signals that catch boilerplate loops and
+    template-stamped text that per-line dedup misses. Definitions
+    (deterministic, documented here as the contract): tokens are the
+    whitespace-split lowercase words; an n-gram's char mass is
+    occurrences x (sum of its word lengths + n-1 separator chars);
+    the denominator is the char length of the space-joined token
+    stream; overlapping occurrences each count (the standard cheap
+    approximation — exact span coverage needs interval merging).
+    Ties on the top gram don't matter: only the max char mass is
+    reported, not the gram.
+
+    Scale shape: one explode + hash agg per n, keyed on (doc_id,
+    gram) — fully parallel, skew-bounded by per-doc gram counts; the
+    three signal frames join back on doc_id. All counts are integers;
+    the final divisions are 4dp floor-rounded."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = d.select(
+        "doc_id",
+        ts.alias("_ts"),
+        F.length(F.array_join(ts, " ")).alias("_chars"),
+    ).filter(F.size("_ts") >= 2)
+
+    def gram_stats(n: int, top_alias: str, dup_alias: str | None):
+        # sequence() guard: size - (n-1) < 1 would build a DESCENDING
+        # range and feed slice() an invalid start — short docs get an
+        # empty gram array instead (they carry zero signal for this n)
+        grams = F.when(
+            F.size("_ts") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_ts", i, n)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        ex = docs.select("doc_id", F.explode(grams).alias("_g"))
+        counts = ex.groupBy("doc_id", "_g").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        mass = F.col("_c") * F.length("_g")
+        aggs = [F.max(mass).alias(top_alias)]
+        if dup_alias is not None:
+            aggs.append(
+                F.sum(F.when(F.col("_c") >= 2, mass).otherwise(0)).alias(
+                    dup_alias
+                )
+            )
+        return counts.groupBy("doc_id").agg(*aggs)
+
+    g2 = gram_stats(2, "_top2", None)
+    g3 = gram_stats(3, "_top3", None)
+    g5 = gram_stats(5, "_top5", "_dup5")
+    base = docs.select("doc_id", "_chars")
+    out = (
+        base.join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .join(g5.select("doc_id", "_dup5"), "doc_id", "left")
+    )
+    frac = lambda c: rnd(  # noqa: E731
+        F.coalesce(c, F.lit(0)).cast("double")
+        / F.col("_chars").cast("double"),
+        4,
+    )
+    return out.select(
+        "doc_id",
+        F.col("_chars").cast("long").alias("n_chars"),
+        frac(F.col("_top2")).alias("top_2gram_char_frac"),
+        frac(F.col("_top3")).alias("top_3gram_char_frac"),
+        frac(F.col("_dup5")).alias("dup_5gram_char_frac"),
+    ).orderBy("doc_id")
+
+
 def temperature_mixture_rates_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

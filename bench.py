@@ -39,6 +39,7 @@ HEADLINE = [
     "perplexity_buckets_docs",
     "kneser_ney_logprob_docs",
     "temperature_mixture_rates",
+    "repetition_signals_docs",
     # round-9 additions
     "bpe_merge_table",
     "registered_domain_psl_docs",

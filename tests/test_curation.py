@@ -770,3 +770,46 @@ def test_temperature_mixture_upsamples_low_resource(spark, tmp_path):
     for lang in got:
         want = math.floor(want_w[lang] / tw * 10000.0 + 0.5) / 10000.0
         assert abs(got[lang].p_sampling - want) < 1e-12, lang
+
+
+def test_repetition_signals_hand_computed(spark, tmp_path):
+    """Gopher repetition signals vs hand-computed char masses: top
+    2/3-gram fractions, duplicated-5-gram fraction (incl. the
+    documented >1 overlap overcount on a stamped loop), and the
+    zero-signal short-doc paths."""
+    import os
+
+    from aws_de_final_project_spark.plans.extensions import (
+        repetition_signals_docs,
+    )
+
+    rows = [
+        (1, "a b a b a b"),            # chars 11
+        (2, "x y z w"),                # chars 7, no 5-grams
+        (3, "p q r s t " * 3),         # 15 tokens, chars 29
+        (4, "solo"),                   # 1 token -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in repetition_signals_docs(spark, d).collect()}
+    assert 4 not in got
+
+    r1 = got[1]
+    assert r1.n_chars == 11
+    assert abs(r1.top_2gram_char_frac - round(9 / 11, 4)) < 6e-5   # "a b" x3
+    assert abs(r1.top_3gram_char_frac - round(10 / 11, 4)) < 6e-5  # "a b a" x2
+    assert r1.dup_5gram_char_frac == 0.0  # both 5-grams unique
+
+    r2 = got[2]
+    assert r2.n_chars == 7
+    assert abs(r2.top_2gram_char_frac - round(3 / 7, 4)) < 6e-5
+    assert r2.dup_5gram_char_frac == 0.0  # too short for 5-grams
+
+    r3 = got[3]
+    assert r3.n_chars == 29
+    # "p q" (and three other bigrams) occur 3x: mass 9
+    assert abs(r3.top_2gram_char_frac - round(9 / 29, 4)) < 6e-5
+    # stamped loop: (3 + 2*4) occurrences x 9 chars = 99 -> >1 by the
+    # documented overlapping-occurrence overcount
+    assert abs(r3.dup_5gram_char_frac - round(99 / 29, 4)) < 6e-5
