@@ -3503,8 +3503,11 @@ def lang_id_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``match`` column pins 100%% planted-language accuracy into the
     value hash."""
     from aws_de_final_project_spark.operators import langid as LI
+    from aws_de_final_project_spark.operators.util import spread
 
     t = load_tables(spark, sf_dir, ("documents",))
+    t["documents"] = spread(t["documents"])  # 1-file scan = 1 task:
+    # the 14-bank gram folds are per-row-heavy, fan out first
     d = F.col("doc_id")
     variant = F.lit(None).cast("string")
     for lang, vs in LANGID_FIXTURE.items():
