@@ -3569,8 +3569,12 @@ def html_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, same interpolated block/anchor regexes, same
     multiply-form density rule."""
     from aws_de_final_project_spark.operators import webcrawl as WC
+    from aws_de_final_project_spark.operators.util import spread
 
     t = load_tables(spark, sf_dir, ("documents",))
+    # 1-file scan = 1 task: the block-split/score/decode HOFs are the
+    # heaviest scan-side expressions in the repo — fan out first
+    t["documents"] = spread(t["documents"])
     d = F.col("doc_id")
     html = F.concat(
         F.lit("<html><head><title>Doc "),
