@@ -492,7 +492,7 @@ def _langid_oracle_sql() -> str:
         )
         + " END"
     )
-    # bank table: ONE zipped unnest of the 8 literal int lists (the
+    # bank table: ONE zipped unnest of the per-language literal int lists (the
     # per-row list_transform gather form rebuilt each 1024-literal
     # list per doc per lang — minutes at sf0.1; this join form sweeps
     # sf0.1 in seconds with identical exact-BIGINT sums)
@@ -2969,7 +2969,7 @@ def oracle_sql() -> dict[str, str]:
                           / (n_docs::DOUBLE / tn::DOUBLE))
                          * 10000.0 + 0.5) / 10000.0 AS boost_vs_natural
             FROM weighted CROSS JOIN tot
-            ORDER BY lang
+            ORDER BY lang NULLS LAST
         """,
         # interpolated Kneser-Ney bigram LM (extensions.
         # kneser_ney_logprob_docs): same tokenization/bigram CTEs as

@@ -318,6 +318,12 @@ def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them instead of misreading 0xFF as the code
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS

@@ -1295,7 +1295,7 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.array_join(ts, " ")).alias("_chars"),
     ).filter(F.size("_ts") >= 2)
 
-    def gram_stats(n: int, top_alias: str, dup_alias: str | None):
+    def gram_stats(n: int, top_alias: str | None, dup_alias: str | None):
         # sequence() guard: size - (n-1) < 1 would build a DESCENDING
         # range and feed slice() an invalid start — short docs get an
         # empty gram array instead (they carry zero signal for this n)
@@ -1311,7 +1311,9 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("_c")
         )
         mass = F.col("_c") * F.length("_g")
-        aggs = [F.max(mass).alias(top_alias)]
+        aggs = []
+        if top_alias is not None:
+            aggs.append(F.max(mass).alias(top_alias))
         if dup_alias is not None:
             aggs.append(
                 F.sum(F.when(F.col("_c") >= 2, mass).otherwise(0)).alias(
@@ -1322,12 +1324,12 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g2 = gram_stats(2, "_top2", None)
     g3 = gram_stats(3, "_top3", None)
-    g5 = gram_stats(5, "_top5", "_dup5")
+    g5 = gram_stats(5, None, "_dup5")
     base = docs.select("doc_id", "_chars")
     out = (
         base.join(g2, "doc_id", "left")
         .join(g3, "doc_id", "left")
-        .join(g5.select("doc_id", "_dup5"), "doc_id", "left")
+        .join(g5, "doc_id", "left")
     )
     frac = lambda c: rnd(  # noqa: E731
         F.coalesce(c, F.lit(0)).cast("double")
@@ -1385,7 +1387,10 @@ def temperature_mixture_rates_docs(
         rnd(p_nat, 4).alias("p_natural"),
         rnd(p_smooth, 4).alias("p_sampling"),
         rnd(p_smooth / p_nat, 4).alias("boost_vs_natural"),
-    ).orderBy("lang")
+        # NULLS LAST pinned on both sides: Spark default is nulls
+        # first on ASC, DuckDB's is nulls last — a NULL lang would
+        # flip an order-sensitive hash even with identical values
+    ).orderBy(F.asc_nulls_last("lang"))
 
 
 def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

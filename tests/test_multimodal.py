@@ -565,3 +565,19 @@ def test_jpeg_zero_length_segment_terminates():
     evil1 = b"\xff\xd8\xff\xdb\x00\x01" + b"\x00" * 16
     with _pytest.raises(ValueError):
         multimodal._parse_jpeg_gray8(evil1)
+
+
+def test_jpeg_fill_bytes_before_marker_decode():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker code; an in-profile grayscale JPEG padded that way must
+    still decode, not fall to the sentinel."""
+    import numpy as np
+
+    pix = np.full((8, 8), 80, dtype=np.uint8)
+    good = _make_jpeg_gray8(pix)
+    # inject fill bytes before the DQT marker (first segment after SOI)
+    assert good[2:4] == b"\xff\xdb"
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    w, h, feature = multimodal._parse_jpeg_gray8(padded)
+    assert (w, h) == (8, 8)
+    assert abs(feature[2] - 1.0) < 1e-6
