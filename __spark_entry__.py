@@ -31,7 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.return_pct_by_nation(spark, "/root/testdata/sf0.001")
 
 
+# Round-11 driver-sample rotation (VERDICT r10 item 5): the union
+# analysis over CORRECTNESS_r1-r10 found 42 entries last driver-sampled
+# in r1-r4. queries() reorders its registry at return so the driver's
+# ~50-entry front window covers: flagship, this round's NEW entries,
+# then ALL 42 longest-unsampled — re-proving them green under the
+# current codebase without touching the definitions below.
+_R11_NEW: tuple[str, ...] = ()
+_R11_ROTATION: tuple[str, ...] = (
+    # last sampled r1
+    "ann_cosine_topk", "text_stats_by_lang", "token_counts",
+    "sketch_event_stats", "doc_fingerprints", "doc_winnow_fingerprints",
+    "lang_id_heuristic", "multimodal_byte_stats",
+    # last sampled r4
+    "json_extract_events", "hourly_event_stats", "user_sessions",
+    "asof_click_attribution", "range_join_event_sessions",
+    "pivot_event_matrix", "latest_event_per_user", "user_value_intervals",
+    "gap_fill_hourly_values", "full_outer_nation_activity",
+    "above_customer_avg_orders", "corr_qty_price_by_flag",
+    "funnel_user_steps", "readability_scores", "order_value_deciles",
+    "skew_plain_join", "skew_salted_join", "cube_order_stats",
+    "set_intersect_customers", "set_except_customers",
+    "moving_avg_user_value", "median_value_by_type", "label_centroids",
+    "tfidf_top_terms", "dedup_exact_groups", "dedup_jaccard_pairs",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blocked", "dedup_minhash_lsh",
+    "dedup_minhash_portable", "dedup_simhash_portable",
+    "grouping_sets_order_stats", "dedup_simhash_pairs",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    front = ["return_pct_by_nation", *_R11_NEW, *_R11_ROTATION]
+    out = {k: base[k] for k in front}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Flagship first; then (round 10, verdict item 10) positions
         # 2-16 rotate the core P/F/A/J/O §2 inventory — sampled only
@@ -39,7 +77,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r10 re-proves the §2 core under the current
         # codebase; then this round's new entries; then the r8/r9
         # ordering. The no-oracle xxhash64 LSH variant stays last
-        # (its portable twin carries the check).
+        # (its portable twin carries the check). NOTE (r11): the
+        # driver-facing order is now produced by queries() above from
+        # _R11_NEW/_R11_ROTATION — this literal order is the fallback
+        # for everything not rotated.
         "return_pct_by_nation": Q.return_pct_by_nation,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "filter_disjunctive": Q.filter_disjunctive,
