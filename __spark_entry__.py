@@ -37,7 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ~50-entry front window covers: flagship, this round's NEW entries,
 # then ALL 42 longest-unsampled — re-proving them green under the
 # current codebase without touching the definitions below.
-_R11_NEW: tuple[str, ...] = ()
+_R11_NEW: tuple[str, ...] = (
+    "main_content_multilingual_docs",
+)
 _R11_ROTATION: tuple[str, ...] = (
     # last sampled r1
     "ann_cosine_topk", "text_stats_by_lang", "token_counts",
@@ -97,6 +99,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_customers": Q.distinct_agg_customers,
         "set_union_distinct": Q.set_union_distinct,
         "view_layering": Q.view_layering,
+        # round-11 additions (inside the sample window via _R11_NEW)
+        "main_content_multilingual_docs": X.main_content_multilingual_docs,
         # round-10 additions (inside the sample window)
         "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
         "dedup_semantic_auto": X.dedup_semantic_auto,
@@ -450,11 +454,31 @@ def _main_block_txt_sql(b: str) -> str:
     )
 
 
-def _main_keep_sql(b: str) -> str:
+def _bank_list_sql(code: str) -> str:
+    """One language's stopword bank as a DuckDB list literal."""
+    return (
+        "["
+        + ", ".join(f"'{w}'" for w in _WC.MAIN_STOPWORD_BANKS[code])
+        + "]"
+    )
+
+
+def _main_keep_sql(
+    b: str, bank_sql: str | None = None, ns_sql_tpl: str | None = None
+) -> str:
     """webcrawl.html_main_content keep-rule twin over one raw block
     fragment ``b``: length floor, anchor-chars link-density cap and
-    stopword prose floor — multiply-form, same interpolated module
-    constants (MAIN_*), nested RE2-safe lambdas."""
+    the prose gate — stopword floor against the LANGUAGE-SELECTED
+    bank OR the script-coverage fallback (when fewer than
+    MAIN_MIN_SCRIPT_SHARE of the block's letters are in the bank's
+    script, the stopword gate is waived; r10 verdict item 1) —
+    multiply-form, same interpolated module constants (MAIN_*),
+    nested RE2-safe lambdas.
+
+    ``bank_sql``: SQL expr for the stopword list (default: the
+    English bank literal). ``ns_sql_tpl``: SQL template for the
+    bank-script letter count with ``{low}`` standing for the
+    lowercased block text (default: the Latin-class count)."""
     txt = _main_block_txt_sql(b)
     # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
     # array_join([]) is '' — a no-anchor block must score link 0
@@ -462,19 +486,77 @@ def _main_keep_sql(b: str) -> str:
         f"coalesce(array_to_string(regexp_extract_all({b}, "
         f"'{_WC.MAIN_ANCHOR_INNER_RE}', 1), ' '), '')"
     )
-    stop_list = "[" + ", ".join(f"'{w}'" for w in _WC.MAIN_STOPWORDS) + "]"
+    if bank_sql is None:
+        bank_sql = _bank_list_sql("en")
+    low = f"lower({txt})"
+    if ns_sql_tpl is None:
+        ns_sql_tpl = (
+            "len(regexp_replace({low}, "
+            f"'[^{_WC.MAIN_LATIN_CLASS}]', '', 'g'))"
+        )
+    ns = ns_sql_tpl.format(low=low)
+    nl = (
+        f"len(regexp_replace({low}, "
+        f"'[^{_WC.MAIN_LETTER_CLASS}]', '', 'g'))"
+    )
     toks = (
-        f"list_filter(string_split(lower({txt}), ' '), "
+        f"list_filter(string_split({low}, ' '), "
         f"xx -> len(xx) > 0)"
     )
     nstop = (
-        f"len(list_filter({toks}, xx -> list_contains({stop_list}, "
-        f"regexp_replace(xx, '[^a-z]', '', 'g'))))"
+        f"len(list_filter({toks}, xx -> list_contains({bank_sql}, "
+        f"regexp_replace(xx, '[^{_WC.MAIN_LETTER_CLASS}]', '', 'g'))))"
     )
     return (
         f"(len({txt}) >= {_WC.MAIN_MIN_BLOCK_CHARS} "
         f"AND len({anch}) <= {_WC.MAIN_MAX_LINK_DENSITY!r} * len({txt}) "
-        f"AND {nstop} >= {_WC.MAIN_MIN_STOPWORD_DENSITY!r} * len({toks}))"
+        f"AND ({nstop} >= {_WC.MAIN_MIN_STOPWORD_DENSITY!r} * len({toks})"
+        f" OR {ns} < {_WC.MAIN_MIN_SCRIPT_SHARE!r} * {nl}))"
+    )
+
+
+def _ml_langs_sql() -> str:
+    """The multilingual fixture's lang rotation as a list literal."""
+    return "[" + ", ".join(f"'{c}'" for c in X.MAIN_ML_LANGS) + "]"
+
+
+def _ml_articles_sql() -> str:
+    """The planted per-language article sentences as a list literal
+    (vendored module constants — the two sides cannot drift)."""
+    return "[" + ", ".join(
+        f"'{X.MAIN_ML_ARTICLES[c]}'" for c in X.MAIN_ML_LANGS
+    ) + "]"
+
+
+def _ml_bank_case_sql() -> str:
+    """Per-row stopword bank: CASE over every vendored bank literal
+    (webcrawl.MAIN_STOPWORD_BANKS), empty list for bankless codes —
+    the twin of the operator's literal when-chain."""
+    arms = " ".join(
+        f"WHEN '{k}' THEN {_bank_list_sql(k)}"
+        for k in _WC.MAIN_STOPWORD_BANKS
+    )
+    return f"(CASE lang {arms} ELSE CAST([] AS VARCHAR[]) END)"
+
+
+def _ml_ns_tpl_sql() -> str:
+    """Bank-script letter-count template ({low} = lowercased block
+    text): Latin class for the Latin-script banks, Cyrillic for ru,
+    Arabic for ar, 0 for bankless codes — the twin of the operator's
+    per-row script-count selector."""
+    latin = ", ".join(
+        f"'{k}'" for k, v in _WC.MAIN_BANK_SCRIPT.items()
+        if v == _WC.MAIN_LATIN_CLASS
+    )
+
+    def cnt(cls: str) -> str:
+        return "len(regexp_replace({low}, '[^" + cls + "]', '', 'g'))"
+
+    return (
+        f"(CASE WHEN lang IN ({latin}) THEN {cnt(_WC.MAIN_LATIN_CLASS)} "
+        f"WHEN lang = 'ru' THEN {cnt(_WC.MAIN_CYRILLIC_CLASS)} "
+        f"WHEN lang = 'ar' THEN {cnt(_WC.MAIN_ARABIC_CLASS)} "
+        "ELSE 0 END)"
     )
 
 
@@ -5671,6 +5753,82 @@ def oracle_sql() -> dict[str, str]:
             ),
             {_entity_decode_ctes("kept", "t0", "doc_id")}
             SELECT doc_id,
+                   trim(regexp_replace(t, '{_WC.WS_RE}', ' ', 'g'))
+                       AS main_content,
+                   CAST(length(trim(regexp_replace(t, '{_WC.WS_RE}',
+                        ' ', 'g'))) AS BIGINT) AS n_chars_main
+            FROM entdec
+            ORDER BY doc_id
+        """,
+        # LANGUAGE-AWARE main-content (r10 verdict item 1): same
+        # six-language planted-article page, bank selected by a CASE
+        # over the interpolated MAIN_STOPWORD_BANKS literals, script
+        # counts via the same literal char classes, same
+        # script-coverage fallback term
+        "main_content_multilingual_docs": f"""
+            WITH langd AS (
+                SELECT doc_id,
+                       ({_ml_langs_sql()})[CAST(doc_id % 6 + 1 AS INT)]
+                           AS lang,
+                       ({_ml_articles_sql()})[CAST(doc_id % 6 + 1 AS INT)]
+                           AS article
+                FROM documents
+            ),
+            wrapped AS (
+                SELECT doc_id, lang,
+                       '<html><head><title>Doc ' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '</title><style>.nav {{ color: red }}</style>'
+                       || '</head><body><nav><a href="/home">Home</a> '
+                       || '<a href="/about">About</a> '
+                       || '<a href="/contact">Contact</a></nav>' ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '<div class="cookie">We use cookies '
+                                 || 'to improve your experience '
+                                 || '<a href="#">Accept</a> '
+                                 || '<a href="#">Decline</a></div>'
+                            ELSE '' END ||
+                       '<p>' || article || '</p>' ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '<div class="more">'
+                                 || '<a href="/1">read more here now</a> '
+                                 || '<a href="/2">read more here now</a> '
+                                 || '<a href="/3">read more here now</a> '
+                                 || '<a href="/4">read more here now</a> '
+                                 || '<a href="/5">read more here now</a> '
+                                 || '<a href="/6">read more here now</a>'
+                                 || '</div>'
+                            ELSE '' END ||
+                       '<footer>&copy; 2026 '
+                       || '<a href="/privacy">Privacy</a> '
+                       || '<a href="/terms">Terms</a></footer>'
+                       || '</body></html>' AS html
+                FROM langd
+            ),
+            cleaned AS (
+                SELECT doc_id, lang,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           html,
+                           '(?is)<script\\b[^>]*>.*?</script>', ' ',
+                           'g'),
+                           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g') AS t
+                FROM wrapped
+            ),
+            kept AS (
+                SELECT doc_id, lang,
+                       array_to_string(list_transform(
+                           list_filter(
+                               string_split_regex(t,
+                                   '{_WC.MAIN_BLOCK_TAG_RE}'),
+                               b -> {_main_keep_sql(
+                                   'b', _ml_bank_case_sql(),
+                                   _ml_ns_tpl_sql())}),
+                           b -> {_main_block_txt_sql('b')}), ' ') AS t0
+                FROM cleaned
+            ),
+            {_entity_decode_ctes("kept", "t0", "doc_id, lang")}
+            SELECT doc_id, lang,
                    trim(regexp_replace(t, '{_WC.WS_RE}', ' ', 'g'))
                        AS main_content,
                    CAST(length(trim(regexp_replace(t, '{_WC.WS_RE}',

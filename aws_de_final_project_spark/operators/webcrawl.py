@@ -683,17 +683,92 @@ MAIN_BLOCK_TAG_RE = (
 )
 # Inner HTML of an anchor element (group 1) — the link-chars numerator.
 MAIN_ANCHOR_INNER_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
-#: English function words for the prose (stopword-density) signal —
-#: jusText's core feature. Deliberately tiny: the signal needs "does
-#: this read like sentences", not a full lexicon.
-MAIN_STOPWORDS: tuple[str, ...] = (
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was",
-    "it", "for", "on", "with", "as", "at", "by", "that", "this",
-    "are", "be", "were", "because", "about",
-)
+#: Per-language function words for the prose (stopword-density)
+#: signal — jusText's core feature, one bank per language (r10 verdict
+#: item 1: the English-only bank silently deleted non-English article
+#: text). Deliberately tiny: the signal needs "does this read like
+#:  sentences", not a full lexicon. Vendored literals (public
+#: function-word lists), same discipline as langid.LANGID_LANGS; all
+#: lowercase, single-script, no apostrophes (the words are
+#: interpolated into the DuckDB oracle as quoted literals).
+MAIN_STOPWORD_BANKS: dict[str, tuple[str, ...]] = {
+    "en": (
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "was",
+        "it", "for", "on", "with", "as", "at", "by", "that", "this",
+        "are", "be", "were", "because", "about",
+    ),
+    "de": (
+        "der", "die", "das", "und", "oder", "ist", "war", "ein",
+        "eine", "in", "mit", "für", "auf", "von", "zu", "den", "dem",
+        "nicht", "sich", "als", "auch", "es", "an", "bei", "hat",
+    ),
+    "es": (
+        "el", "la", "los", "las", "de", "que", "y", "en", "un",
+        "una", "es", "por", "con", "para", "no", "se", "del", "al",
+        "como", "más", "pero", "sus", "le", "ya", "ha",
+    ),
+    "fr": (
+        "le", "la", "les", "de", "des", "du", "et", "en", "un",
+        "une", "est", "que", "qui", "dans", "pour", "pas", "sur",
+        "avec", "au", "aux", "ce", "il", "ne", "se", "plus",
+    ),
+    "pt": (
+        "o", "os", "as", "de", "que", "e", "em", "um", "uma", "por",
+        "com", "para", "não", "se", "do", "da", "dos", "das", "no",
+        "na", "ao", "mais", "como", "foi", "são",
+    ),
+    "nl": (
+        "de", "het", "een", "en", "van", "in", "is", "dat", "op",
+        "te", "met", "voor", "niet", "aan", "er", "ook", "als",
+        "maar", "om", "bij", "naar", "uit", "dan", "zijn", "heeft",
+    ),
+    "tr": (
+        "ve", "bir", "bu", "da", "de", "için", "ile", "olarak",
+        "gibi", "çok", "daha", "ama", "en", "ne", "ki", "her",
+        "kadar", "sonra", "olan", "değil", "var", "yok", "o", "ise",
+    ),
+    "ru": (
+        "и", "в", "не", "на", "что", "с", "он", "как", "это", "по",
+        "но", "его", "к", "у", "из", "за", "от", "то", "же", "бы",
+        "для", "о", "так", "были", "была",
+    ),
+    "ar": (
+        "في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "هذه",
+        "التي", "الذي", "كان", "قد", "لا", "ما", "هو", "هي", "أو",
+        "ثم", "كل", "بعد", "غير", "بين", "إن", "و",
+    ),
+}
+#: Back-compat alias: the original English bank.
+MAIN_STOPWORDS: tuple[str, ...] = MAIN_STOPWORD_BANKS["en"]
+
+#: Lowercase letter class of the script each bank can judge. Written
+#: as literal character ranges (NOT \p{script=...}) because Java and
+#: RE2 spell script properties differently while literal ranges parse
+#: identically in both. Latin covers Basic Latin + Latin-1 letters
+#: (× U+00D7 / ÷ U+00F7 excluded by the à-ö/ø-ÿ split) + Latin
+#: Extended-A (Turkish ı/ş/ğ, ligatures, etc.).
+MAIN_LATIN_CLASS = "a-zà-öø-ÿā-ſ"
+MAIN_CYRILLIC_CLASS = "а-яё"
+MAIN_ARABIC_CLASS = "ء-ي"
+MAIN_BANK_SCRIPT: dict[str, str] = {
+    "en": MAIN_LATIN_CLASS, "de": MAIN_LATIN_CLASS,
+    "es": MAIN_LATIN_CLASS, "fr": MAIN_LATIN_CLASS,
+    "pt": MAIN_LATIN_CLASS, "nl": MAIN_LATIN_CLASS,
+    "tr": MAIN_LATIN_CLASS,
+    "ru": MAIN_CYRILLIC_CLASS,
+    "ar": MAIN_ARABIC_CLASS,
+}
+#: All-letters class shared by Java regex and RE2 (same spelling).
+MAIN_LETTER_CLASS = r"\p{L}"
 MAIN_MIN_BLOCK_CHARS = 80
 MAIN_MAX_LINK_DENSITY = 0.33
 MAIN_MIN_STOPWORD_DENSITY = 0.02
+#: jusText's language-independent degradation (r10 verdict item 1):
+#: when fewer than this share of a block's letters belong to the
+#: selected bank's script, the stopword gate is waived (length + link
+#: density only) — a Latin stoplist cannot judge CJK/Cyrillic/Arabic
+#: prose, and vice versa.
+MAIN_MIN_SCRIPT_SHARE = 0.5
 
 
 def _block_visible_text(b: Column) -> Column:
@@ -706,11 +781,23 @@ def _block_visible_text(b: Column) -> Column:
     )
 
 
+#: Latin-script bank codes, for the column-lang script-count selector.
+_MAIN_LATIN_LANGS: tuple[str, ...] = tuple(
+    k for k, v in MAIN_BANK_SCRIPT.items() if v == MAIN_LATIN_CLASS
+)
+
+
+def _lit_bank(code: str) -> Column:
+    return F.array(*[F.lit(w) for w in MAIN_STOPWORD_BANKS[code]])
+
+
 def html_main_content(
     html: Column | str,
+    lang: Column | str | None = None,
     min_chars: int = MAIN_MIN_BLOCK_CHARS,
     max_link_density: float = MAIN_MAX_LINK_DENSITY,
     min_stopword_density: float = MAIN_MIN_STOPWORD_DENSITY,
+    min_script_share: float = MAIN_MIN_SCRIPT_SHARE,
 ) -> Column:
     """Main article text from raw HTML with boilerplate removed —
     block-level text-density classification (jusText shape), as ONE
@@ -721,62 +808,138 @@ def html_main_content(
        :func:`html_extract_text`);
     2. split on every block-level tag boundary (MAIN_BLOCK_TAG_RE) —
        nav links, footers and cookie banners sit in their own blocks;
-    3. score each block on its visible text: length, link density
-       (anchor-text chars / text chars), stopword density (function
-       words / tokens);
+    3. stage each block ONCE as a struct of (visible text, anchor
+       chars, tokens, script letter counts) — two nested transforms,
+       so no density input is ever evaluated twice (Catalyst does not
+       CSE HOF-lambda subexpressions; r10 verdict item 9);
     4. KEEP blocks that are long enough (>= min_chars), not link-
        dominated (link_chars <= max_link_density * chars) and
-       prose-like (stopwords >= min_stopword_density * tokens);
+       prose-like: stopwords >= min_stopword_density * tokens against
+       the LANGUAGE-SELECTED bank (MAIN_STOPWORD_BANKS), OR — the
+       jusText language-independent degradation — fewer than
+       min_script_share of the block's letters belong to the bank's
+       script (a Latin stoplist cannot judge CJK/Cyrillic/Arabic
+       prose: such blocks gate on length + link density only);
     5. join kept blocks, decode entities once, collapse whitespace.
 
+    ``lang``: ``None`` -> English bank; a str literal -> that bank at
+    plan-build time (constant-folded); a Column -> per-row bank via a
+    literal CASE chain (each branch folds to one array literal — no
+    per-token allocation). Codes without a bank (e.g. ``ja``/``zh``)
+    get an empty bank with zero script coverage, so every block with
+    letters takes the length+link fallback — jusText's own behavior
+    with no stoplist.
+
     Density tests multiply instead of divide (no div-by-zero, and the
-    int x double product is bit-identical across engines).
+    int x double product is bit-identical across engines). Token keys
+    strip non-letters with ``[^\\p{L}]`` (same spelling in Java regex
+    and RE2); this also normalizes the one known engine divergence —
+    Spark's full-Unicode lower() maps U+0130 'İ' to 'i'+U+0307 while
+    DuckDB's simple mapping gives 'i', and U+0307 is a mark, not a
+    letter, so keys and letter counts agree on both engines.
     """
     t = F.col(html) if isinstance(html, str) else html
     t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script>", " ")
     t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     blocks = F.split(t, MAIN_BLOCK_TAG_RE, -1)
-    stop = F.array(*[F.lit(w) for w in MAIN_STOPWORDS])
 
-    def keep(b: Column) -> Column:
-        txt = _block_visible_text(b)
-        n = F.length(txt)
-        anchor_txt = _block_visible_text(
-            F.array_join(
-                F.regexp_extract_all(
-                    b, F.lit(MAIN_ANCHOR_INNER_RE), F.lit(1)
-                ),
-                " ",
-            )
+    empty_bank = F.expr("CAST(array() AS array<string>)")
+    if lang is None or isinstance(lang, str):
+        code = "en" if lang is None else lang
+        bank = (
+            _lit_bank(code) if code in MAIN_STOPWORD_BANKS else empty_bank
         )
-        link_chars = F.length(anchor_txt)
-        toks = F.filter(
-            F.split(F.lower(txt), " "), lambda x: F.length(x) > 0
-        )
+        script_class = MAIN_BANK_SCRIPT.get(code)
+    else:
+        bank = empty_bank
+        for k in MAIN_STOPWORD_BANKS:
+            bank = F.when(lang == k, _lit_bank(k)).otherwise(bank)
+        script_class = None  # selected per row in keep() below
+
+    def _count(low: Column, cls: str) -> Column:
+        return F.length(F.regexp_replace(low, f"[^{cls}]", ""))
+
+    # stage 1: visible text + anchor chars, each computed exactly once
+    s1 = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_visible_text(b).alias("txt"),
+            F.length(
+                _block_visible_text(
+                    F.array_join(
+                        F.regexp_extract_all(
+                            b, F.lit(MAIN_ANCHOR_INNER_RE), F.lit(1)
+                        ),
+                        " ",
+                    )
+                )
+            ).alias("lc"),
+        ),
+    )
+
+    # stage 2: tokens + letter/script counts from the STAGED text
+    def _score(s: Column) -> Column:
+        low = F.lower(s["txt"])
+        fields = [
+            s["txt"].alias("txt"),
+            s["lc"].alias("lc"),
+            F.filter(
+                F.split(low, " "), lambda x: F.length(x) > 0
+            ).alias("toks"),
+            _count(low, MAIN_LETTER_CLASS).alias("nl"),
+        ]
+        if script_class is not None:
+            fields.append(_count(low, script_class).alias("ns"))
+        elif lang is not None and not isinstance(lang, str):
+            fields += [
+                _count(low, MAIN_LATIN_CLASS).alias("ns_lat"),
+                _count(low, MAIN_CYRILLIC_CLASS).alias("ns_cyr"),
+                _count(low, MAIN_ARABIC_CLASS).alias("ns_ar"),
+            ]
+        return F.struct(*fields)
+
+    s2 = F.transform(s1, _score)
+
+    def keep(s: Column) -> Column:
+        n = F.length(s["txt"])
         n_stop = F.size(
             F.filter(
-                toks,
+                s["toks"],
                 lambda x: F.array_contains(
-                    stop, F.regexp_replace(x, "[^a-z]", "")
+                    bank,
+                    F.regexp_replace(x, f"[^{MAIN_LETTER_CLASS}]", ""),
                 ),
             )
         )
+        if script_class is not None:
+            ns = s["ns"]
+        elif lang is not None and not isinstance(lang, str):
+            ns = (
+                F.when(lang.isin(*_MAIN_LATIN_LANGS), s["ns_lat"])
+                .when(lang == "ru", s["ns_cyr"])
+                .when(lang == "ar", s["ns_ar"])
+                .otherwise(F.lit(0))
+            )
+        else:  # literal code with no bank: zero script coverage
+            ns = F.lit(0)
+        prose = n_stop.cast("double") >= F.lit(
+            float(min_stopword_density)
+        ) * F.size(s["toks"]).cast("double")
+        fallback = ns.cast("double") < F.lit(
+            float(min_script_share)
+        ) * s["nl"].cast("double")
         return (
             (n >= F.lit(min_chars))
             & (
-                link_chars.cast("double")
+                s["lc"].cast("double")
                 <= F.lit(float(max_link_density)) * n.cast("double")
             )
-            & (
-                n_stop.cast("double")
-                >= F.lit(float(min_stopword_density))
-                * F.size(toks).cast("double")
-            )
+            & (prose | fallback)
         )
 
     joined = F.array_join(
-        F.transform(F.filter(blocks, keep), _block_visible_text), " "
+        F.transform(F.filter(s2, keep), lambda s: s["txt"]), " "
     )
     return F.trim(
         F.regexp_replace(decode_html_entities(joined), WS_RE, " ")

@@ -3556,6 +3556,128 @@ MAIN_FIXTURE_LEAD = (
 )
 
 
+#: Planted per-language article sentences for the MULTILINGUAL
+#: main-content fixture (r10 verdict item 1: non-English article text
+#: must SURVIVE boilerplate removal). Vendored literals shared
+#: verbatim with the DuckDB oracle; each >= 80 visible chars, carries
+#: its language's function words (or, for ja, no bank exists — the
+#: script-coverage fallback must carry it); no apostrophes (SQL
+#: quoting) and no capital 'İ'/'ẞ' (the only known lower() mapping
+#: divergence between engines, normalized elsewhere but kept out of
+#: fixtures).
+MAIN_ML_LANGS: tuple[str, ...] = ("de", "ru", "ja", "es", "tr", "en")
+MAIN_ML_ARTICLES: dict[str, str] = {
+    "de": (
+        "Die Forscher und die Studenten waren mit den Ergebnissen der "
+        "langen Untersuchung in der Stadt sehr zufrieden und das Team "
+        "hat die Daten für die nächste Arbeit gesammelt ."
+    ),
+    "ru": (
+        "Исследователи и студенты были довольны результатами долгой "
+        "работы в городе и команда собрала данные для следующей "
+        "статьи о погоде и природе этого края ."
+    ),
+    "ja": (
+        "研究者たちは長い調査の結果にとても満足しており、チームは次の"
+        "論文のためにデータを集めました。東京の天気は晴れで、みんなが"
+        "公園をゆっくり歩きながら新しい計画について話しました。"
+    ),
+    "es": (
+        "Los investigadores y los estudiantes estaban muy contentos "
+        "con los resultados de la larga investigación en la ciudad y "
+        "el equipo ha reunido los datos para el siguiente trabajo ."
+    ),
+    "tr": (
+        "Araştırmacılar ve öğrenciler uzun çalışmanın sonuçlarından "
+        "çok memnun kaldı ve ekip bir sonraki makale için şehirdeki "
+        "bütün verileri dikkatle topladı ."
+    ),
+    "en": (
+        "The researchers and the students were very happy with the "
+        "results of the long study in the city and the team has "
+        "collected the data for the next paper about the weather ."
+    ),
+}
+
+
+def main_content_multilingual_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LANGUAGE-AWARE main-content extraction (operators/webcrawl
+    .html_main_content with a per-row ``lang`` column — r10 verdict
+    item 1): each document becomes a page whose ARTICLE paragraph is
+    in one of six languages (de/ru/ja/es/tr/en by doc_id % 6, vendored
+    sentences above) wrapped in the same English boilerplate classes
+    as the sibling entry — nav link row, cookie banner on evens,
+    6-anchor link farm on every 4th doc, footer. The planted article
+    must SURVIVE (via its language's stopword bank for de/ru/es/tr/en;
+    via the script-coverage fallback for ja, which has no bank) and
+    every boilerplate block must VANISH (nav/cookie/footer by the
+    length floor, the link farm by link density — the gates that need
+    no language knowledge). Pure scan-side codegen: the bank is a
+    literal CASE chain, script counts are three constant-pattern
+    regex tallies, zero joins, zero shuffles before the output sort.
+    FULL DuckDB oracle: same page construction, same interpolated
+    banks/classes/thresholds, same nested keep rule."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+    from aws_de_final_project_spark.operators.util import spread
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    t["documents"] = spread(t["documents"])
+    d = F.col("doc_id")
+    lang = F.element_at(
+        F.array(*[F.lit(c) for c in MAIN_ML_LANGS]),
+        (d % len(MAIN_ML_LANGS) + 1).cast("int"),
+    )
+    article = F.element_at(
+        F.array(*[F.lit(MAIN_ML_ARTICLES[c]) for c in MAIN_ML_LANGS]),
+        (d % len(MAIN_ML_LANGS) + 1).cast("int"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title><style>.nav { color: red }</style></head>"
+              "<body><nav><a href=\"/home\">Home</a> "
+              "<a href=\"/about\">About</a> "
+              "<a href=\"/contact\">Contact</a></nav>"),
+        F.when(
+            d % 2 == 0,
+            F.lit("<div class=\"cookie\">We use cookies to improve "
+                  "your experience <a href=\"#\">Accept</a> "
+                  "<a href=\"#\">Decline</a></div>"),
+        ).otherwise(F.lit("")),
+        F.lit("<p>"),
+        article,
+        F.lit("</p>"),
+        F.when(
+            d % 4 == 0,
+            F.lit("<div class=\"more\"><a href=\"/1\">read more here "
+                  "now</a> <a href=\"/2\">read more here now</a> "
+                  "<a href=\"/3\">read more here now</a> "
+                  "<a href=\"/4\">read more here now</a> "
+                  "<a href=\"/5\">read more here now</a> "
+                  "<a href=\"/6\">read more here now</a></div>"),
+        ).otherwise(F.lit("")),
+        F.lit("<footer>&copy; 2026 <a href=\"/privacy\">Privacy</a> "
+              "<a href=\"/terms\">Terms</a></footer></body></html>"),
+    )
+    docs = t["documents"].select(
+        "doc_id", lang.alias("lang"), html.alias("html")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        WC.html_main_content("html", lang=F.col("lang")).alias(
+            "main_content"
+        ),
+    ).select(
+        "doc_id",
+        "lang",
+        "main_content",
+        F.length("main_content").cast("long").alias("n_chars_main"),
+    ).orderBy("doc_id")
+
+
 def html_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content / boilerplate extraction (operators/webcrawl
     .html_main_content — jusText-shaped block text-density

@@ -1043,6 +1043,125 @@ def test_html_main_content_density_edges(spark):
     assert got[2] == ""
 
 
+ML_BOILER_PREFIX = (
+    '<html><head><style>.a{}</style></head><body>'
+    '<nav><a href="/a">Home</a> <a href="/b">About</a> '
+    '<a href="/c">Contact</a></nav>'
+    '<div class="cookie">We use cookies to improve your '
+    'experience <a>Accept</a> <a>Decline</a></div><p>'
+)
+ML_BOILER_SUFFIX = (
+    '</p><div><a href=/1>read more here now</a> <a href=/2>read more '
+    'here now</a> <a href=/3>read more here now</a> <a href=/4>'
+    'read more here now</a> <a href=/5>read more here now</a> '
+    '<a href=/6>read more here now</a></div>'
+    '<footer>&copy; 2026 <a href=/p>Privacy</a> '
+    '<a href=/t>Terms</a></footer></body></html>'
+)
+ML_ARTICLES = {
+    "de": ("Der Hund und die Katze liefen durch den großen Garten "
+           "während der Sonne und freuten sich über das schöne Wetter "
+           "bei der langen Reise nach Hause zusammen ."),
+    "ru": ("Исследователи и студенты были довольны результатами долгой "
+           "работы в городе и команда собрала данные для следующей "
+           "статьи о погоде и природе этого края ."),
+    "ja": ("研究者たちは長い調査の結果にとても満足しており、チームは次の"
+           "論文のためにデータを集めました。東京の天気は晴れで、みんなが"
+           "公園をゆっくり歩きながら新しい計画について話しました。"),
+    "ar": ("كان الباحثون والطلاب سعداء جدا مع نتائج الدراسة الطويلة "
+           "في المدينة وقد جمع الفريق كل البيانات من أجل المقالة "
+           "القادمة عن الطقس والطبيعة في هذا المكان الجميل ."),
+}
+
+
+#: A mid-sentence content word per language (ja has no spaces to
+#: split on, so probes are explicit).
+ML_PROBES = {"de": "Katze", "ru": "студенты", "ja": "研究者",
+             "ar": "الباحثون"}
+
+
+def _ml_page(lang: str) -> str:
+    return ML_BOILER_PREFIX + ML_ARTICLES[lang] + ML_BOILER_SUFFIX
+
+
+def test_html_main_content_multilingual_articles_survive(spark):
+    """r10 verdict item 1: with the per-row lang bank, German /
+    Russian / Japanese / Arabic article paragraphs SURVIVE boilerplate
+    removal (de/ru/ar via their stopword banks, ja — no bank — via the
+    script-coverage fallback) while the English nav / cookie / link
+    farm / footer still vanish on every page; the whole operator
+    remains one scan-side projection — zero exchanges."""
+    rows = [(i, lg, _ml_page(lg))
+            for i, lg in enumerate(ML_ARTICLES)]
+    df = spark.createDataFrame(rows, ["i", "lang", "html"])
+    out = df.select(
+        "i", "lang",
+        WC.html_main_content("html", lang=F.col("lang")).alias("m"),
+    )
+    got = {r.lang: r.m for r in out.collect()}
+    for lg in ML_ARTICLES:
+        assert ML_PROBES[lg] in got[lg], (lg, got[lg])
+        for boiler in ("Home", "About", "cookies", "read more",
+                       "Privacy", "Terms"):
+            assert boiler not in got[lg], (lg, boiler, got[lg])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_html_main_content_bank_vs_fallback_discrimination(spark):
+    """The de bank itself (not an accidental shared token) carries the
+    German article: this sentence shares NO token with the English
+    bank, so under the DEFAULT (en) bank it is dropped (Latin script
+    -> no fallback, zero en stopwords -> prose gate fails), while
+    lang='de' keeps it. Non-Latin scripts are the opposite: Russian
+    and Japanese articles survive even under the DEFAULT bank via the
+    script-coverage fallback — the exact r10 'silently deletes
+    non-English text' defect, pinned fixed."""
+    de = _ml_page("de")
+    df = spark.createDataFrame([(0, de)], ["i", "html"])
+    got_en = df.select(WC.html_main_content("html").alias("m")).collect()
+    got_de = df.select(
+        WC.html_main_content("html", lang="de").alias("m")
+    ).collect()
+    assert "Katze" not in got_en[0].m
+    assert "Katze" in got_de[0].m
+    # non-Latin scripts survive even with NO lang information
+    for lg, probe in (("ru", "студенты"), ("ja", "研究者")):
+        m = spark.createDataFrame(
+            [(0, _ml_page(lg))], ["i", "html"]
+        ).select(WC.html_main_content("html").alias("m")).collect()[0].m
+        assert probe in m, (lg, m)
+        assert "Privacy" not in m
+
+
+def test_html_main_content_langid_composition(spark):
+    """End-to-end composition with the 14-language classifier: langid
+    predicts each page's language from its article text, the
+    prediction drives the bank selection, and every article survives
+    its own page's boilerplate removal."""
+    from aws_de_final_project_spark.operators.langid import (
+        lang_id_scores,
+    )
+
+    rows = [(i, lg, ML_ARTICLES[lg], _ml_page(lg))
+            for i, lg in enumerate(ML_ARTICLES)]
+    df = spark.createDataFrame(rows, ["i", "lang", "article", "html"])
+    pred = lang_id_scores(df, "article", "i", impl="sql").select(
+        "i", F.col("lang_pred")
+    )
+    joined = df.join(pred, "i")
+    out = joined.select(
+        "lang", "lang_pred",
+        WC.html_main_content(
+            "html", lang=F.col("lang_pred")
+        ).alias("m"),
+    ).collect()
+    for r in out:
+        assert r.lang_pred == r.lang, (r.lang, r.lang_pred)
+        assert ML_PROBES[r.lang] in r.m, (r.lang, r.m)
+        assert "cookies" not in r.m
+
+
 def test_robots_wildcards_and_agent_groups(spark):
     """RFC 9309 §2.2.3 wildcards ('*' any-sequence, trailing-'$'
     anchor) matched against PATH+QUERY, longest-rule-text precedence
