@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # current codebase without touching the definitions below.
 _R11_NEW: tuple[str, ...] = (
     "main_content_multilingual_docs",
+    "dedup_image_phash",
 )
 _R11_ROTATION: tuple[str, ...] = (
     # last sampled r1
@@ -101,6 +102,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_layering": Q.view_layering,
         # round-11 additions (inside the sample window via _R11_NEW)
         "main_content_multilingual_docs": X.main_content_multilingual_docs,
+        "dedup_image_phash": X.dedup_image_phash,
         # round-10 additions (inside the sample window)
         "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
         "dedup_semantic_auto": X.dedup_semantic_auto,
@@ -512,6 +514,17 @@ def _main_keep_sql(
         f"AND len({anch}) <= {_WC.MAIN_MAX_LINK_DENSITY!r} * len({txt}) "
         f"AND ({nstop} >= {_WC.MAIN_MIN_STOPWORD_DENSITY!r} * len({toks})"
         f" OR {ns} < {_WC.MAIN_MIN_SCRIPT_SHARE!r} * {nl}))"
+    )
+
+
+def _phash_val_sql(j: str) -> str:
+    """The dedup_image_phash fixture's grid-cell value at index ``j``
+    (a SQL expression over the params CTE's anchor/noisy columns) —
+    the DuckDB twin of the entry's F.transform lambda."""
+    sq = f"(anchor + ({j})) * (anchor + ({j}))"
+    return (
+        f"((anchor * 37 + ({j}) * 13 + ({sq}) % 71) % 197 "
+        f"+ CASE WHEN noisy = 1 AND ({j}) = 40 THEN 29 ELSE 0 END)"
     )
 
 
@@ -5759,6 +5772,64 @@ def oracle_sql() -> dict[str, str]:
                         ' ', 'g'))) AS BIGINT) AS n_chars_main
             FROM entdec
             ORDER BY doc_id
+        """,
+        # perceptual-hash image dedup (r10 verdict item 3): the FULL
+        # replay — same closed-form grid, the 64 dHash difference
+        # bits folded into four 16-bit bands, pigeonhole band joins
+        # for candidates, exact popcount verify
+        "dedup_image_phash": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 100 < 4
+                            THEN doc_id - doc_id % 4
+                            ELSE doc_id END AS anchor,
+                       CASE WHEN doc_id % 2 = 1 AND doc_id % 100 < 4
+                            THEN 1 ELSE 0 END AS noisy
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, CAST(k AS INT) AS k,
+                       CASE WHEN
+                           {_phash_val_sql("(k // 8) * 9 + (k % 8)")}
+                           > {_phash_val_sql("(k // 8) * 9 + (k % 8) + 1")}
+                           THEN 1 ELSE 0 END AS bit
+                FROM params, range(64) t(k)
+            ),
+            bands AS (
+                SELECT doc_id, k // 16 AS chunk,
+                       CAST(sum(CAST(bit AS BIGINT)
+                                << CAST(k % 16 AS INT)) AS BIGINT) AS key
+                FROM bits GROUP BY doc_id, k // 16
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       max(CASE WHEN chunk = 0 THEN key END) AS b0,
+                       max(CASE WHEN chunk = 1 THEN key END) AS b1,
+                       max(CASE WHEN chunk = 2 THEN key END) AS b2,
+                       max(CASE WHEN chunk = 3 THEN key END) AS b3
+                FROM bands GROUP BY doc_id
+            ),
+            cands AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM bands a JOIN bands b
+                  ON a.chunk = b.chunk AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            verified AS (
+                SELECT ia AS img_a, ib AS img_b,
+                       CAST(bit_count(xor(x.b0, y.b0))
+                            + bit_count(xor(x.b1, y.b1))
+                            + bit_count(xor(x.b2, y.b2))
+                            + bit_count(xor(x.b3, y.b3)) AS INT)
+                           AS hamming
+                FROM cands
+                JOIN sigs x ON x.doc_id = ia
+                JOIN sigs y ON y.doc_id = ib
+            )
+            SELECT img_a, img_b, hamming
+            FROM verified WHERE hamming <= 3
+            ORDER BY img_a, img_b
         """,
         # LANGUAGE-AWARE main-content (r10 verdict item 1): same
         # six-language planted-article page, bank selected by a CASE

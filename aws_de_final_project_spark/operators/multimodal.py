@@ -751,3 +751,212 @@ def media_byte_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (r10 verdict item 3): dHash over a 9x8
+# downsampled gray grid -> 64 difference bits carried as four 16-bit
+# bands (integer arithmetic end-to-end, no signed-BIGINT bit 63 —
+# DuckDB-replayable), pigeonhole banding for Hamming-ball candidates
+# (the simhash precedent, operators/dedup.py simhash_near_pairs),
+# exact popcount verify. The standard image near-dup step in
+# multimodal corpus curation: a re-encoded / resized / lightly
+# edited copy keeps ~all its luma gradients, so its dHash lands
+# within a few bits of the original.
+# ---------------------------------------------------------------------------
+
+#: dHash grid geometry: 9 columns x 8 rows of box-mean gray levels;
+#: bit k (k = 0..63) compares row k//8's column k%8 against its right
+#: neighbor, so each row of 9 samples yields 8 difference bits.
+PHASH_GRID_W = 9
+PHASH_GRID_H = 8
+PHASH_BANDS = 4
+
+
+def py_dhash_bands(grid) -> list[int]:
+    """Plain-Python ground truth for :func:`dhash_bands` (test twin):
+    four 16-bit band values, bit k set iff grid[r*9+c] > grid[r*9+c+1]
+    with r = k//8, c = k%8, band j carrying bits [16j, 16j+16)."""
+    bands = [0, 0, 0, 0]
+    for k in range(64):
+        r, c = divmod(k, 8)
+        if grid[r * PHASH_GRID_W + c] > grid[r * PHASH_GRID_W + c + 1]:
+            bands[k // 16] |= 1 << (k % 16)
+    return bands
+
+
+def dhash_bands(grid: Column) -> Column:
+    """dHash of a 9x8 row-major gray grid (``array<int>`` of 72
+    levels) as ``array<bigint>`` of four 16-bit band values. Unrolled
+    static comparisons (64 ``element_at`` pairs on the materialized
+    array) — whole-stage-codegen scalar arithmetic, zero HOF lambdas,
+    and the band-not-signed-hash representation keeps every value in
+    [0, 65535] so both engines fold identical non-negative BIGINTs."""
+    bands = []
+    for j in range(PHASH_BANDS):
+        total = F.lit(0).cast("long")
+        for p in range(16):
+            k = 16 * j + p
+            r, c = divmod(k, 8)
+            idx = r * PHASH_GRID_W + c
+            bit = (
+                F.element_at(grid, idx + 1) > F.element_at(grid, idx + 2)
+            ).cast("long")
+            total = total + bit * F.lit(1 << p).cast("long")
+        bands.append(total)
+    return F.array(*bands)
+
+
+def image_phash_pairs(
+    images: DataFrame,
+    id_col: str,
+    grid_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance <=
+    ``max_hamming``: (img_a, img_b, hamming), img_a < img_b.
+
+    Pigeonhole banding (the simhash shape): any pair within
+    hamming <= 3 agrees exactly on at least one of the four 16-bit
+    bands, so candidates come from four equality joins on (band_idx,
+    band_value) — shuffles on 16-bit keys, NO cartesian — then the
+    exact popcount verify runs per candidate. The guarantee needs
+    ``max_hamming <= PHASH_BANDS - 1``; beyond that a qualifying pair
+    can disagree in every band and be silently missed, hence the
+    ValueError (same contract as simhash_near_pairs)."""
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) > bands-1 ({PHASH_BANDS - 1}):"
+            " pigeonhole banding cannot guarantee recall"
+        )
+    sigs = images.select(
+        F.col(id_col).alias("_id"), dhash_bands(F.col(grid_col)).alias("_b")
+    )
+    banded = sigs.select(
+        "_id", "_b", F.posexplode("_b").alias("chunk", "key")
+    )
+    other = banded.select(
+        F.col("_id").alias("_id_b"), F.col("_b").alias("_b_b"),
+        "chunk", "key",
+    )
+    hamming = sum(
+        F.bit_count(
+            F.element_at("_b", j + 1).bitwiseXOR(
+                F.element_at("_b_b", j + 1)
+            )
+        )
+        for j in range(PHASH_BANDS)
+    )
+    return (
+        banded.join(other, ["chunk", "key"])
+        .filter(F.col("_id") < F.col("_id_b"))
+        .select("_id", "_id_b", "_b", "_b_b")
+        .distinct()
+        .select(
+            F.col("_id").alias("img_a"),
+            F.col("_id_b").alias("img_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _parse_image_pixels(payload: bytes):
+    """Gray pixel grid (HxW numpy uint8) for the restricted stdlib
+    profiles: PNG gray8 re-walked for raw scanlines, JPEG via the
+    baseline decoder's luma plane."""
+    import struct
+    import zlib
+
+    import numpy as _np
+
+    head = bytes(payload[:8])
+    if head[:2] == b"\xff\xd8":
+        _, _, planes = _parse_jpeg_planes(payload)
+        return planes[0]
+    if head != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("unsupported image container")
+    pos, idat = 8, b""
+    w = h = depth = color = interlace = None
+    data = bytes(payload)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or depth != 8 or color != 0 or interlace != 0:
+        raise ValueError("unsupported png profile")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    rows = []
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("unsupported scanline filter")
+        rows.append(_np.frombuffer(row[1:], dtype=_np.uint8))
+    return _np.stack(rows)
+
+
+def gray_to_phash_grid(pixels) -> list[int]:
+    """Box-mean downsample an HxW gray array to the 9x8 dHash grid
+    (floor-int means — integer outputs so the downstream hash is
+    engine-exact). Resizing invariance comes from the means: a 2x
+    upscaled copy averages the same regions."""
+    import numpy as _np
+
+    px = _np.asarray(pixels, dtype=_np.float64)
+    h, w = px.shape
+    grid = []
+    for r in range(PHASH_GRID_H):
+        y0, y1 = (r * h) // PHASH_GRID_H, ((r + 1) * h) // PHASH_GRID_H
+        for c in range(PHASH_GRID_W):
+            x0, x1 = (c * w) // PHASH_GRID_W, ((c + 1) * w) // PHASH_GRID_W
+            grid.append(int(px[y0:max(y1, y0 + 1),
+                              x0:max(x1, x0 + 1)].mean()))
+    return grid
+
+
+PHASH_GRID_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("grid", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_to_phash_grid(media: DataFrame, codec: str = "stdlib") -> DataFrame:
+    """Arrow-batched decode -> 9x8 box-mean gray grid per image: the
+    Spark-side plumbing between raw payload bytes and
+    :func:`image_phash_pairs`. Undecodable payloads yield a NULL grid
+    (quarantine row) rather than failing the batch — the sentinel
+    discipline of decode_media."""
+    if codec != "stdlib":
+        raise ValueError("only the stdlib codec is wired for phash")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, grids = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                ids.append(mid)
+                if kind != "image" or payload is None:
+                    grids.append(None)
+                    continue
+                try:
+                    grids.append(
+                        gray_to_phash_grid(_parse_image_pixels(payload))
+                    )
+                except (ValueError, IndexError, KeyError, EOFError):
+                    grids.append(None)
+            yield pd.DataFrame({"media_id": ids, "grid": grids})
+
+    return media.mapInPandas(batches, schema=PHASH_GRID_SCHEMA)

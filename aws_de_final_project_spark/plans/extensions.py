@@ -3678,6 +3678,43 @@ def main_content_multilingual_docs(
     ).orderBy("doc_id")
 
 
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (operators/multimodal:
+    dhash_bands + image_phash_pairs — r10 verdict item 3) over a
+    deterministic synthetic gray-grid fixture: every doc carries a
+    9x8 dHash grid computed in closed form from doc_id; docs with
+    doc_id % 100 < 4 form 4-image groups sharing one base pattern,
+    where the odd members get a single-cell +29 bump (the re-encoded/
+    lightly-edited copy shape) that flips at most 2 of the 64
+    difference bits — so all 6 in-group pairs land within
+    hamming <= 3 and MUST be caught. The hash is integer end-to-end;
+    candidates come from four 16-bit pigeonhole band joins (no
+    cartesian — plan-pinned in tests/test_multimodal.py), verified by
+    exact popcount. The REAL decode composition (JPEG bytes -> luma
+    -> box-mean grid -> same hash) is pinned by the planted
+    re-encode/resize tests in tests/test_multimodal.py; the entry
+    synthesizes grids arithmetically so the FULL oracle replays hash,
+    bands and verify verbatim."""
+    from aws_de_final_project_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    anchor = F.when(d % 100 < 4, d - d % 4).otherwise(d)
+    noisy = (d % 2 == 1) & (d % 100 < 4)
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: (
+            (anchor * 37 + i * 13 + ((anchor + i) * (anchor + i)) % 71)
+            % 197
+            + F.when(noisy & (i == 40), F.lit(29)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    imgs = t["documents"].select("doc_id", grid.alias("grid"))
+    return MM.image_phash_pairs(
+        imgs, "doc_id", "grid", max_hamming=3
+    ).orderBy("img_a", "img_b")
+
+
 def html_main_content_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content / boilerplate extraction (operators/webcrawl
     .html_main_content — jusText-shaped block text-density

@@ -839,3 +839,89 @@ def test_jpeg_color_profile_rejections():
     bad2 = good[:nf_off] + bytes([2]) + good[nf_off + 1:]
     with _pytest.raises(ValueError):
         multimodal._parse_jpeg_planes(bad2)
+
+
+def test_dhash_bands_matches_python_ground_truth(spark):
+    """Spark dhash_bands == py_dhash_bands on assorted grids
+    (monotone rows, alternating, planted-bump)."""
+    grids = [
+        [((i * 7) % 50 + (i % 9) * 3) for i in range(72)],
+        list(range(72)),
+        list(reversed(range(72))),
+        [5] * 72,
+        [(i % 2) * 100 for i in range(72)],
+    ]
+    bump = list(grids[0])
+    bump[40] += 29
+    grids.append(bump)
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(grids)], ["i", "grid"]
+    )
+    got = {r.i: list(r.b) for r in df.select(
+        "i", multimodal.dhash_bands(F.col("grid")).alias("b")
+    ).collect()}
+    for i, g in enumerate(grids):
+        assert got[i] == multimodal.py_dhash_bands(g), i
+    # the planted single-cell bump flips at most 2 bits
+    ham = sum(
+        bin(a ^ b).count("1")
+        for a, b in zip(got[0], got[len(grids) - 1])
+    )
+    assert 1 <= ham <= 2, ham
+
+
+def test_image_phash_catches_reencode_and_resize(spark):
+    """The real multimodal near-dup story end-to-end: a gradient
+    photo, its RE-ENCODED copy (quality 35), its 2x UPSCALED copy,
+    and an unrelated image go through stdlib decode -> box-mean grid
+    -> dHash banding; the three copies pair up within hamming <= 3,
+    the unrelated image pairs with none — and the candidate plan has
+    NO cartesian/nested-loop join."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    base = (xx * 2 + yy + 30).astype(np.uint8)
+    other = ((xx * 5 + yy * 9) % 200 + 20).astype(np.uint8)
+    payloads = [
+        (1, _make_jpeg_gray8(base, quality=90)),
+        (2, _make_jpeg_gray8(base, quality=35)),       # re-encode
+        (3, _make_jpeg_gray8(np.repeat(np.repeat(base, 2, 0), 2, 1),
+                             quality=90)),             # 2x resize
+        (4, _make_jpeg_gray8(other, quality=90)),
+    ]
+    media = _media_frame(
+        spark, [(i, "image", p, "image/jpeg") for i, p in payloads]
+    )
+    grids = multimodal.decode_to_phash_grid(media, codec="stdlib")
+    assert grids.filter(F.col("grid").isNull()).count() == 0
+    pairs = multimodal.image_phash_pairs(grids, "media_id", "grid")
+    got = {(r.img_a, r.img_b): r.hamming for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got, got
+    assert not any(4 in p for p in got), got
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_phash_guard_and_quarantine(spark):
+    """max_hamming beyond the pigeonhole bound raises; an
+    undecodable payload quarantines to a NULL grid row instead of
+    failing the batch."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [0] * 72)], ["i", "grid"])
+    with _pytest.raises(ValueError):
+        multimodal.image_phash_pairs(df, "i", "grid", max_hamming=4)
+    media = _media_frame(
+        spark,
+        [(1, "image", b"not an image at all", "image/jpeg"),
+         (2, "image",
+          _make_jpeg_gray8(np.full((8, 8), 90, dtype=np.uint8)),
+          "image/jpeg")],
+    )
+    got = {r.media_id: r.grid for r in
+           multimodal.decode_to_phash_grid(media).collect()}
+    assert got[1] is None
+    assert got[2] == [90] * 72
