@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_NEW: tuple[str, ...] = (
     "main_content_multilingual_docs",
     "dedup_image_phash",
+    "unigram_lm_vocab",
 )
 _R11_ROTATION: tuple[str, ...] = (
     # last sampled r1
@@ -103,6 +104,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 additions (inside the sample window via _R11_NEW)
         "main_content_multilingual_docs": X.main_content_multilingual_docs,
         "dedup_image_phash": X.dedup_image_phash,
+        "unigram_lm_vocab": X.unigram_lm_vocab,
         # round-10 additions (inside the sample window)
         "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
         "dedup_semantic_auto": X.dedup_semantic_auto,
@@ -514,6 +516,176 @@ def _main_keep_sql(
         f"AND len({anch}) <= {_WC.MAIN_MAX_LINK_DENSITY!r} * len({txt}) "
         f"AND ({nstop} >= {_WC.MAIN_MIN_STOPWORD_DENSITY!r} * len({toks})"
         f" OR {ns} < {_WC.MAIN_MIN_SCRIPT_SHARE!r} * {nl}))"
+    )
+
+
+def _unigram_vocab_sql(n_iters: int = 2) -> str:
+    """GENERATED oracle for unigram_lm_vocab: the identical seed bank
+    (all single chars + top-48 multi-char substrings, (c DESC, piece)
+    tie-break) and ``n_iters`` EM rounds unrolled as chained CTEs —
+    per round, the 4dp-BIGINT score quantization, one edge join
+    pivoted to s_k_j columns, the Viterbi DP over positions 1..10 as
+    LATERAL column aliases (greatest + largest-piece-first tie CASE,
+    matching the Spark fold's smallest-k rule), the unrolled
+    backtrack walk, and the add-one M-step over the fixed bank."""
+    from aws_de_final_project_spark.functions.text import (
+        UNIGRAM_MAX_PIECE_LEN as P,
+        UNIGRAM_MAX_WORD_LEN as L,
+        UNIGRAM_NEG_INF as NEG,
+    )
+
+    ctes = [
+        f"""wd AS (
+                SELECT unnest(string_split({_NORM.format(c='text')}, ' '))
+                       AS w
+                FROM documents
+            ),
+            wc0 AS (
+                SELECT w, count(*) AS c FROM wd
+                WHERE len(w) >= 2 GROUP BY w
+            ),
+            wc AS MATERIALIZED (
+                SELECT substr(w, 1, {L}) AS w10,
+                       CAST(sum(c) AS BIGINT) AS c
+                FROM wc0 GROUP BY substr(w, 1, {L})
+            ),
+            sub AS (
+                SELECT substr(w10, CAST(i + 1 AS INT),
+                              CAST(d + 1 AS INT)) AS piece, c
+                FROM wc, range({L}) t0(i), range({P}) t1(d)
+                WHERE i + d + 1 <= len(w10)
+            ),
+            seedc AS (
+                SELECT piece, CAST(sum(c) AS BIGINT) AS c
+                FROM sub GROUP BY piece
+            ),
+            bank AS MATERIALIZED (
+                SELECT piece, c FROM seedc WHERE len(piece) = 1
+                UNION ALL
+                SELECT piece, c FROM (
+                    SELECT piece, c,
+                           row_number() OVER (ORDER BY c DESC, piece)
+                               AS rn
+                    FROM seedc WHERE len(piece) >= 2
+                ) WHERE rn <= 48
+            ),
+            cnt0 AS (SELECT piece, c FROM bank)"""
+    ]
+    pairs = [(k, k + d) for k in range(L) for d in range(1, P + 1)
+             if k + d <= L]
+    for i in range(1, n_iters + 1):
+        pivot = ", ".join(
+            f"max(CASE WHEN k = {k} AND j = {j} THEN s END) AS s_{k}_{j}"
+            for k, j in pairs
+        )
+        # one MATERIALIZED CTE per DP position / backtrack step:
+        # lateral column aliases (and inlined single-ref CTEs) expand
+        # TEXTUALLY in DuckDB, so b10 referencing b9..b6 referencing …
+        # is exponential in L without the materialization barriers —
+        # the same blow-up the Spark side avoids with runtime folds
+        dp_ctes = []
+        for j in range(1, L + 1):
+            ds = [d for d in range(1, P + 1) if j - d >= 0]
+            cands = {
+                d: f"(b{j - d} + coalesce(s_{j - d}_{j}, {NEG}))"
+                for d in ds
+            }
+            g = ", ".join(cands.values())
+            tie = " ".join(
+                f"WHEN {cands[d]} = greatest({g}) THEN {j - d}"
+                for d in sorted(ds, reverse=True)
+            )
+            dp_ctes.append(
+                f"""dp{i}_{j} AS MATERIALIZED (
+                SELECT *, greatest({g}) AS b{j},
+                       CASE {tie} END AS p{j}
+                FROM dp{i}_{j - 1}
+            )"""
+            )
+        bt_ctes = []
+        jump = " ".join(f"WHEN {j} THEN p{j}" for j in range(1, L + 1))
+        for s in range(1, L + 1):
+            bt_ctes.append(
+                f"""bt{i}_{s} AS MATERIALIZED (
+                SELECT *,
+                       CASE WHEN cur{s - 1} > 0 THEN
+                           (CASE cur{s - 1} {jump} END)
+                           ELSE -1 END AS prev{s},
+                       CASE WHEN cur{s - 1} > 0 THEN substr(w10,
+                           (CASE cur{s - 1} {jump} END) + 1,
+                           cur{s - 1} - (CASE cur{s - 1} {jump} END))
+                           END AS pc{s},
+                       CASE WHEN cur{s - 1} > 0 THEN
+                           (CASE cur{s - 1} {jump} END)
+                           ELSE -1 END AS cur{s}
+                FROM bt{i}_{s - 1}
+            )"""
+            )
+        pcs = ", ".join(f"pc{s}" for s in range(1, L + 1))
+        dp_chain = ",\n            ".join(dp_ctes)
+        bt_chain = ",\n            ".join(bt_ctes)
+        p_cols = ", ".join(f"p{j}" for j in range(1, L + 1))
+        ctes.append(
+            f"""tot{i} AS (
+                SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt{i - 1}
+            ),
+            sc{i} AS MATERIALIZED (
+                SELECT piece,
+                       CAST(floor(10000.0 * ln(c::DOUBLE / t::DOUBLE)
+                                  + 0.5) AS BIGINT) AS s
+                FROM cnt{i - 1} CROSS JOIN tot{i}
+            ),
+            ed{i} AS (
+                SELECT e.w10, e.k, e.j, sc.s
+                FROM (
+                    SELECT w10, CAST(k AS INT) AS k,
+                           CAST(k + d + 1 AS INT) AS j,
+                           substr(w10, CAST(k + 1 AS INT),
+                                  CAST(d + 1 AS INT)) AS piece
+                    FROM wc, range({L}) t0(k), range({P}) t1(d)
+                    WHERE k + d + 1 <= len(w10)
+                ) e
+                LEFT JOIN sc{i} sc ON sc.piece = e.piece
+            ),
+            ep{i} AS (
+                SELECT w10, {pivot}
+                FROM ed{i} GROUP BY w10
+            ),
+            dp{i}_0 AS MATERIALIZED (
+                SELECT w.w10, w.c, CAST(0 AS BIGINT) AS b0, e.*
+                       EXCLUDE (w10)
+                FROM wc w JOIN ep{i} e USING (w10)
+            ),
+            {dp_chain},
+            bt{i}_0 AS (
+                SELECT w10, c, {p_cols}, len(w10) AS cur0
+                FROM dp{i}_{L}
+            ),
+            {bt_chain},
+            used{i} AS (
+                SELECT piece, CAST(sum(c) AS BIGINT) AS u FROM (
+                    SELECT unnest([{pcs}]) AS piece, c FROM bt{i}_{L}
+                ) WHERE piece IS NOT NULL GROUP BY piece
+            ),
+            cnt{i} AS MATERIALIZED (
+                SELECT b.piece,
+                       CAST(coalesce(u.u, 0) + 1 AS BIGINT) AS c
+                FROM bank b LEFT JOIN used{i} u ON u.piece = b.piece
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f""",
+            totf AS (
+                SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt{n_iters}
+            )
+            SELECT piece, c AS "count",
+                   CAST(floor(10000.0 * ln(c::DOUBLE / t::DOUBLE)
+                              + 0.5) AS BIGINT)::DOUBLE / 10000.0
+                       AS logp
+            FROM cnt{n_iters} CROSS JOIN totf
+            ORDER BY "count" DESC, piece"""
     )
 
 
@@ -5131,6 +5303,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full BPE training replay: 16 unrolled iterations, generated
         "bpe_merge_table": _bpe_merge_table_sql(16),
+        # unigram-LM tokenizer training (r10 verdict item 6): the
+        # generated unrolled-CTE twin — see _unigram_vocab_sql
+        "unigram_lm_vocab": _unigram_vocab_sql(2),
         # streaming bounded-state dedup replay: stream output must
         # equal the ORIGINAL events (every planted re-delivery
         # suppressed) — per-type counts + order-independent 60-bit

@@ -687,3 +687,325 @@ def dominant_script(col: Column | str) -> Column:
             (best > 0) & (counts[name] == best), F.lit(name)
         ).otherwise(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018;
+# r10 verdict item 6): seed vocabulary from corpus-weighted substring
+# counts, then EM rounds where the E-step Viterbi-segments every
+# vocabulary word under integer-quantized piece log-probs and the
+# M-step re-estimates piece counts from the segmentations. Runs on
+# the same materialized |vocab| word aggregate as BPE training —
+# 100 TB of text collapses to |vocab| rows before any per-character
+# work — and, unlike the BPE driver loop, is FULLY relational: the
+# Viterbi DP is generated per-position column expressions (bounded
+# by max_word_len), so each EM round is one broadcast join + one
+# aggregate, no driver argmax at all.
+#
+# Engine-exactness discipline: piece log-probs are quantized to
+# BIGINT once per round (floor(1e4 * ln(c/T) + 0.5) — the DSIR/KN
+# 4dp-int rule), the DP then sums and compares exact integers, and
+# ties take the SMALLEST back-pointer k (= the longest final piece),
+# so both engines walk identical segmentations.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE_LEN = 4
+UNIGRAM_MAX_WORD_LEN = 10
+UNIGRAM_NEG_INF = -(1 << 40)  # worse than any real path, sums safely
+
+
+def _unigram_scores(counts):
+    """(piece, c) -> (piece, s): s = floor(10000 * ln(c/T) + 0.5) as
+    BIGINT, T = sum(c) — the once-per-round quantization that keeps
+    the DP integer."""
+    tot = counts.agg(F.sum("c").alias("_t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "c",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("_t").cast("double"))
+            * 10000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("s"),
+    )
+
+
+def unigram_seed_counts(
+    vocab,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+):
+    """Seed piece bank: every substring of length 1..max_piece_len of
+    the (truncated) vocabulary words, corpus-weighted; ALL single
+    characters are kept (the Viterbi fallback path can never dead-end)
+    plus the top ``n_multi`` multi-char pieces by (count DESC, piece
+    ASC). ``vocab`` is (w, c)."""
+    w10 = F.substring(F.col("w"), 1, max_word_len)
+    subs = vocab.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w10)),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len),
+                                F.length(w10) - i + 1,
+                            ),
+                        ),
+                        lambda ln: w10.substr(i, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+        "c",
+    )
+    counts = subs.groupBy("piece").agg(F.sum("c").cast("long").alias("c"))
+    singles = counts.filter(F.length("piece") == 1)
+    multis = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("c"), "piece")
+        .limit(n_multi)
+    )
+    return singles.unionByName(multis)
+
+
+def _unigram_viterbi_pieces(
+    words,
+    scores,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+):
+    """E-step: per (w, c) word row, the Viterbi segmentation's pieces
+    as an array column. Generated-expression DP: edge scores ride a
+    per-word MAP (one explode + one broadcast join + one aggregate),
+    then best/backpointer per position 1..max_word_len are plain
+    column expressions, then the backtrack walk is an unrolled CASE
+    chain — pure codegen after the edge join, no UDFs, no driver
+    loop."""
+    L, P = max_word_len, max_piece_len
+    w10 = F.substring(F.col("w"), 1, L)
+    words = words.select(w10.alias("w10"), "c").groupBy("w10").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    # edge candidates: (k, j) with k < j <= len, j - k <= P
+    edges = words.select(
+        "w10",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(L - 1)),
+                        lambda k: F.transform(
+                            F.sequence(F.lit(1), F.lit(P)),
+                            lambda d: F.struct(
+                                (k * 16 + k + d).alias("idx"),
+                                F.when(
+                                    k + d <= F.length("w10"),
+                                    F.col("w10").substr(
+                                        (k + 1).cast("int"), d.cast("int")
+                                    ),
+                                ).alias("piece"),
+                            ),
+                        ),
+                    )
+                ),
+                lambda e: e["piece"].isNotNull(),
+            )
+        ).alias("e"),
+    ).select("w10", F.col("e.idx").alias("idx"), F.col("e.piece").alias("piece"))
+    scored = edges.join(F.broadcast(scores), "piece", "left").select(
+        "w10", "idx", F.coalesce("s", F.lit(UNIGRAM_NEG_INF)).alias("s")
+    )
+    emap = scored.groupBy("w10").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("idx", "s")))
+        ).alias("em")
+    )
+    df = words.join(emap, "w10")
+
+    # DP as a RUNTIME fold (F.aggregate evaluates iteratively, so the
+    # expression tree is CONSTANT-size — both a fully inlined and a
+    # column-staged unrolling of this DP explode in the optimizer
+    # at L = 10): the accumulator carries best[0..j] and bp[1..j] as
+    # growing arrays; best[j] = max over k in [j-P, j-1] of best[k] +
+    # s(k, j) with the SMALLEST k on ties (deterministic backtrack).
+    neg = F.lit(UNIGRAM_NEG_INF)
+
+    def dp_step(acc, j):
+        # best[k] rides at array position k+1; missing edge -> NEG_INF
+        cands = []
+        for d in range(1, P + 1):  # piece length d, k = j - d
+            k = j - d
+            cands.append(
+                F.when(
+                    k >= 0,
+                    F.element_at(acc["b"], k + 1)
+                    + F.coalesce(
+                        F.element_at("em", (k * 16 + j).cast("int")), neg
+                    ),
+                ).otherwise(neg + neg)
+            )
+        best_j = F.greatest(*cands)
+        bp_j = F.lit(-1)
+        # prefer the SMALLEST k = the LARGEST d: iterate d ascending so
+        # the last (largest-d) matching when wins the chain bottom-up
+        for d, t in zip(range(1, P + 1), cands):
+            bp_j = F.when(t == best_j, j - d).otherwise(bp_j)
+        return F.struct(
+            F.concat(acc["b"], F.array(best_j)).alias("b"),
+            F.concat(acc["p"], F.array(bp_j.cast("int"))).alias("p"),
+        )
+
+    acc0 = F.struct(
+        F.array(F.lit(0).cast("long")).alias("b"),
+        F.expr("CAST(array() AS array<int>)").alias("p"),
+    )
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("w10").cast("int")), acc0, dp_step
+    )
+    staged = df.select("w10", "c", dp["p"].alias("_bp"))
+
+    # backtrack: another runtime fold walking cur -> bp[cur] and
+    # collecting substr pieces (bp rides 1-indexed at position cur)
+    walk0 = F.struct(
+        F.length("w10").cast("int").alias("cur"),
+        F.expr("CAST(array() AS array<string>)").alias("ps"),
+    )
+
+    def walk_step(acc, _):
+        prev = F.element_at("_bp", acc["cur"])
+        return F.when(acc["cur"] <= 0, acc).otherwise(
+            F.struct(
+                prev.alias("cur"),
+                F.concat(
+                    acc["ps"],
+                    F.array(
+                        F.col("w10").substr(prev + 1, acc["cur"] - prev)
+                    ),
+                ).alias("ps"),
+            )
+        )
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(L)), walk0, walk_step
+    )
+    return staged.select("w10", "c", walk["ps"].alias("pieces"))
+
+
+def unigram_train(
+    vocab,
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+):
+    """Full unigram-LM training: seed bank -> ``n_iters`` EM rounds
+    (quantize scores; Viterbi-segment the vocab; re-count pieces with
+    add-one smoothing over the FIXED bank — no pruning, documented
+    simplification) -> (piece, count, logp) with logp the final-round
+    4dp quantized log-prob. Words are truncated to ``max_word_len``
+    chars for the E-step statistic (SentencePiece bounds candidate
+    lengths the same way); counts are corpus-weighted BIGINTs
+    end-to-end."""
+    words = vocab.select("w", "c").localCheckpoint()
+    counts = unigram_seed_counts(
+        vocab, max_piece_len, n_multi, max_word_len
+    ).localCheckpoint()
+    bank = counts.select("piece")
+    for _ in range(n_iters):
+        scores = _unigram_scores(counts).select("piece", "s")
+        segs = _unigram_viterbi_pieces(
+            words, scores, max_piece_len, max_word_len
+        )
+        used = (
+            segs.select(F.explode("pieces").alias("piece"), "c")
+            .groupBy("piece")
+            .agg(F.sum("c").cast("long").alias("_u"))
+        )
+        # materialize the (bank-sized) counts each round: the next
+        # round's scores/edges reference counts MULTIPLE times, and an
+        # un-materialized chain re-expands the previous round's whole
+        # Viterbi subtree per consumer — plan growth is exponential in
+        # n_iters without this (the round-5 multi-consumer lesson)
+        counts = (
+            bank.join(used, "piece", "left")
+            .select(
+                "piece",
+                (F.coalesce("_u", F.lit(0)) + F.lit(1))
+                .cast("long")
+                .alias("c"),
+            )
+            .localCheckpoint()
+        )
+    out = _unigram_scores(counts)
+    return out.select(
+        "piece",
+        F.col("c").alias("count"),
+        (F.col("s").cast("double") / 10000.0).alias("logp"),
+    ).orderBy(F.desc("count"), "piece")
+
+
+def py_unigram_train(
+    word_counts: dict[str, int],
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+) -> dict[str, tuple[int, float]]:
+    """From-the-definition Python ground truth for
+    :func:`unigram_train` (test twin): {piece: (count, logp)}."""
+    import math
+
+    wc = {w[:max_word_len]: 0 for w in word_counts}
+    for w, c in word_counts.items():
+        wc[w[:max_word_len]] += c
+    seed: dict[str, int] = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                seed[w[i : i + ln]] = seed.get(w[i : i + ln], 0) + c
+    singles = {p: c for p, c in seed.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in seed.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:n_multi]
+    counts = dict(singles)
+    counts.update(dict(multis))
+    bank = set(counts)
+
+    def quantize(cnts):
+        t = sum(cnts.values())
+        return {
+            p: math.floor(10000.0 * math.log(c / t) + 0.5)
+            for p, c in cnts.items()
+        }
+
+    for _ in range(n_iters):
+        s = quantize(counts)
+        used: dict[str, int] = {}
+        for w, c in wc.items():
+            n = len(w)
+            best = [0] + [None] * n
+            bp = [0] * (n + 1)
+            for j in range(1, n + 1):
+                cand = []
+                for k in range(max(0, j - max_piece_len), j):
+                    sc = s.get(w[k:j])
+                    e = sc if sc is not None else -(1 << 40)
+                    cand.append((best[k] + e, k))
+                bj = max(t[0] for t in cand)
+                best[j] = bj
+                bp[j] = min(k for t, k in cand if t == bj)
+            cur = n
+            while cur > 0:
+                piece = w[bp[cur] : cur]
+                used[piece] = used.get(piece, 0) + c
+                cur = bp[cur]
+        counts = {p: used.get(p, 0) + 1 for p in bank}
+    s = quantize(counts)
+    return {p: (counts[p], s[p] / 10000.0) for p in bank}

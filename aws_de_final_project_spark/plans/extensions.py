@@ -4640,6 +4640,39 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(vocab, 16).orderBy("step")
 
 
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (functions/text.unigram_train — r10 verdict item 6, the other
+    mainstream tokenizer family next to BPE): seed piece bank from
+    corpus-weighted substring counts (all single chars + top-48
+    multi-char), then 2 EM rounds — E-step Viterbi segmentation of
+    every vocabulary word under integer-quantized piece log-probs
+    (RUNTIME HOF folds, constant expression size; ties take the
+    smallest backpointer), M-step add-one re-count over the fixed
+    bank. Runs on the same materialized |vocab| word aggregate as
+    bpe_merge_table, and unlike BPE is fully relational: one
+    broadcast join + one aggregate per round, no driver argmax.
+    FULL DuckDB oracle: the identical seed/EM rounds unrolled as
+    chained CTEs with the DP positions as lateral column aliases and
+    the identical (floor(1e4*ln+0.5)) BIGINT quantization; Python
+    from-the-definition ground truth in tests/test_curation.py."""
+    from aws_de_final_project_spark.functions.text import unigram_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.split(TX.normalized_text("text"), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return unigram_train(vocab)
+
+
 def script_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script-mix detection (functions/text.script_counts /
     dominant_script) over a fixture planting Cyrillic (every 5th
