@@ -28,6 +28,10 @@ import __spark_entry__ as entrymod  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "return_pct_by_nation",
+    # round-11 additions
+    "main_content_multilingual_docs",
+    "dedup_image_phash",
+    "unigram_lm_vocab",
     # round-10 additions: the auto-sized dedup paths users should run
     # (r9 verdict: BENCH must carry the recommended path, not just the
     # fixed-literal oracle twins)

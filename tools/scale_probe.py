@@ -56,6 +56,13 @@ QUERIES = [
     # round-9: bounded-state dedup replay — dedup state is O(keys in
     # horizon) and each batch's filter is linear in its events
     "streaming_dedup_replay",
+    # round-11 (VERDICT r10 #7): the two in-suite sf1 slope flags —
+    # both retimed ~7x/~5.3x fresh in r9/r10; a dedicated fresh
+    # probe row pins the floor-distortion triage so the flag stops
+    # recurring. cdc = one keyed window + anti-join; seasonal = two
+    # chained aggregates + a broadcast seasonal profile
+    "cdc_apply_user_state",
+    "seasonal_hourly_outliers",
 ]
 
 # dedup/text family runs against the documents x10/x30 tiers built by
@@ -172,6 +179,10 @@ DOC_QUERIES = [
     # codegen (flat scan-speed claims)
     "pii_card_scrub_docs",
     "script_mix_docs",
+    # round-11 (VERDICT r10 #10): the staged-projection classifier is
+    # a pure scan — the claim is flat scan speed all the way to the
+    # 500k-doc x100 tier
+    "lang_id_classifier_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
@@ -210,6 +221,8 @@ X30_QUERIES = [
     # (kernel batch cost, vocab cardinality) — push both to 150k docs
     "bloom_decontaminate_docs",
     "bpe_merge_candidates",
+    # round-11: x30 baseline for the lang-id x100 flat-scan claim
+    "lang_id_classifier_docs",
 ]
 
 # round-6: the round-5 heavies (triangle enumeration over the
@@ -223,6 +236,8 @@ MISC_QUERIES = [
     "triangle_parts_copurchase",
     "pca_embedding_projection",
     "entity_resolution_customers",
+    # round-11: x10 row for the embedding-auto x30/x100 decade chain
+    "dedup_embedding_cosine_auto",
     # round-6 session: scan-side literal-bank projection — the claim
     # is pure linear scan speed, zero exchanges before output order
     "jl_project_embeddings",
@@ -240,6 +255,8 @@ MISC_X30_QUERIES = [
     "entity_resolution_customers",
     # round-6 session: basket pair expansion + aggregates at 18M rows
     "basket_pair_affinity",
+    # round-11: x30 baseline for the embedding-auto x100 claim
+    "dedup_embedding_cosine_auto",
 ]
 
 # round-8 (VERDICT r7 #6): one FURTHER decade for the top-3 heavies —
@@ -251,9 +268,20 @@ MISC_X30_QUERIES = [
 # rotation had); linear baseline is the x30 row:
 # t100 ~= (100/30) * (t30 - fixed) + fixed.
 X100_DOCS_DIR = "/tmp/scale_probe_docs_x100"
-X100_DOCS_QUERIES = ["dedup_exact_spans", "dedup_containment_pairs"]
+X100_DOCS_QUERIES = [
+    "dedup_exact_spans",
+    "dedup_containment_pairs",
+    # round-11 (VERDICT r10 #10): flat-scan claim at 500k docs
+    "lang_id_classifier_docs",
+]
 MISC_X100_DIR = "/tmp/scale_probe_misc_x100"
-MISC_X100_QUERIES = ["triangle_parts_copurchase"]
+MISC_X100_QUERIES = [
+    "triangle_parts_copurchase",
+    # round-11 (VERDICT r10 #10): the RECOMMENDED embedding-dedup
+    # path at 500k vectors — 'auto' grows the blocking planes with
+    # the corpus, so the claim is slope <= ~linear, never quadratic
+    "dedup_embedding_cosine_auto",
+]
 
 _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
 
@@ -668,11 +696,18 @@ def main() -> None:
 
     x100_misc = [q for q in MISC_X100_QUERIES
                  if (only is None or q in only) and q in by_name]
-    if x100_misc and not os.path.exists(
-        os.path.join(MISC_X100_DIR, "lineitem.parquet")
+    if any(q == "triangle_parts_copurchase" for q in x100_misc) and (
+        not os.path.exists(os.path.join(MISC_X100_DIR, "lineitem.parquet"))
     ):
         build_misc_x10(spark, "/root/testdata/sf0.1", 100, MISC_X100_DIR,
                        tables=("lineitem",))
+    if any(q == "dedup_embedding_cosine_auto" for q in x100_misc) and (
+        not os.path.exists(
+            os.path.join(MISC_X100_DIR, "embeddings.parquet")
+        )
+    ):
+        build_misc_x10(spark, "/root/testdata/sf0.1", 100, MISC_X100_DIR,
+                       tables=("embeddings",))
     for name in x100_misc:
         measure_x100(name, MISC_X100_DIR)
 
