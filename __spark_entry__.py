@@ -691,11 +691,12 @@ def _unigram_vocab_sql(n_iters: int = 2) -> str:
 
 def _phash_val_sql(j: str) -> str:
     """The dedup_image_phash fixture's grid-cell value at index ``j``
-    (a SQL expression over the params CTE's anchor/noisy columns) —
-    the DuckDB twin of the entry's F.transform lambda."""
-    sq = f"(anchor + ({j})) * (anchor + ({j}))"
+    (a SQL expression over the params CTE's a197/a89/noisy columns) —
+    the DuckDB twin of the entry's F.transform lambda. Two
+    incommensurate moduli (197, 89) keep distinct anchors from
+    colliding below lcm = 17,533 (see the entry docstring)."""
     return (
-        f"((anchor * 37 + ({j}) * 13 + ({sq}) % 71) % 197 "
+        f"(((a89 + 3) * (a197 + ({j}) + 1) * (({j}) + 2)) % 197 "
         f"+ CASE WHEN noisy = 1 AND ({j}) = 40 THEN 29 ELSE 0 END)"
     )
 
@@ -5955,9 +5956,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_image_phash": f"""
             WITH params AS (
                 SELECT doc_id,
-                       CASE WHEN doc_id % 100 < 4
-                            THEN doc_id - doc_id % 4
-                            ELSE doc_id END AS anchor,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 197 AS a197,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 89 AS a89,
                        CASE WHEN doc_id % 2 = 1 AND doc_id % 100 < 4
                             THEN 1 ELSE 0 END AS noisy
                 FROM documents

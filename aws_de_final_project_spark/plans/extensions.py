@@ -3701,11 +3701,22 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     anchor = F.when(d % 100 < 4, d - d % 4).otherwise(d)
     noisy = (d % 2 == 1) & (d % 100 < 4)
+    # The base pattern is a triple PRODUCT mod 197 over two
+    # incommensurate anchor residues (197, 89 — lcm 17,533): earlier
+    # additive forms were shift-invariant under dHash (bits compare
+    # CONSECUTIVE cells, so a constant or common-slope offset flips
+    # bits only at mod-197 wrap points), which made accidental
+    # near-dup families grow quadratically with the corpus — caught
+    # at the sf0.1 sweep (370 pairs at sf0.01 -> 23k). The product
+    # form scrambles the comparison pattern per anchor: measured 301
+    # pairs at 5000 docs (the 300 planted + 1 accidental), max band
+    # bucket 18.
+    a197 = anchor % 197
+    a89 = anchor % 89
     grid = F.transform(
         F.sequence(F.lit(0), F.lit(71)),
         lambda i: (
-            (anchor * 37 + i * 13 + ((anchor + i) * (anchor + i)) % 71)
-            % 197
+            ((a89 + 3) * (a197 + i + 1) * (i + 2)) % 197
             + F.when(noisy & (i == 40), F.lit(29)).otherwise(F.lit(0))
         ).cast("int"),
     )
