@@ -233,6 +233,9 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         # two 1-row corpus-total frames (T, R) broadcast into the
         # D-row smoothed log-ratio weight table, same shape
         "dsir_importance_docs",
+        # 1-row bank-total frame broadcast into the |bank|-row score
+        # quantization, once per EM round (r11 unigram-LM training)
+        "unigram_lm_vocab",
     }
     for name in bench.HEADLINE:
         p = plans(name)
