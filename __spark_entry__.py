@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_NEW: tuple[str, ...] = (
     "main_content_multilingual_docs",
     "dedup_image_phash",
+    "dedup_image_exact_groups",
     "unigram_lm_vocab",
 )
 _R11_ROTATION: tuple[str, ...] = (
@@ -104,6 +105,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 additions (inside the sample window via _R11_NEW)
         "main_content_multilingual_docs": X.main_content_multilingual_docs,
         "dedup_image_phash": X.dedup_image_phash,
+        "dedup_image_exact_groups": X.dedup_image_exact_groups,
         "unigram_lm_vocab": X.unigram_lm_vocab,
         # round-10 additions (inside the sample window)
         "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
@@ -6009,6 +6011,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT img_a, img_b, hamming
             FROM verified WHERE hamming <= 3
             ORDER BY img_a, img_b
+        """,
+        # exact-dup image groups: same grid/bands CTEs as the phash
+        # oracle, GROUP BY the full 4-band signature
+        "dedup_image_exact_groups": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 197 AS a197,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 89 AS a89,
+                       CASE WHEN doc_id % 2 = 1 AND doc_id % 100 < 4
+                            THEN 1 ELSE 0 END AS noisy
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, CAST(k AS INT) AS k,
+                       CASE WHEN
+                           {_phash_val_sql("(k // 8) * 9 + (k % 8)")}
+                           > {_phash_val_sql("(k // 8) * 9 + (k % 8) + 1")}
+                           THEN 1 ELSE 0 END AS bit
+                FROM params, range(64) t(k)
+            ),
+            bands AS (
+                SELECT doc_id, k // 16 AS chunk,
+                       CAST(sum(CAST(bit AS BIGINT)
+                                << CAST(k % 16 AS INT)) AS BIGINT) AS key
+                FROM bits GROUP BY doc_id, k // 16
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       max(CASE WHEN chunk = 0 THEN key END) AS b0,
+                       max(CASE WHEN chunk = 1 THEN key END) AS b1,
+                       max(CASE WHEN chunk = 2 THEN key END) AS b2,
+                       max(CASE WHEN chunk = 3 THEN key END) AS b3
+                FROM bands GROUP BY doc_id
+            )
+            SELECT b0, b1, b2, b3,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM sigs
+            GROUP BY b0, b1, b2, b3
+            HAVING count(*) >= 2
+            ORDER BY keeper_id
         """,
         # LANGUAGE-AWARE main-content (r10 verdict item 1): same
         # six-language planted-article page, bank selected by a CASE

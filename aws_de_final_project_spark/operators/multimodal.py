@@ -960,3 +960,30 @@ def decode_to_phash_grid(media: DataFrame, codec: str = "stdlib") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "grid": grids})
 
     return media.mapInPandas(batches, schema=PHASH_GRID_SCHEMA)
+
+
+def image_exact_groups(
+    images: DataFrame, id_col: str, grid_col: str
+) -> DataFrame:
+    """Exact-duplicate image groups: images whose dHash agrees in ALL
+    64 bits (hamming 0) — byte-identical re-uploads and lossless
+    re-encodes — collapse onto one keeper. One hash aggregate on the
+    four 16-bit band values (the full signature), no joins: the cheap
+    first pass a multimodal pipeline runs before the banded
+    near-dup pass (:func:`image_phash_pairs`). Returns
+    (b0..b3, n_copies, keeper_id) for groups of >= 2."""
+    sigs = images.select(
+        F.col(id_col).alias("_id"), dhash_bands(F.col(grid_col)).alias("_b")
+    ).select(
+        "_id",
+        *[F.element_at("_b", j + 1).alias(f"b{j}") for j in range(PHASH_BANDS)],
+    )
+    return (
+        sigs.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("keeper_id")
+    )

@@ -3678,6 +3678,39 @@ def main_content_multilingual_docs(
     ).orderBy("doc_id")
 
 
+def dedup_image_exact_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate image groups (operators/multimodal
+    .image_exact_groups): full-64-bit dHash identity over the same
+    synthetic grid fixture as :func:`dedup_image_phash` — within each
+    planted 4-image group the two clean members share one signature
+    and the two bumped members share another (a size-2 group each),
+    EXCEPT where the single-cell bump happens not to cross any
+    neighbor comparison (it flips 0..2 bits by construction): there
+    all four members share one signature and the group has size 4 —
+    deterministic either way, identical on both engines. One hash
+    aggregate, no joins. FULL DuckDB oracle replays grid -> bands ->
+    GROUP BY signature."""
+    from aws_de_final_project_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    anchor = F.when(d % 100 < 4, d - d % 4).otherwise(d)
+    noisy = (d % 2 == 1) & (d % 100 < 4)
+    a197 = anchor % 197
+    a89 = anchor % 89
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: (
+            ((a89 + 3) * (a197 + i + 1) * (i + 2)) % 197
+            + F.when(noisy & (i == 40), F.lit(29)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    imgs = t["documents"].select("doc_id", grid.alias("grid"))
+    return MM.image_exact_groups(imgs, "doc_id", "grid")
+
+
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs (operators/multimodal:
     dhash_bands + image_phash_pairs — r10 verdict item 3) over a

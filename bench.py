@@ -31,6 +31,7 @@ HEADLINE = [
     # round-11 additions
     "main_content_multilingual_docs",
     "dedup_image_phash",
+    "dedup_image_exact_groups",
     "unigram_lm_vocab",
     # round-10 additions: the auto-sized dedup paths users should run
     # (r9 verdict: BENCH must carry the recommended path, not just the

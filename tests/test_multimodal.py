@@ -925,3 +925,22 @@ def test_image_phash_guard_and_quarantine(spark):
            multimodal.decode_to_phash_grid(media).collect()}
     assert got[1] is None
     assert got[2] == [90] * 72
+
+
+def test_image_exact_groups_collapses_identical_hashes(spark):
+    """Full-signature identity groups: two identical grids group
+    (keeper = min id), a 1-bit-different grid stays out, and
+    singletons are dropped."""
+    base = [((i * 7) % 50 + (i % 9) * 3) for i in range(72)]
+    bump = list(base)
+    bump[40] += 45  # flips at least one comparison for THIS grid
+    assert multimodal.py_dhash_bands(bump) != multimodal.py_dhash_bands(
+        base
+    )
+    df = spark.createDataFrame(
+        [(3, base), (7, base), (9, bump), (11, list(range(72)))],
+        ["i", "grid"],
+    )
+    got = multimodal.image_exact_groups(df, "i", "grid").collect()
+    assert len(got) == 1
+    assert (got[0].n_copies, got[0].keeper_id) == (2, 3)
