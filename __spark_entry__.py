@@ -42,6 +42,7 @@ _R11_NEW: tuple[str, ...] = (
     "dedup_image_phash",
     "dedup_image_exact_groups",
     "unigram_lm_vocab",
+    "unigram_encode_docs",
 )
 _R11_ROTATION: tuple[str, ...] = (
     # last sampled r1
@@ -107,6 +108,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_phash": X.dedup_image_phash,
         "dedup_image_exact_groups": X.dedup_image_exact_groups,
         "unigram_lm_vocab": X.unigram_lm_vocab,
+        "unigram_encode_docs": X.unigram_encode_docs,
         # round-10 additions (inside the sample window)
         "dedup_embedding_cosine_auto": X.dedup_embedding_cosine_auto,
         "dedup_semantic_auto": X.dedup_semantic_auto,
@@ -521,23 +523,10 @@ def _main_keep_sql(
     )
 
 
-def _unigram_vocab_sql(n_iters: int = 2) -> str:
-    """GENERATED oracle for unigram_lm_vocab: the identical seed bank
-    (all single chars + top-48 multi-char substrings, (c DESC, piece)
-    tie-break) and ``n_iters`` EM rounds unrolled as chained CTEs —
-    per round, the 4dp-BIGINT score quantization, one edge join
-    pivoted to s_k_j columns, the Viterbi DP over positions 1..10 as
-    LATERAL column aliases (greatest + largest-piece-first tie CASE,
-    matching the Spark fold's smallest-k rule), the unrolled
-    backtrack walk, and the add-one M-step over the fixed bank."""
-    from aws_de_final_project_spark.functions.text import (
-        UNIGRAM_MAX_PIECE_LEN as P,
-        UNIGRAM_MAX_WORD_LEN as L,
-        UNIGRAM_NEG_INF as NEG,
-    )
-
-    ctes = [
-        f"""wd AS (
+def _unigram_head_ctes(P: int, L: int) -> str:
+    """Shared WITH-head for the unigram oracles: word vocab, w10
+    truncation, substring seed counts, the fixed bank, cnt0."""
+    return f"""wd AS (
                 SELECT unnest(string_split({_NORM.format(c='text')}, ' '))
                        AS w
                 FROM documents
@@ -572,63 +561,68 @@ def _unigram_vocab_sql(n_iters: int = 2) -> str:
                 ) WHERE rn <= 48
             ),
             cnt0 AS (SELECT piece, c FROM bank)"""
-    ]
+
+
+def _unigram_round_ctes(
+    i: int, P: int, L: int, NEG: int, emit_mstep: bool = True
+) -> str:
+    """One EM round as chained CTEs: score quantization from
+    cnt{i-1}, edge join pivoted to s_k_j columns, the Viterbi DP
+    positions and backtrack steps as chained MATERIALIZED CTEs
+    (DuckDB expands lateral aliases and single-ref CTEs TEXTUALLY —
+    the un-materialized form is exponential in L, measured as a
+    planner hang), then (optionally) the add-one M-step producing
+    cnt{i}. With emit_mstep=False the chain ends at bt{i}_{L} — the
+    encode oracle's final segmentation pass."""
     pairs = [(k, k + d) for k in range(L) for d in range(1, P + 1)
              if k + d <= L]
-    for i in range(1, n_iters + 1):
-        pivot = ", ".join(
-            f"max(CASE WHEN k = {k} AND j = {j} THEN s END) AS s_{k}_{j}"
-            for k, j in pairs
+    pivot = ", ".join(
+        f"max(CASE WHEN k = {k} AND j = {j} THEN s END) AS s_{k}_{j}"
+        for k, j in pairs
+    )
+    dp_ctes = []
+    for j in range(1, L + 1):
+        ds = [d for d in range(1, P + 1) if j - d >= 0]
+        cands = {
+            d: f"(b{j - d} + coalesce(s_{j - d}_{j}, {NEG}))"
+            for d in ds
+        }
+        g = ", ".join(cands.values())
+        tie = " ".join(
+            f"WHEN {cands[d]} = greatest({g}) THEN {j - d}"
+            for d in sorted(ds, reverse=True)
         )
-        # one MATERIALIZED CTE per DP position / backtrack step:
-        # lateral column aliases (and inlined single-ref CTEs) expand
-        # TEXTUALLY in DuckDB, so b10 referencing b9..b6 referencing …
-        # is exponential in L without the materialization barriers —
-        # the same blow-up the Spark side avoids with runtime folds
-        dp_ctes = []
-        for j in range(1, L + 1):
-            ds = [d for d in range(1, P + 1) if j - d >= 0]
-            cands = {
-                d: f"(b{j - d} + coalesce(s_{j - d}_{j}, {NEG}))"
-                for d in ds
-            }
-            g = ", ".join(cands.values())
-            tie = " ".join(
-                f"WHEN {cands[d]} = greatest({g}) THEN {j - d}"
-                for d in sorted(ds, reverse=True)
-            )
-            dp_ctes.append(
-                f"""dp{i}_{j} AS MATERIALIZED (
+        dp_ctes.append(
+            f"""dp{i}_{j} AS MATERIALIZED (
                 SELECT *, greatest({g}) AS b{j},
                        CASE {tie} END AS p{j}
                 FROM dp{i}_{j - 1}
             )"""
-            )
-        bt_ctes = []
-        jump = " ".join(f"WHEN {j} THEN p{j}" for j in range(1, L + 1))
-        for s in range(1, L + 1):
-            bt_ctes.append(
-                f"""bt{i}_{s} AS MATERIALIZED (
+        )
+    bt_ctes = []
+    jump = " ".join(f"WHEN {j} THEN p{j}" for j in range(1, L + 1))
+    for st in range(1, L + 1):
+        bt_ctes.append(
+            f"""bt{i}_{st} AS MATERIALIZED (
                 SELECT *,
-                       CASE WHEN cur{s - 1} > 0 THEN
-                           (CASE cur{s - 1} {jump} END)
-                           ELSE -1 END AS prev{s},
-                       CASE WHEN cur{s - 1} > 0 THEN substr(w10,
-                           (CASE cur{s - 1} {jump} END) + 1,
-                           cur{s - 1} - (CASE cur{s - 1} {jump} END))
-                           END AS pc{s},
-                       CASE WHEN cur{s - 1} > 0 THEN
-                           (CASE cur{s - 1} {jump} END)
-                           ELSE -1 END AS cur{s}
-                FROM bt{i}_{s - 1}
+                       CASE WHEN cur{st - 1} > 0 THEN
+                           (CASE cur{st - 1} {jump} END)
+                           ELSE -1 END AS prev{st},
+                       CASE WHEN cur{st - 1} > 0 THEN substr(w10,
+                           (CASE cur{st - 1} {jump} END) + 1,
+                           cur{st - 1} - (CASE cur{st - 1} {jump} END))
+                           END AS pc{st},
+                       CASE WHEN cur{st - 1} > 0 THEN
+                           (CASE cur{st - 1} {jump} END)
+                           ELSE -1 END AS cur{st}
+                FROM bt{i}_{st - 1}
             )"""
-            )
-        pcs = ", ".join(f"pc{s}" for s in range(1, L + 1))
-        dp_chain = ",\n            ".join(dp_ctes)
-        bt_chain = ",\n            ".join(bt_ctes)
-        p_cols = ", ".join(f"p{j}" for j in range(1, L + 1))
-        ctes.append(
-            f"""tot{i} AS (
+        )
+    pcs = ", ".join(f"pc{st}" for st in range(1, L + 1))
+    dp_chain = ",\n            ".join(dp_ctes)
+    bt_chain = ",\n            ".join(bt_ctes)
+    p_cols = ", ".join(f"p{j}" for j in range(1, L + 1))
+    out = f"""tot{i} AS (
                 SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt{i - 1}
             ),
             sc{i} AS MATERIALIZED (
@@ -663,7 +657,9 @@ def _unigram_vocab_sql(n_iters: int = 2) -> str:
                 SELECT w10, c, {p_cols}, len(w10) AS cur0
                 FROM dp{i}_{L}
             ),
-            {bt_chain},
+            {bt_chain}"""
+    if emit_mstep:
+        out += f""",
             used{i} AS (
                 SELECT piece, CAST(sum(c) AS BIGINT) AS u FROM (
                     SELECT unnest([{pcs}]) AS piece, c FROM bt{i}_{L}
@@ -674,7 +670,27 @@ def _unigram_vocab_sql(n_iters: int = 2) -> str:
                        CAST(coalesce(u.u, 0) + 1 AS BIGINT) AS c
                 FROM bank b LEFT JOIN used{i} u ON u.piece = b.piece
             )"""
-        )
+    return out
+
+
+def _unigram_vocab_sql(n_iters: int = 2) -> str:
+    """GENERATED oracle for unigram_lm_vocab: the identical seed bank
+    (all single chars + top-48 multi-char substrings, (c DESC, piece)
+    tie-break) and ``n_iters`` EM rounds unrolled as chained CTEs —
+    per round, the 4dp-BIGINT score quantization, one edge join
+    pivoted to s_k_j columns, the Viterbi DP over positions 1..10 as
+    chained MATERIALIZED CTEs (greatest + largest-piece-first tie
+    CASE, matching the Spark fold's smallest-k rule), the unrolled
+    backtrack walk, and the add-one M-step over the fixed bank."""
+    from aws_de_final_project_spark.functions.text import (
+        UNIGRAM_MAX_PIECE_LEN as P,
+        UNIGRAM_MAX_WORD_LEN as L,
+        UNIGRAM_NEG_INF as NEG,
+    )
+
+    ctes = [_unigram_head_ctes(P, L)]
+    for i in range(1, n_iters + 1):
+        ctes.append(_unigram_round_ctes(i, P, L, NEG, emit_mstep=True))
     return (
         "WITH "
         + ",\n            ".join(ctes)
@@ -688,6 +704,60 @@ def _unigram_vocab_sql(n_iters: int = 2) -> str:
                        AS logp
             FROM cnt{n_iters} CROSS JOIN totf
             ORDER BY "count" DESC, piece"""
+    )
+
+
+def _unigram_encode_sql(n_iters: int = 2) -> str:
+    """GENERATED oracle for unigram_encode_docs: the same trained
+    model (head + n_iters EM rounds), ONE more Viterbi pass under the
+    FINAL scores (round n_iters+1, no M-step), per-word piece stats
+    (n_pieces, BIGINT sum of quantized log-probs), then the document
+    join: explode each doc's len>=2 normalized words, truncate to
+    w10, join the word stats, aggregate per doc."""
+    from aws_de_final_project_spark.functions.text import (
+        UNIGRAM_MAX_PIECE_LEN as P,
+        UNIGRAM_MAX_WORD_LEN as L,
+        UNIGRAM_NEG_INF as NEG,
+    )
+
+    f = n_iters + 1
+    pcs = ", ".join(f"pc{st}" for st in range(1, L + 1))
+    ctes = [_unigram_head_ctes(P, L)]
+    for i in range(1, n_iters + 1):
+        ctes.append(_unigram_round_ctes(i, P, L, NEG, emit_mstep=True))
+    ctes.append(_unigram_round_ctes(f, P, L, NEG, emit_mstep=False))
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f""",
+            wp AS (
+                SELECT w10, unnest([{pcs}]) AS piece FROM bt{f}_{L}
+            ),
+            wstat AS MATERIALIZED (
+                SELECT wp.w10,
+                       CAST(count(*) AS BIGINT) AS n_pieces,
+                       CAST(sum(sc.s) AS BIGINT) AS sum_s
+                FROM wp JOIN sc{f} sc USING (piece)
+                WHERE piece IS NOT NULL
+                GROUP BY wp.w10
+            ),
+            docw AS (
+                SELECT doc_id, substr(w, 1, {L}) AS w10 FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               {_NORM.format(c='text')}, ' ')) AS w
+                    FROM documents
+                ) WHERE len(w) >= 2
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(ws.n_pieces) AS BIGINT) AS n_pieces,
+                   floor(((sum(ws.sum_s)::DOUBLE / 10000.0)
+                          / sum(ws.n_pieces)::DOUBLE) * 10000.0 + 0.5)
+                       / 10000.0 AS avg_piece_logp
+            FROM docw JOIN wstat ws USING (w10)
+            GROUP BY doc_id
+            ORDER BY doc_id"""
     )
 
 
@@ -5309,6 +5379,9 @@ def oracle_sql() -> dict[str, str]:
         # unigram-LM tokenizer training (r10 verdict item 6): the
         # generated unrolled-CTE twin — see _unigram_vocab_sql
         "unigram_lm_vocab": _unigram_vocab_sql(2),
+        # unigram-LM corpus encoding: same trained model + one more
+        # unrolled Viterbi pass + the broadcast word-stats doc join
+        "unigram_encode_docs": _unigram_encode_sql(2),
         # streaming bounded-state dedup replay: stream output must
         # equal the ORIGINAL events (every planted re-delivery
         # suppressed) — per-type counts + order-independent 60-bit

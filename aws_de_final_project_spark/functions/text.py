@@ -897,21 +897,16 @@ def _unigram_viterbi_pieces(
     return staged.select("w10", "c", walk["ps"].alias("pieces"))
 
 
-def unigram_train(
+def unigram_trained_counts(
     vocab,
     n_iters: int = 2,
     max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
     n_multi: int = 48,
     max_word_len: int = UNIGRAM_MAX_WORD_LEN,
 ):
-    """Full unigram-LM training: seed bank -> ``n_iters`` EM rounds
-    (quantize scores; Viterbi-segment the vocab; re-count pieces with
-    add-one smoothing over the FIXED bank — no pruning, documented
-    simplification) -> (piece, count, logp) with logp the final-round
-    4dp quantized log-prob. Words are truncated to ``max_word_len``
-    chars for the E-step statistic (SentencePiece bounds candidate
-    lengths the same way); counts are corpus-weighted BIGINTs
-    end-to-end."""
+    """The EM training loop shared by :func:`unigram_train` (vocab
+    output) and :func:`unigram_encode_stats` (corpus encoding):
+    returns the final (piece, c) counts frame, localCheckpointed."""
     words = vocab.select("w", "c").localCheckpoint()
     counts = unigram_seed_counts(
         vocab, max_piece_len, n_multi, max_word_len
@@ -942,6 +937,60 @@ def unigram_train(
             )
             .localCheckpoint()
         )
+    return counts
+
+
+def unigram_word_stats(
+    vocab,
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+):
+    """Corpus ENCODING side of the unigram model: train, then
+    Viterbi-segment every (truncated) vocabulary word under the FINAL
+    scores and return per-word stats (w10, n_pieces, sum_s) with
+    sum_s the BIGINT sum of the 4dp-quantized piece log-probs. This
+    is the |vocab|-row lookup table a 100 TB encode pass broadcasts —
+    documents then join it instead of re-running the DP per
+    occurrence."""
+    counts = unigram_trained_counts(
+        vocab, n_iters, max_piece_len, n_multi, max_word_len
+    )
+    scores = _unigram_scores(counts).select("piece", "s")
+    words = vocab.select("w", "c")
+    segs = _unigram_viterbi_pieces(
+        words, scores, max_piece_len, max_word_len
+    )
+    return (
+        segs.select("w10", F.explode("pieces").alias("piece"))
+        .join(F.broadcast(scores), "piece")
+        .groupBy("w10")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"),
+            F.sum("s").cast("long").alias("sum_s"),
+        )
+    )
+
+
+def unigram_train(
+    vocab,
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+):
+    """Full unigram-LM training: seed bank -> ``n_iters`` EM rounds
+    (quantize scores; Viterbi-segment the vocab; re-count pieces with
+    add-one smoothing over the FIXED bank — no pruning, documented
+    simplification) -> (piece, count, logp) with logp the final-round
+    4dp quantized log-prob. Words are truncated to ``max_word_len``
+    chars for the E-step statistic (SentencePiece bounds candidate
+    lengths the same way); counts are corpus-weighted BIGINTs
+    end-to-end."""
+    counts = unigram_trained_counts(
+        vocab, n_iters, max_piece_len, n_multi, max_word_len
+    )
     out = _unigram_scores(counts)
     return out.select(
         "piece",
@@ -1009,3 +1058,50 @@ def py_unigram_train(
         counts = {p: used.get(p, 0) + 1 for p in bank}
     s = quantize(counts)
     return {p: (counts[p], s[p] / 10000.0) for p in bank}
+
+
+def py_unigram_word_stats(
+    word_counts: dict[str, int],
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+) -> dict[str, tuple[int, int]]:
+    """From-the-definition ground truth for
+    :func:`unigram_word_stats` (test twin): {w10: (n_pieces, sum_s)}
+    with sum_s the BIGINT sum of final-round quantized log-probs
+    along each word's Viterbi segmentation."""
+    import math
+
+    wc = {w[:max_word_len]: 0 for w in word_counts}
+    for w, c in word_counts.items():
+        wc[w[:max_word_len]] += c
+    trained = py_unigram_train(
+        word_counts, n_iters, max_piece_len, n_multi, max_word_len
+    )
+    counts = {p: c for p, (c, _) in trained.items()}
+    t = sum(counts.values())
+    s = {
+        p: math.floor(10000.0 * math.log(c / t) + 0.5)
+        for p, c in counts.items()
+    }
+    out = {}
+    for w in wc:
+        n = len(w)
+        best = [0] + [None] * n
+        bp = [0] * (n + 1)
+        for j in range(1, n + 1):
+            cand = []
+            for k in range(max(0, j - max_piece_len), j):
+                sc = s.get(w[k:j])
+                e = sc if sc is not None else -(1 << 40)
+                cand.append((best[k] + e, k))
+            bj = max(tt[0] for tt in cand)
+            best[j] = bj
+            bp[j] = min(k for tt, k in cand if tt == bj)
+        pieces, cur = [], n
+        while cur > 0:
+            pieces.append(w[bp[cur] : cur])
+            cur = bp[cur]
+        out[w] = (len(pieces), sum(s[p] for p in pieces))
+    return out

@@ -4717,6 +4717,50 @@ def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train(vocab)
 
 
+def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale ENCODING with the trained unigram model
+    (functions/text.unigram_word_stats): train on the word vocabulary
+    (same seed + 2 EM rounds as :func:`unigram_lm_vocab`),
+    Viterbi-segment every vocabulary word ONCE under the final
+    scores, then encode documents by JOINING the |vocab|-row per-word
+    stats table (broadcast) instead of re-running the DP per word
+    occurrence — the shape a 100 TB encode pass wants. Per doc:
+    word count, total piece count, mean 4dp piece log-prob over the
+    doc's len>=2 normalized words. FULL DuckDB oracle: the same
+    trained model plus one more unrolled Viterbi pass under the final
+    scores and the same doc join."""
+    from aws_de_final_project_spark.functions.text import (
+        unigram_word_stats,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    words_per_doc = t["documents"].select(
+        "doc_id",
+        F.explode(F.split(TX.normalized_text("text"), " ")).alias("w"),
+    ).filter(F.length("w") >= 2)
+    vocab = words_per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wstats = unigram_word_stats(vocab)
+    docw = words_per_doc.select(
+        "doc_id", F.substring("w", 1, 10).alias("w10")
+    )
+    joined = docw.join(F.broadcast(wstats), "w10")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            rnd(
+                (F.sum("sum_s").cast("double") / F.lit(10000.0))
+                / F.sum("n_pieces").cast("double"),
+                4,
+            ).alias("avg_piece_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def script_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script-mix detection (functions/text.script_counts /
     dominant_script) over a fixture planting Cyrillic (every 5th

@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_image_phash",
     "dedup_image_exact_groups",
     "unigram_lm_vocab",
+    "unigram_encode_docs",
     # round-10 additions: the auto-sized dedup paths users should run
     # (r9 verdict: BENCH must carry the recommended path, not just the
     # fixed-literal oracle twins)

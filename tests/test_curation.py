@@ -847,3 +847,29 @@ def test_unigram_train_matches_python_reference(spark):
     # every single char of the corpus is in the bank (fallback path)
     chars = {ch for w in wc for ch in w[:10]}
     assert chars <= set(got)
+
+
+def test_unigram_word_stats_matches_python_reference(spark):
+    """The encoding side of the unigram model: per-word piece counts
+    and quantized log-prob sums under the FINAL trained scores match
+    the Python reference exactly."""
+    from aws_de_final_project_spark.functions.text import (
+        py_unigram_word_stats,
+        unigram_word_stats,
+    )
+
+    wc = {
+        "the": 30, "then": 9, "cat": 12, "that": 8, "hat": 5,
+        "internationalization": 3, "data": 14, "dates": 6,
+    }
+    vocab = spark.createDataFrame(list(wc.items()), ["w", "c"])
+    got = {
+        r.w10: (r.n_pieces, r.sum_s)
+        for r in unigram_word_stats(vocab).collect()
+    }
+    want = py_unigram_word_stats(wc)
+    assert got == want, {
+        k: (got.get(k), want.get(k))
+        for k in set(got) | set(want)
+        if got.get(k) != want.get(k)
+    }
