@@ -234,8 +234,10 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         # D-row smoothed log-ratio weight table, same shape
         "dsir_importance_docs",
         # 1-row bank-total frame broadcast into the |bank|-row score
-        # quantization, once per EM round (r11 unigram-LM training)
+        # quantization, once per EM round (r11 unigram-LM training;
+        # the encode entry trains the same model first)
         "unigram_lm_vocab",
+        "unigram_encode_docs",
     }
     for name in bench.HEADLINE:
         p = plans(name)
