@@ -1209,3 +1209,34 @@ def test_robots_pattern_python_twin_matches_spark(spark):
     ).collect()
     for r in rows:
         assert r.pat == WC.py_robots_rule_pattern(r.prefix), r
+
+
+def test_html_main_content_remaining_banks_fr_pt_nl(spark):
+    """Every vendored bank is exercised: French / Portuguese / Dutch
+    articles (the three banks not covered by the multilingual entry
+    fixture) survive under their own lang and the boilerplate
+    vanishes."""
+    arts = {
+        "fr": ("Les chercheurs et les étudiants étaient très contents "
+               "des résultats de la longue étude dans la ville et le "
+               "groupe a réuni les données pour le prochain travail ."),
+        "pt": ("Os pesquisadores e os estudantes estavam muito "
+               "contentes com os resultados do longo estudo na cidade "
+               "e o grupo reuniu os dados para o próximo trabalho ."),
+        "nl": ("De onderzoekers en de studenten waren erg blij met de "
+               "resultaten van het lange onderzoek in de stad en het "
+               "team heeft de gegevens voor het volgende werk "
+               "verzameld ."),
+    }
+    probes = {"fr": "chercheurs", "pt": "pesquisadores",
+              "nl": "onderzoekers"}
+    rows = [(i, lg, ML_BOILER_PREFIX + art + ML_BOILER_SUFFIX)
+            for i, (lg, art) in enumerate(arts.items())]
+    df = spark.createDataFrame(rows, ["i", "lang", "html"])
+    got = {r.lang: r.m for r in df.select(
+        "lang",
+        WC.html_main_content("html", lang=F.col("lang")).alias("m"),
+    ).collect()}
+    for lg in arts:
+        assert probes[lg] in got[lg], (lg, got[lg])
+        assert "cookies" not in got[lg] and "Privacy" not in got[lg]
