@@ -789,8 +789,15 @@ def _unigram_viterbi_pieces(
     loop."""
     L, P = max_word_len, max_piece_len
     w10 = F.substring(F.col("w"), 1, L)
-    words = words.select(w10.alias("w10"), "c").groupBy("w10").agg(
-        F.sum("c").cast("long").alias("c")
+    # zero-length words carry no segmentation: drop them EXPLICITLY
+    # here (r11 advice) — previously they fell out implicitly via the
+    # empty edge set + inner emap join while the Python twin returned
+    # (0, 0), a latent divergence; both paths now drop them.
+    words = (
+        words.select(w10.alias("w10"), "c")
+        .filter(F.length("w10") >= 1)
+        .groupBy("w10")
+        .agg(F.sum("c").cast("long").alias("c"))
     )
     # edge candidates: (k, j) with k < j <= len, j - k <= P
     edges = words.select(
@@ -1010,9 +1017,12 @@ def py_unigram_train(
     :func:`unigram_train` (test twin): {piece: (count, logp)}."""
     import math
 
-    wc = {w[:max_word_len]: 0 for w in word_counts}
+    # zero-length words are dropped, matching the Spark path's
+    # explicit length >= 1 filter in _unigram_viterbi_pieces
+    wc = {w[:max_word_len]: 0 for w in word_counts if w}
     for w, c in word_counts.items():
-        wc[w[:max_word_len]] += c
+        if w:
+            wc[w[:max_word_len]] += c
     seed: dict[str, int] = {}
     for w, c in wc.items():
         for i in range(len(w)):
@@ -1073,9 +1083,12 @@ def py_unigram_word_stats(
     along each word's Viterbi segmentation."""
     import math
 
-    wc = {w[:max_word_len]: 0 for w in word_counts}
+    # zero-length words are dropped, matching the Spark path's
+    # explicit length >= 1 filter in _unigram_viterbi_pieces
+    wc = {w[:max_word_len]: 0 for w in word_counts if w}
     for w, c in word_counts.items():
-        wc[w[:max_word_len]] += c
+        if w:
+            wc[w[:max_word_len]] += c
     trained = py_unigram_train(
         word_counts, n_iters, max_piece_len, n_multi, max_word_len
     )

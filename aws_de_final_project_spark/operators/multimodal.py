@@ -807,11 +807,43 @@ def dhash_bands(grid: Column) -> Column:
     return F.array(*bands)
 
 
+def _phash_band_candidates(
+    reps: DataFrame, max_band_freq: int | None
+) -> DataFrame:
+    """Candidate signature pairs from the four pigeonhole band
+    equi-joins over one-row-per-DISTINCT-signature ``reps``
+    (_rep, _b), with the per-(band_idx, value) frequency cap applied
+    to BOTH join sides. Split out so tests can pin the candidate
+    volume bound directly (the planted-hot-band test)."""
+    banded = reps.select(
+        "_rep", "_b", F.posexplode("_b").alias("chunk", "key")
+    )
+    if max_band_freq is not None:
+        cold = (
+            banded.groupBy("chunk", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_band_freq)
+            .select("chunk", "key")
+        )
+        banded = banded.join(cold, ["chunk", "key"])
+    other = banded.select(
+        F.col("_rep").alias("_rep_b"), F.col("_b").alias("_b_b"),
+        "chunk", "key",
+    )
+    return (
+        banded.join(other, ["chunk", "key"])
+        .filter(F.col("_rep") < F.col("_rep_b"))
+        .select("_rep", "_rep_b", "_b", "_b_b")
+        .distinct()
+    )
+
+
 def image_phash_pairs(
     images: DataFrame,
     id_col: str,
     grid_col: str,
     max_hamming: int = 3,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance <=
     ``max_hamming``: (img_a, img_b, hamming), img_a < img_b.
@@ -823,7 +855,37 @@ def image_phash_pairs(
     exact popcount verify runs per candidate. The guarantee needs
     ``max_hamming <= PHASH_BANDS - 1``; beyond that a qualifying pair
     can disagree in every band and be silently missed, hence the
-    ValueError (same contract as simhash_near_pairs)."""
+    ValueError (same contract as simhash_near_pairs).
+
+    Scale shape — HOT-BAND GUARD (r11 verdict item 1; the
+    containment_pairs hot-shingle recipe): on real web images,
+    near-constant frames (blank thumbnails, tracking pixels,
+    re-served logos) collapse to a handful of band values, and a
+    (band, value) bucket shared by k images yields k^2/2 candidate
+    rows — quadratic in exactly the skewed case that matters at
+    100 TB. Two defenses, in order:
+
+    1. EXACT-GROUP PRE-COLLAPSE (lossless, always on): images are
+       first grouped by their FULL 64-bit signature; only one
+       representative per DISTINCT signature enters the band join.
+       Identical re-uploads — the dominant web hot case — therefore
+       contribute ONE row per bucket regardless of copy count.
+       Hamming-0 pairs are emitted directly from a self-equi-join on
+       the full signature (volume = true output size), and each
+       verified representative pair is expanded back to all member
+       pairs (every member of sig_a is at the same hamming from every
+       member of sig_b), so the output is IDENTICAL to the unguarded
+       join.
+    2. PER-(band, value) FREQUENCY CAP (``max_band_freq``, the only
+       recall-loss channel): a band value still shared by more than
+       ``max_band_freq`` DISTINCT signatures is dropped from the
+       banding on both sides, bounding candidate volume per bucket at
+       max_band_freq^2/2. A qualifying pair is missed ONLY if every
+       band it agrees on is over-cap — the deliberate
+       quadratic-blowup trade (exact_span_pairs' max_anchor_docs,
+       containment_pairs' prefix filter). ``None`` disables the cap.
+       Candidate bound + recall-unchanged pins live in
+       tests/test_multimodal.py (planted hot-band fixture)."""
     if max_hamming > PHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming ({max_hamming}) > bands-1 ({PHASH_BANDS - 1}):"
@@ -832,13 +894,25 @@ def image_phash_pairs(
     sigs = images.select(
         F.col(id_col).alias("_id"), dhash_bands(F.col(grid_col)).alias("_b")
     )
-    banded = sigs.select(
-        "_id", "_b", F.posexplode("_b").alias("chunk", "key")
+    # 1. exact-group collapse: one representative per distinct signature
+    reps = sigs.groupBy("_b").agg(F.min("_id").alias("_rep"))
+    # hamming-0 pairs straight off the signature equality (no banding)
+    intra = (
+        sigs.join(
+            sigs.select(
+                F.col("_id").alias("_id_b"), F.col("_b").alias("_b_i")
+            ),
+            F.col("_b") == F.col("_b_i"),
+        )
+        .filter(F.col("_id") < F.col("_id_b"))
+        .select(
+            F.col("_id").alias("img_a"),
+            F.col("_id_b").alias("img_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
-    other = banded.select(
-        F.col("_id").alias("_id_b"), F.col("_b").alias("_b_b"),
-        "chunk", "key",
-    )
+    # 2. banded join on representatives only, under the frequency cap
+    cand = _phash_band_candidates(reps, max_band_freq)
     hamming = sum(
         F.bit_count(
             F.element_at("_b", j + 1).bitwiseXOR(
@@ -847,18 +921,22 @@ def image_phash_pairs(
         )
         for j in range(PHASH_BANDS)
     )
-    return (
-        banded.join(other, ["chunk", "key"])
-        .filter(F.col("_id") < F.col("_id_b"))
-        .select("_id", "_id_b", "_b", "_b_b")
-        .distinct()
+    rep_pairs = cand.select(
+        "_b", "_b_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+    # 3. expand each verified signature pair back to member pairs
+    ma = sigs.select(F.col("_id").alias("_ma"), F.col("_b").alias("_sig_a"))
+    mb = sigs.select(F.col("_id").alias("_mb"), F.col("_b").alias("_sig_b"))
+    cross = (
+        rep_pairs.join(ma, F.col("_b") == F.col("_sig_a"))
+        .join(mb, F.col("_b_b") == F.col("_sig_b"))
         .select(
-            F.col("_id").alias("img_a"),
-            F.col("_id_b").alias("img_b"),
-            hamming.cast("int").alias("hamming"),
+            F.least("_ma", "_mb").alias("img_a"),
+            F.greatest("_ma", "_mb").alias("img_b"),
+            "hamming",
         )
-        .filter(F.col("hamming") <= max_hamming)
     )
+    return intra.unionAll(cross)
 
 
 def _parse_image_pixels(payload: bytes):
@@ -955,7 +1033,11 @@ def decode_to_phash_grid(media: DataFrame, codec: str = "stdlib") -> DataFrame:
                     grids.append(
                         gray_to_phash_grid(_parse_image_pixels(payload))
                     )
-                except (ValueError, IndexError, KeyError, EOFError):
+                except Exception:
+                    # decode_media's sentinel discipline: ANY decode
+                    # failure (incl. zlib.error on corrupt IDAT,
+                    # struct.error on truncated IHDR — r11 advice)
+                    # quarantines the row instead of failing the batch
                     grids.append(None)
             yield pd.DataFrame({"media_id": ids, "grid": grids})
 

@@ -944,3 +944,129 @@ def test_image_exact_groups_collapses_identical_hashes(spark):
     got = multimodal.image_exact_groups(df, "i", "grid").collect()
     assert len(got) == 1
     assert (got[0].n_copies, got[0].keeper_id) == (2, 3)
+
+
+def _grid_from_bits(bits: int) -> list[int]:
+    """A 9x8 grid whose dHash bits equal ``bits`` exactly: each row's
+    9 cells walk down (bit set: cell > next) or up from 100."""
+    grid = []
+    for r in range(8):
+        row = [100]
+        for c in range(8):
+            row.append(row[-1] - 1 if (bits >> (r * 8 + c)) & 1
+                       else row[-1] + 1)
+        grid.extend(row)
+    return grid
+
+
+def test_grid_from_bits_roundtrips_bands():
+    bits = 0xDEADBEEFCAFE1234
+    bands = multimodal.py_dhash_bands(_grid_from_bits(bits))
+    got = sum(b << (16 * j) for j, b in enumerate(bands))
+    assert got == bits
+
+
+def test_image_phash_hot_band_guard(spark):
+    """r11 verdict item 1, planted hot-band fixture: 60 images share
+    ONE band-0 value (near-constant web frames) but are pairwise far
+    apart elsewhere; 3 planted near-dup pairs agree on bands 2-3.
+    Pins: (a) candidate volume under the cap is bounded (the hot
+    bucket never enters the band join) while the uncapped volume is
+    quadratic in the bucket; (b) output recall is UNCHANGED by the
+    cap — capped output == uncapped output == Python brute force."""
+    hot_low = 0x5A5A  # shared band-0 value for every hot member
+    rows = []
+    for i in range(60):
+        hi = (i * 0x9E3779B97F4A7C15) & ((1 << 48) - 1)
+        rows.append((i, _grid_from_bits((hi << 16) | hot_low)))
+    # planted near-dup pairs: 2 differing bits, both inside band 1,
+    # so each pair still agrees on bands 0 (hot), 2 and 3
+    for j in range(3):
+        base = ((0xA0A0 + j) << 48) | ((0x1111 * (j + 1)) << 32) \
+            | ((0x00FF ^ (j << 4)) << 16) | hot_low
+        rows.append((100 + 2 * j, _grid_from_bits(base)))
+        rows.append((101 + 2 * j, _grid_from_bits(base ^ (0b11 << 20))))
+    df = spark.createDataFrame(rows, ["i", "grid"])
+
+    # python brute force over the planted signatures
+    sig = {i: multimodal.py_dhash_bands(g) for i, g in rows}
+    expected = {
+        (a, b): sum(bin(sig[a][j] ^ sig[b][j]).count("1") for j in range(4))
+        for a in sig for b in sig if a < b
+        if sum(bin(sig[a][j] ^ sig[b][j]).count("1") for j in range(4)) <= 3
+    }
+    assert len(expected) == 3, expected  # only the planted pairs
+
+    capped = {(r.img_a, r.img_b): r.hamming for r in
+              multimodal.image_phash_pairs(
+                  df, "i", "grid", max_band_freq=50).collect()}
+    uncapped = {(r.img_a, r.img_b): r.hamming for r in
+                multimodal.image_phash_pairs(
+                    df, "i", "grid", max_band_freq=None).collect()}
+    assert capped == expected == uncapped
+
+    # candidate-volume bound: the 66-member band-0 bucket is dropped
+    # under the cap; without it the join is quadratic in the bucket
+    sigs = df.select(
+        F.col("i").alias("_id"),
+        multimodal.dhash_bands(F.col("grid")).alias("_b"),
+    )
+    reps = sigs.groupBy("_b").agg(F.min("_id").alias("_rep"))
+    n_capped = multimodal._phash_band_candidates(reps, 50).count()
+    n_uncapped = multimodal._phash_band_candidates(reps, None).count()
+    assert n_uncapped >= 66 * 65 // 2, n_uncapped
+    assert n_capped <= 20, n_capped
+
+
+def test_image_phash_exact_collapse_bounds_band_join(spark):
+    """Exact-group pre-collapse (lossless leg of the hot-band guard):
+    40 byte-identical images contribute ONE representative to the
+    band join, yet every one of the 40*39/2 hamming-0 pairs is still
+    emitted, plus the near-dup expansion to each copy."""
+    base_bits = 0x0123456789ABCDEF
+    rows = [(i, _grid_from_bits(base_bits)) for i in range(40)]
+    rows.append((90, _grid_from_bits(base_bits ^ (1 << 7))))  # 1 bit off
+    df = spark.createDataFrame(rows, ["i", "grid"])
+    got = {(r.img_a, r.img_b): r.hamming for r in
+           multimodal.image_phash_pairs(df, "i", "grid").collect()}
+    assert len(got) == 40 * 39 // 2 + 40
+    assert got[(0, 39)] == 0 and got[(0, 90)] == 1 and got[(39, 90)] == 1
+    sigs = df.select(
+        F.col("i").alias("_id"),
+        multimodal.dhash_bands(F.col("grid")).alias("_b"),
+    )
+    reps = sigs.groupBy("_b").agg(F.min("_id").alias("_rep"))
+    # 2 distinct signatures -> at most C(2,2)=1 candidate pair
+    assert multimodal._phash_band_candidates(reps, 1000).count() == 1
+
+
+def test_phash_quarantines_corrupt_png_streams(spark):
+    """r11 advice item 1: a PNG with a corrupt IDAT stream raises
+    zlib.error and a truncated IHDR raises struct.error inside
+    _parse_image_pixels — both must quarantine to a NULL grid row
+    (decode_media's sentinel discipline), never fail the batch."""
+    import struct
+    import zlib
+
+    good, _ = _make_png_gray8(6, 4)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0)
+    corrupt_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", b"\x78\x9c\xff\xff\xff\xff")
+                    + chunk(b"IEND", b""))
+    truncated_ihdr = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr[:5])
+                      + chunk(b"IEND", b""))
+    media = _media_frame(
+        spark,
+        [(1, "image", corrupt_idat, "image/png"),
+         (2, "image", truncated_ihdr, "image/png"),
+         (3, "image", good, "image/png")],
+    )
+    got = {r.media_id: r.grid for r in
+           multimodal.decode_to_phash_grid(media).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] is not None and len(got[3]) == 72
