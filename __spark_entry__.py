@@ -67,11 +67,61 @@ _R11_ROTATION: tuple[str, ...] = (
 )
 
 
+# Round-12 driver-sample rotation (VERDICT r11 items 7+8): the next-
+# stalest cohort — every oracled entry last driver-sampled in r5 (the
+# round-5 curation/PCA/pagerank block, 33 entries) plus the head of the
+# r7 block to fill the ~50-entry window. The 4 rows-only engine-hash
+# entries (no_oracle by design; their portable twins carry the check)
+# are EXCLUDED from the front and pinned to the very back so driver
+# sample slots are never burned on rows-only checks again.
+_R12_NEW: tuple[str, ...] = (
+    "html_table_rows",
+    "dedup_video_frames",
+    "dedup_audio_fingerprint",
+    "tokenizer_roundtrip_docs",
+    "tokenizer_export_manifest",
+)
+_R12_ROTATION: tuple[str, ...] = (
+    # last sampled r5
+    "ann_int8_topk", "ann_matryoshka_prefix_recall",
+    "band_join_order_tiers", "cohort_retention",
+    "dedup_corpus_quality_keepers", "dedup_exact_spans",
+    "dedup_semantic_clustered", "dq_documents_suite", "dq_orders_suite",
+    "event_transition_matrix", "fuzzy_name_pairs",
+    "hard_negatives_contrastive", "histogram_order_values",
+    "order_percentile_ranks", "overlap_shipment_pairs",
+    "pack_training_sequences", "pagerank_trade_nations",
+    "pca_embedding_projection", "pii_redact_names",
+    "q5_local_supplier_volume", "recursive_org_depth",
+    "rolling_1h_user_value", "rollup_incremental_user_stats",
+    "rollup_incremental_user_variance",
+    "rollup_incremental_value_quantiles", "semi_join_fast_parts",
+    "shard_docs_by_token_budget", "spatial_near_customers",
+    "token_entropy_scores", "unigram_logprob_scores",
+    "unpivot_part_metrics", "weighted_median_price_by_flag",
+    "weighted_sample_docs",
+    # head of the r7 block (fills the window)
+    "ann_cosine_topk_vec", "basket_pair_affinity",
+    "bigram_logprob_scores", "chi2_event_type_hour", "chunk_text_cdc",
+    "chunk_text_windows", "curation_manifest_docs",
+    "decontaminate_vs_benchmark", "dedup_component_groups",
+    "dedup_containment_pairs", "dedup_incremental_fold",
+)
+_NO_ORACLE_BACK: tuple[str, ...] = (
+    "sketch_event_stats", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_component_groups_lsh",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    front = ["return_pct_by_nation", *_R11_NEW, *_R11_ROTATION]
-    out = {k: base[k] for k in front}
-    out.update((k, v) for k, v in base.items() if k not in out)
+    front = ["return_pct_by_nation", *_R12_NEW, *_R12_ROTATION]
+    out = {k: base[k] for k in front if k in base}
+    out.update(
+        (k, v) for k, v in base.items()
+        if k not in out and k not in _NO_ORACLE_BACK
+    )
+    out.update((k, base[k]) for k in _NO_ORACLE_BACK)
     return out
 
 
@@ -103,6 +153,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_customers": Q.distinct_agg_customers,
         "set_union_distinct": Q.set_union_distinct,
         "view_layering": Q.view_layering,
+        # round-12 additions (inside the sample window via _R12_NEW)
+        "html_table_rows": X.html_table_rows,
         # round-11 additions (inside the sample window via _R11_NEW)
         "main_content_multilingual_docs": X.main_content_multilingual_docs,
         "dedup_image_phash": X.dedup_image_phash,
@@ -6132,6 +6184,109 @@ def oracle_sql() -> dict[str, str]:
         """,
         # LANGUAGE-AWARE main-content (r10 verdict item 1): same
         # six-language planted-article page, bank selected by a CASE
+        # structured table extraction: same planted-table page (header
+        # entities, inline tag in a cell, unclosed <tr>, nested table,
+        # all-caps tags), same shared-dialect regexes, same
+        # split-on-open / slice-off-first-fragment / aligned-tag-zip
+        # pipeline, same one-pass entity decode on the cell text
+        "html_table_rows": f"""
+            WITH wrapped AS (
+                SELECT doc_id,
+                       '<html><body><p>' || text ||
+                       '</p><table class="t1"><tr><th>field</th>' ||
+                       '<th>value &amp; &#x42;</th></tr>' ||
+                       '<tr><td>doc<b>id</b></td><td>' ||
+                       CAST(doc_id AS VARCHAR) || '</td></tr>' ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '<tr><td>open row ' ||
+                                 CAST(doc_id % 7 AS VARCHAR) ||
+                                 '</td><td>x</td>'
+                            ELSE '' END ||
+                       '<tr><td>n_chars</td><td>' ||
+                       CAST(length(text) AS VARCHAR) ||
+                       '</td></tr></table>' ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '<table><tr><td>outer<table><tr><td>'
+                                 || 'inner ' ||
+                                 CAST(doc_id % 5 AS VARCHAR) ||
+                                 '</td></tr></table></td></tr>' ||
+                                 '<tr><td>lost</td></tr></table>'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '<TABLE><TR><TD>caps ' ||
+                                 CAST(doc_id % 11 AS VARCHAR) ||
+                                 '</TD></TR></TABLE>'
+                            ELSE '' END ||
+                       '</body></html>' AS html
+                FROM documents
+            ),
+            tarr AS (
+                SELECT doc_id,
+                       regexp_extract_all(html,
+                           '{_WC.TABLE_BODY_RE}', 1) AS tbs
+                FROM wrapped
+            ),
+            texp AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(tbs))) AS ti, tbs
+                FROM tarr
+            ),
+            tbody AS (
+                SELECT doc_id, CAST(ti - 1 AS INT) AS table_idx,
+                       tbs[CAST(ti AS INT)] AS tb
+                FROM texp
+            ),
+            rarr AS (
+                SELECT doc_id, table_idx,
+                       list_slice(
+                           string_split_regex(tb, '{_WC.TR_OPEN_RE}'),
+                           2, 2147483647) AS rws
+                FROM tbody
+            ),
+            rexp AS (
+                SELECT doc_id, table_idx,
+                       unnest(generate_series(1, len(rws))) AS ri, rws
+                FROM rarr
+            ),
+            rowc AS (
+                SELECT doc_id, table_idx, CAST(ri - 1 AS INT) AS row_idx,
+                       rws[CAST(ri AS INT)] AS rc
+                FROM rexp
+            ),
+            carr AS (
+                SELECT doc_id, table_idx, row_idx,
+                       list_transform(
+                           regexp_extract_all(rc, '{_WC.CELL_TAG_RE}', 1),
+                           x -> lower(x)) AS tags,
+                       list_slice(
+                           string_split_regex(rc, '{_WC.CELL_OPEN_RE}'),
+                           2, 2147483647) AS cs
+                FROM rowc
+            ),
+            cexp AS (
+                SELECT doc_id, table_idx, row_idx,
+                       unnest(generate_series(1, len(cs))) AS ci,
+                       tags, cs
+                FROM carr
+            ),
+            cellraw AS (
+                SELECT doc_id, table_idx, row_idx,
+                       CAST(ci - 1 AS INT) AS col_idx,
+                       tags[CAST(ci AS INT)] = 'th' AS is_header,
+                       regexp_replace(regexp_replace(cs[CAST(ci AS INT)],
+                           '(?is)</(?:td|th|tr|table)\\b.*', ' ', 'g'),
+                           '<[^>]*>', ' ', 'g') AS t
+                FROM cexp
+            ),
+            {_entity_decode_ctes(
+                "cellraw", "t",
+                "doc_id, table_idx, row_idx, col_idx, is_header")}
+            SELECT doc_id, table_idx, row_idx, col_idx, is_header,
+                   trim(regexp_replace(t, '__WS_RE__', ' ', 'g'))
+                       AS cell_text
+            FROM entdec
+            ORDER BY doc_id, table_idx, row_idx, col_idx
+        """.replace("__WS_RE__", _WC.WS_RE),
         # over the interpolated MAIN_STOPWORD_BANKS literals, script
         # counts via the same literal char classes, same
         # script-coverage fallback term

@@ -1423,3 +1423,99 @@ def card_number_counts(text: Column | str) -> dict[str, Column]:
             F.filter(cands, luhn_valid)
         ).cast("long"),
     }
+
+
+# ---------------------------------------------------------------------------
+# HTML table extraction (r11 verdict item 9): <table>/<tr>/<td|th> ->
+# one structured record per CELL. html_extract_text and
+# html_main_content flatten tables to prose; a crawl-extraction
+# pipeline also wants the tabular payload as rows (the Common Crawl
+# "structured extraction" step). Rule-based like the rest of this
+# module — a full DOM parse is a different tool — with the edge rules
+# pinned in tests/test_webcrawl.py and replayed by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+#: A table's inner HTML: lazy body, so a NESTED table truncates the
+#: OUTER capture at the inner's first </table> (and the outer's
+#: trailing rows, having no remaining <table> open, are dropped) —
+#: the documented rule-based behavior for malformed/nested markup.
+TABLE_BODY_RE = r"(?is)<table\b[^>]*>(.*?)</table>"
+#: Row/cell OPEN tags are split boundaries, so a missing close tag
+#: ends a row/cell at the next open (or at the container's end) —
+#: tolerant of the common </tr>-omitted markup.
+TR_OPEN_RE = r"(?i)<tr\b[^>]*>"
+CELL_OPEN_RE = r"(?i)<t[dh]\b[^>]*>"
+#: Tag-name group aligned 1:1 with the CELL_OPEN_RE split boundaries
+#: (same pattern, capturing) — 'th' marks a header cell.
+CELL_TAG_RE = r"(?i)<(t[dh])\b[^>]*>"
+
+
+def _cell_visible_text(c: Column) -> Column:
+    """Cell inner HTML -> visible text: truncate at the first
+    row/cell/table CLOSE tag (content past it belongs to the
+    container), inline tags to spaces, one-pass entity decode,
+    whitespace collapsed."""
+    t = F.regexp_replace(c, r"(?is)</(?:td|th|tr|table)\b.*", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    t = decode_html_entities(t)
+    return F.trim(F.regexp_replace(t, WS_RE, " "))
+
+
+def html_table_rows(
+    df: DataFrame, html_col: str, id_col: str
+) -> DataFrame:
+    """Structured table extraction: one output row per table CELL —
+    (id, table_idx, row_idx, col_idx, is_header, cell_text), all
+    indexes 0-based in document order.
+
+    Plan shape: three posexplodes over scan-side regex work — tables
+    by regexp_extract_all, rows and cells by split-on-open-tag (limit
+    -1 so trailing empties survive identically in both engines; the
+    pre-first-boundary fragment is dropped with slice) with the cell
+    tag names extracted by the aligned capturing pattern and zipped
+    to the contents. Zero joins, zero shuffles: output volume is the
+    cell count, linear in corpus size, and every regex is shared
+    Java/RE2 syntax so the whole pipeline replays in the DuckDB
+    oracle."""
+    rows_arr = F.split(F.col("_tbody"), TR_OPEN_RE, -1)
+    tags = F.transform(
+        F.regexp_extract_all(F.col("_rowc"), F.lit(CELL_TAG_RE), F.lit(1)),
+        F.lower,
+    )
+    conts = F.split(F.col("_rowc"), CELL_OPEN_RE, -1)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.col(html_col), F.lit(TABLE_BODY_RE), F.lit(1)
+                )
+            ).alias("table_idx", "_tbody"),
+        )
+        .select(
+            "doc_id",
+            "table_idx",
+            F.posexplode(
+                F.slice(rows_arr, 2, F.size(rows_arr))
+            ).alias("row_idx", "_rowc"),
+        )
+        .select(
+            "doc_id",
+            "table_idx",
+            "row_idx",
+            F.posexplode(
+                F.arrays_zip(
+                    tags.alias("tag"),
+                    F.slice(conts, 2, F.size(conts)).alias("c"),
+                )
+            ).alias("col_idx", "_cell"),
+        )
+        .select(
+            "doc_id",
+            "table_idx",
+            "row_idx",
+            "col_idx",
+            (F.col("_cell.tag") == "th").alias("is_header"),
+            _cell_visible_text(F.col("_cell.c")).alias("cell_text"),
+        )
+    )

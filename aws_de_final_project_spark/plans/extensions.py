@@ -5043,3 +5043,65 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def html_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured HTML table extraction (operators/webcrawl
+    .html_table_rows — r11 verdict item 9): each document becomes a
+    page with a 3-row data table (header row with an entity + an
+    inline tag in a cell), an UNCLOSED <tr> on every 3rd doc (the
+    row must end at the next open tag), a NESTED table on every 4th
+    (the outer capture truncates at the inner's first </table> and
+    the outer's trailing row drops — the documented rule), and an
+    all-caps <TABLE> on every 5th (case-insensitive tags). One row
+    per CELL: (doc_id, table_idx, row_idx, col_idx, is_header,
+    cell_text). Three posexplodes over scan-side regex work, zero
+    joins, zero shuffles before the output sort. FULL DuckDB oracle
+    replays the same split/extract pipeline (shared Java/RE2
+    regexes, limit -1 splits, slice-off-first-fragment)."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p><table class=\"t1\"><tr><th>field</th>"
+              "<th>value &amp; &#x42;</th></tr>"
+              "<tr><td>doc<b>id</b></td><td>"),
+        d.cast("string"),
+        F.lit("</td></tr>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<tr><td>open row "),
+                (d % 7).cast("string"),
+                F.lit("</td><td>x</td>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<tr><td>n_chars</td><td>"),
+        F.length("text").cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<table><tr><td>outer<table><tr><td>inner "),
+                (d % 5).cast("string"),
+                F.lit("</td></tr></table></td></tr>"
+                      "<tr><td>lost</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("<TABLE><TR><TD>caps "),
+                (d % 11).cast("string"),
+                F.lit("</TD></TR></TABLE>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    docs = t["documents"].select("doc_id", html.alias("html"))
+    return WC.html_table_rows(docs, "html", "doc_id").orderBy(
+        "doc_id", "table_idx", "row_idx", "col_idx"
+    )

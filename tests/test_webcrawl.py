@@ -1240,3 +1240,58 @@ def test_html_main_content_remaining_banks_fr_pt_nl(spark):
     for lg in arts:
         assert probes[lg] in got[lg], (lg, got[lg])
         assert "cookies" not in got[lg] and "Privacy" not in got[lg]
+
+
+def test_html_table_rows_structure_and_edges(spark):
+    """html_table_rows edge rules, pinned: header cells flagged, a
+    missing </tr> ends the row at the next <tr> open, entities decode
+    inside cells, inline tags become spaces, a NESTED table truncates
+    the outer capture at the inner's first </table> (trailing outer
+    rows drop — the documented rule-based behavior), and a page with
+    no tables yields nothing."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    html = (
+        '<p>pre</p><TABLE class="x"><tr><th>H1</th><th>H &amp; 2</th>'
+        "</tr><tr><td>a<b>bold</b></td><td>b</td>"  # no </tr>
+        "<tr><td>c</td></TABLE>"
+        "<table><tr><td>t2</td></tr></table>"
+    )
+    nested = (
+        "<table><tr><td>outer<table><tr><td>inner</td></tr></table>"
+        "</td></tr><tr><td>lost</td></tr></table>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, nested), (3, "<p>no tables</p>")],
+        ["doc_id", "html"],
+    )
+    got = [
+        tuple(r)
+        for r in WC.html_table_rows(df, "html", "doc_id")
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, 0, 0, True, "H1"),
+        (1, 0, 0, 1, True, "H & 2"),
+        (1, 0, 1, 0, False, "a bold"),
+        (1, 0, 1, 1, False, "b"),
+        (1, 0, 2, 0, False, "c"),
+        (1, 1, 0, 0, False, "t2"),
+        (2, 0, 0, 0, False, "outer"),
+        (2, 0, 1, 0, False, "inner"),
+    ]
+
+
+def test_html_table_rows_plan_is_shuffle_free(spark):
+    """Zero exchanges before any output sort: the three posexplodes
+    and every regex run scan-side."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    df = spark.createDataFrame([(1, "<table><tr><td>x</td></tr></table>")],
+                               ["doc_id", "html"])
+    plan = (
+        WC.html_table_rows(df, "html", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
