@@ -155,6 +155,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_layering": Q.view_layering,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
+        "tokenizer_roundtrip_docs": X.tokenizer_roundtrip_docs,
+        "tokenizer_export_manifest": X.tokenizer_export_manifest,
         # round-11 additions (inside the sample window via _R11_NEW)
         "main_content_multilingual_docs": X.main_content_multilingual_docs,
         "dedup_image_phash": X.dedup_image_phash,
@@ -811,6 +813,97 @@ def _unigram_encode_sql(n_iters: int = 2) -> str:
             GROUP BY doc_id
             ORDER BY doc_id"""
     )
+
+
+def _unigram_roundtrip_sql(n_iters: int = 2) -> str:
+    """GENERATED oracle for tokenizer_roundtrip_docs: the same
+    trained unigram model + one more Viterbi pass (the encode-oracle
+    chain), per-word piece count AND the reassembly identity
+    (pieces are extracted in BACKTRACK order, pc1 = last piece, so
+    the word rebuilds as pcL || ... || pc1 with NULL steps empty),
+    the document join aggregating bool_and over words, and the BPE
+    leg as the same boundary-encode replace chain stripped back and
+    compared to the normalized text."""
+    from aws_de_final_project_spark.functions.text import (
+        UNIGRAM_MAX_PIECE_LEN as P,
+        UNIGRAM_MAX_WORD_LEN as L,
+        UNIGRAM_NEG_INF as NEG,
+    )
+
+    f = n_iters + 1
+    pcs = ", ".join(f"pc{st}" for st in range(1, L + 1))
+    reasm = " || ".join(
+        f"coalesce(pc{st}, '')" for st in range(L, 0, -1)
+    )
+    norm = _NORM.format(c="text")
+    bpe_dec = (
+        f"replace(replace({_bpe_encode_sql(norm)}, '<', ''), '>', '')"
+    )
+    ctes = [_unigram_head_ctes(P, L)]
+    for i in range(1, n_iters + 1):
+        ctes.append(_unigram_round_ctes(i, P, L, NEG, emit_mstep=True))
+    ctes.append(_unigram_round_ctes(f, P, L, NEG, emit_mstep=False))
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + f""",
+            wp AS (
+                SELECT w10, unnest([{pcs}]) AS piece FROM bt{f}_{L}
+            ),
+            wnp AS (
+                SELECT w10, CAST(count(*) AS BIGINT) AS n_pieces
+                FROM wp WHERE piece IS NOT NULL GROUP BY w10
+            ),
+            wrt AS MATERIALIZED (
+                SELECT b.w10, n.n_pieces,
+                       ({reasm}) = b.w10 AS rt
+                FROM bt{f}_{L} b JOIN wnp n USING (w10)
+            ),
+            docw AS (
+                SELECT doc_id, substr(w, 1, {L}) AS w10 FROM (
+                    SELECT doc_id,
+                           unnest(string_split({norm}, ' ')) AS w
+                    FROM documents
+                ) WHERE len(w) >= 2
+            ),
+            unig AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(ws.n_pieces) AS BIGINT) AS n_pieces,
+                       bool_and(ws.rt) AS unigram_roundtrip
+                FROM docw JOIN wrt ws USING (w10)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, u.n_words, u.n_pieces,
+                   ({bpe_dec}) = ({norm}) AS bpe_roundtrip,
+                   u.unigram_roundtrip
+            FROM documents d JOIN unig u ON u.doc_id = d.doc_id
+            ORDER BY d.doc_id"""
+    )
+
+
+def _tokenizer_export_manifest_sql() -> str:
+    """GENERATED oracle for tokenizer_export_manifest: both trainings
+    replayed via the existing unrolled-CTE oracle generators as
+    subqueries, then the identical integer-field rendering
+    (step|lhs|rhs|freq / piece|count) and order-insensitive
+    md5-prefix XOR checksum."""
+    return f"""
+            SELECT 'bpe_merges' AS artifact,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   bit_xor(('0x' || substr(md5(
+                       CAST(step AS VARCHAR) || '|' || lhs || '|' ||
+                       rhs || '|' || CAST(freq AS VARCHAR)), 1, 15))
+                       ::BIGINT) AS checksum_xor
+            FROM ({_bpe_merge_table_sql(16)})
+            UNION ALL
+            SELECT 'unigram_vocab' AS artifact,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   bit_xor(('0x' || substr(md5(
+                       piece || '|' || CAST("count" AS VARCHAR)),
+                       1, 15))::BIGINT) AS checksum_xor
+            FROM ({_unigram_vocab_sql(2)})
+            ORDER BY artifact"""
 
 
 def _phash_val_sql(j: str) -> str:
@@ -5434,6 +5527,12 @@ def oracle_sql() -> dict[str, str]:
         # unigram-LM corpus encoding: same trained model + one more
         # unrolled Viterbi pass + the broadcast word-stats doc join
         "unigram_encode_docs": _unigram_encode_sql(2),
+        # tokenizer round-trip audit (r11 verdict item 5): generated —
+        # unigram reassembly identity + BPE strip-decode compare
+        "tokenizer_roundtrip_docs": _unigram_roundtrip_sql(2),
+        # tokenizer model export manifest: both trainings replayed as
+        # subqueries + the same integer rendering and md5-prefix XOR
+        "tokenizer_export_manifest": _tokenizer_export_manifest_sql(),
         # streaming bounded-state dedup replay: stream output must
         # equal the ORIGINAL events (every planted re-delivery
         # suppressed) — per-type counts + order-independent 60-bit

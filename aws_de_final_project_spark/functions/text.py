@@ -631,12 +631,7 @@ def bpe_encode_symbol_count(
     replaces — identical greedy left-to-right semantics and identical
     ``<sym>`` encoding as :func:`bpe_train_merges`, so a table it
     trains plugs straight in. Symbol count = count of ``<``."""
-    c = F.col(col) if isinstance(col, str) else col
-    enc = F.regexp_replace(normalized_text(c), "([a-z0-9])", "<$1>")
-    for lhs, rhs in merges:
-        enc = F.replace(
-            enc, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")
-        )
+    enc = bpe_boundary_encode(col, merges)
     return (
         F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit("")))
     ).cast("long")
@@ -1118,3 +1113,133 @@ def py_unigram_word_stats(
             cur = bp[cur]
         out[w] = (len(pieces), sum(s[p] for p in pieces))
     return out
+
+
+def unigram_word_pieces(
+    vocab,
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+):
+    """Final-scores Viterbi segmentation per vocabulary word:
+    (w10, pieces) with ``pieces`` in BACKTRACK order (LAST piece
+    first), so reassembly — the decode(encode(w)) identity — is
+    ``array_join(reverse(pieces), '') == w10``. Same train-once /
+    segment-the-vocab-once shape as :func:`unigram_word_stats`; a
+    100 TB round-trip audit broadcasts this |vocab|-row table."""
+    counts = unigram_trained_counts(
+        vocab, n_iters, max_piece_len, n_multi, max_word_len
+    )
+    scores = _unigram_scores(counts).select("piece", "s")
+    return _unigram_viterbi_pieces(
+        vocab.select("w", "c"), scores, max_piece_len, max_word_len
+    ).select("w10", "pieces")
+
+
+def bpe_boundary_encode(
+    col: Column | str,
+    merges: tuple[tuple[str, str], ...] = BPE_VENDORED_MERGES,
+) -> Column:
+    """The ``<sym>`` boundary-encoded form of the normalized text
+    under an ordered merge table — the string
+    :func:`bpe_encode_symbol_count` counts symbols of, exposed so the
+    round-trip audit can DECODE it (strip the boundaries) and compare
+    against the normalized input."""
+    c = F.col(col) if isinstance(col, str) else col
+    enc = F.regexp_replace(normalized_text(c), "([a-z0-9])", "<$1>")
+    for lhs, rhs in merges:
+        enc = F.replace(
+            enc, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")
+        )
+    return enc
+
+
+def bpe_boundary_decode(enc: Column) -> Column:
+    """Inverse of :func:`bpe_boundary_encode`: merges only ever
+    concatenate symbol CONTENTS, so stripping the ``<``/``>``
+    boundaries recovers the normalized text exactly — the BPE
+    round-trip identity."""
+    return F.replace(
+        F.replace(enc, F.lit("<"), F.lit("")), F.lit(">"), F.lit("")
+    )
+
+
+def _portable_xor_checksum(df, render: Column) -> tuple[int, int]:
+    """(n_rows, order-insensitive content checksum) over a row
+    rendering: XOR of the 60-bit ints from each row's md5 prefix —
+    the engine-portable fingerprint discipline (md5 + conv on the
+    Spark side, '0x'||substr cast in DuckDB oracles). One aggregate,
+    two scalars to the driver."""
+    r = df.select(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.bit_xor(
+            F.conv(F.substring(F.md5(render), 1, 15), 16, 10).cast(
+                "long"
+            )
+        ).alias("x"),
+    ).first()
+    return int(r.n), int(r.x if r.x is not None else 0)
+
+
+def export_tokenizer_model(
+    vocab,
+    out_dir: str,
+    n_merges: int = 16,
+    n_iters: int = 2,
+) -> dict:
+    """Train BOTH tokenizer families on the word-frequency vocabulary
+    and materialize the model artifacts a tokenizer consumer loads
+    outside the engine (the SentencePiece model-file contract, r11
+    verdict item 5): ``bpe_merges`` parquet (step, lhs, rhs, freq —
+    the ordered merge list) and ``unigram_vocab`` parquet (piece,
+    count, logp), plus ``_manifest.json`` alongside (underscore
+    prefix: invisible to Spark's file index, the write_token_shards
+    precedent) carrying per-artifact row counts and order-insensitive
+    content checksums so re-exports are diffable and a consumer can
+    verify integrity before loading.
+
+    Checksums render only the INTEGER/STRING fields (merges:
+    step|lhs|rhs|freq; vocab: piece|count) — logp is a pure function
+    of the counts, so including a float rendering would add
+    cross-engine drift risk without pinning anything extra.
+    Determinism (same corpus -> byte-identical manifest) is pinned in
+    tests/test_text_functions.py."""
+    import json
+    import os
+
+    merges = bpe_train_merges(vocab, n_merges)
+    uni = unigram_train(vocab, n_iters)
+    merges.orderBy("step").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "bpe_merges")
+    )
+    uni.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "unigram_vocab")
+    )
+    m_n, m_x = _portable_xor_checksum(
+        merges,
+        F.concat_ws(
+            "|",
+            F.col("step").cast("string"),
+            "lhs",
+            "rhs",
+            F.col("freq").cast("string"),
+        ),
+    )
+    u_n, u_x = _portable_xor_checksum(
+        uni,
+        F.concat_ws("|", "piece", F.col("count").cast("string")),
+    )
+    manifest = {
+        "format_version": 1,
+        "n_merges": n_merges,
+        "n_iters": n_iters,
+        "artifacts": [
+            {"artifact": "bpe_merges", "n_rows": m_n, "checksum_xor": m_x},
+            {"artifact": "unigram_vocab", "n_rows": u_n,
+             "checksum_xor": u_x},
+        ],
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

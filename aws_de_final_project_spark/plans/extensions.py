@@ -5105,3 +5105,119 @@ def html_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WC.html_table_rows(docs, "html", "doc_id").orderBy(
         "doc_id", "table_idx", "row_idx", "col_idx"
     )
+
+
+def tokenizer_roundtrip_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer ROUND-TRIP audit (r11 verdict item 5) — the
+    decode(encode(x)) == x identity for BOTH trained families, per
+    document: the BPE leg boundary-encodes the normalized text under
+    the vendored merge table and strips the boundaries back
+    (functions/text.bpe_boundary_encode/decode — merges only ever
+    concatenate symbol contents, so the strip must recover the
+    normalized text exactly); the unigram leg trains on the word
+    vocabulary, Viterbi-segments every vocab word ONCE under the
+    final scores (functions/text.unigram_word_pieces), checks
+    array_join(reverse(pieces)) == w10 per word, and documents
+    broadcast-join the |vocab|-row verdicts — the 100 TB audit shape
+    (no per-occurrence DP). Output per doc: n_words (len>=2
+    normalized words), n_pieces, bpe_roundtrip, unigram_roundtrip.
+    FULL DuckDB oracle: the same replace-chain encode/strip and the
+    same trained model + one more unrolled Viterbi pass with the
+    piece reassembly compared in SQL."""
+    from aws_de_final_project_spark.functions.text import (
+        bpe_boundary_decode,
+        bpe_boundary_encode,
+        unigram_word_pieces,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    words_per_doc = t["documents"].select(
+        "doc_id",
+        F.explode(F.split(TX.normalized_text("text"), " ")).alias("w"),
+    ).filter(F.length("w") >= 2)
+    vocab = words_per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = unigram_word_pieces(vocab).select(
+        "w10",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        (
+            F.array_join(F.reverse("pieces"), "") == F.col("w10")
+        ).alias("_ok"),
+    )
+    docw = words_per_doc.select(
+        "doc_id", F.substring("w", 1, 10).alias("w10")
+    )
+    uni = (
+        docw.join(F.broadcast(wp), "w10")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.bool_and("_ok").alias("unigram_roundtrip"),
+        )
+    )
+    bpe = t["documents"].select(
+        "doc_id",
+        (
+            bpe_boundary_decode(bpe_boundary_encode("text"))
+            == TX.normalized_text("text")
+        ).alias("bpe_roundtrip"),
+    )
+    return (
+        uni.join(bpe, "doc_id")
+        .select(
+            "doc_id", "n_words", "n_pieces", "bpe_roundtrip",
+            "unigram_roundtrip",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tokenizer_export_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer model EXPORT with integrity manifest (r11 verdict
+    item 5 — the SentencePiece model-file contract): train both
+    families on the corpus word vocabulary, write the loadable
+    artifacts (bpe_merges + unigram_vocab parquet) under a temp model
+    dir with ``_manifest.json`` alongside
+    (functions/text.export_tokenizer_model, the write_token_shards
+    precedent), and return the manifest rows — (artifact, n_rows,
+    checksum_xor) with the order-insensitive md5-XOR content
+    checksum. FULL DuckDB oracle: replays BOTH trainings (the
+    existing generated unrolled-CTE oracles as subqueries) and the
+    same integer-field rendering + XOR, so a green row proves the
+    EXPORTED artifact content, not just the write."""
+    import os
+    import tempfile
+
+    from aws_de_final_project_spark.functions.text import (
+        export_tokenizer_model,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    vocab = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.split(TX.normalized_text("text"), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_tokenizer_model"
+    )
+    manifest = export_tokenizer_model(vocab, out_dir)
+    return spark.createDataFrame(
+        [
+            (a["artifact"], a["n_rows"], a["checksum_xor"])
+            for a in manifest["artifacts"]
+        ],
+        "artifact string, n_rows long, checksum_xor long",
+    ).orderBy("artifact")

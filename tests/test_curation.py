@@ -873,3 +873,89 @@ def test_unigram_word_stats_matches_python_reference(spark):
         for k in set(got) | set(want)
         if got.get(k) != want.get(k)
     }
+
+
+def test_unigram_word_pieces_roundtrip_identity(spark):
+    """decode(encode(w)) == w for every vocabulary word within
+    max_word_len: pieces come back in BACKTRACK order, so
+    ''.join(reversed(pieces)) must rebuild the (truncated) word —
+    including the truncation path (the 20-char word rebuilds its
+    first 10 chars) and the single-char-fallback path ('zq')."""
+    from aws_de_final_project_spark.functions.text import (
+        unigram_word_pieces,
+    )
+
+    wc = {
+        "the": 30, "then": 9, "cat": 12, "that": 8, "hat": 5,
+        "internationalization": 3, "zq": 1, "data": 14, "dates": 6,
+    }
+    vocab = spark.createDataFrame(list(wc.items()), ["w", "c"])
+    got = {
+        r.w10: list(r.pieces)
+        for r in unigram_word_pieces(vocab).collect()
+    }
+    assert set(got) == {w[:10] for w in wc}
+    for w10, pieces in got.items():
+        assert "".join(reversed(pieces)) == w10, (w10, pieces)
+
+
+def test_bpe_boundary_roundtrip_and_symbol_count(spark):
+    """Stripping the boundary encoding recovers the normalized text
+    for every merge table (merges only concatenate symbol contents),
+    and the symbol count still matches the original counter."""
+    from aws_de_final_project_spark.functions.text import (
+        bpe_boundary_decode,
+        bpe_boundary_encode,
+        bpe_encode_symbol_count,
+        normalized_text,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "The cat, and THEN the hat!"), (2, "ingesting data 42"),
+         (3, ""), (4, "zq")],
+        ["i", "t"],
+    )
+    rows = df.select(
+        "i",
+        (bpe_boundary_decode(bpe_boundary_encode("t"))
+         == normalized_text("t")).alias("ok"),
+        bpe_encode_symbol_count("t").alias("n"),
+        F.length(F.regexp_replace(
+            bpe_boundary_encode("t"), "[^<]", "")).alias("n2"),
+    ).collect()
+    assert all(r.ok for r in rows)
+    assert all(r.n == r.n2 for r in rows)
+
+
+def test_export_tokenizer_model_deterministic(spark, tmp_path):
+    """Exporting twice from the same vocabulary yields byte-identical
+    manifests, parquet artifacts that re-read to the manifest row
+    counts, and checksums that CHANGE when the corpus changes."""
+    import json
+
+    from aws_de_final_project_spark.functions.text import (
+        export_tokenizer_model,
+    )
+
+    wc = {
+        "the": 30, "then": 9, "cat": 12, "that": 8, "hat": 5,
+        "data": 14, "dates": 6, "ingest": 4,
+    }
+    vocab = spark.createDataFrame(list(wc.items()), ["w", "c"])
+    d1, d2, d3 = (str(tmp_path / n) for n in ("a", "b", "c"))
+    m1 = export_tokenizer_model(vocab, d1)
+    m2 = export_tokenizer_model(vocab, d2)
+    b1 = open(f"{d1}/_manifest.json", "rb").read()
+    b2 = open(f"{d2}/_manifest.json", "rb").read()
+    assert b1 == b2 and m1 == m2
+    for a in m1["artifacts"]:
+        df = spark.read.parquet(f"{d1}/{a['artifact']}")
+        assert df.count() == a["n_rows"], a
+    vocab2 = spark.createDataFrame(
+        [(w, c + (w == "cat")) for w, c in wc.items()], ["w", "c"]
+    )
+    m3 = export_tokenizer_model(vocab2, d3)
+    assert [a["checksum_xor"] for a in m3["artifacts"]] != [
+        a["checksum_xor"] for a in m1["artifacts"]
+    ]
