@@ -157,6 +157,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_rows": X.html_table_rows,
         "tokenizer_roundtrip_docs": X.tokenizer_roundtrip_docs,
         "tokenizer_export_manifest": X.tokenizer_export_manifest,
+        "dedup_video_frames": X.dedup_video_frames,
+        "dedup_audio_fingerprint": X.dedup_audio_fingerprint,
         # round-11 additions (inside the sample window via _R11_NEW)
         "main_content_multilingual_docs": X.main_content_multilingual_docs,
         "dedup_image_phash": X.dedup_image_phash,
@@ -915,6 +917,28 @@ def _phash_val_sql(j: str) -> str:
     return (
         f"(((a89 + 3) * (a197 + ({j}) + 1) * (({j}) + 2)) % 197 "
         f"+ CASE WHEN noisy = 1 AND ({j}) = 40 THEN 29 ELSE 0 END)"
+    )
+
+
+def _video_val_sql(j: str) -> str:
+    """dedup_video_frames fixture grid-cell value at index ``j`` for
+    sampled frame column ``f`` (all sampled frames are even, so the
+    noisy bump always applies) — the DuckDB twin of the entry's
+    Python Y4M generator, exact through the real decoder because the
+    luma is a 2x-upscaled constant-block grid (box mean == block)."""
+    return (
+        f"(((a89 + 3) * (a197 + ({j}) + 1) * (({j}) + 2) * (f + 7))"
+        f" % 197 + CASE WHEN noisy = 1 AND ({j}) = 40"
+        " THEN 29 ELSE 0 END)"
+    )
+
+
+def _audio_val_sql(j: str) -> str:
+    """dedup_audio_fingerprint fixture energy-grid value at index
+    ``j`` — same product-form recipe over moduli (193, 83)."""
+    return (
+        f"(((a83 + 5) * (a193 + ({j}) + 2) * (({j}) + 3)) % 193 "
+        f"+ CASE WHEN noisy = 1 AND ({j}) = 31 THEN 17 ELSE 0 END)"
     )
 
 
@@ -6179,6 +6203,142 @@ def oracle_sql() -> dict[str, str]:
         # replay — same closed-form grid, the 64 dHash difference
         # bits folded into four 16-bit bands, pigeonhole band joins
         # for candidates, exact popcount verify
+        # video near-dup by sampled-frame dHash: the fixture's Y4M
+        # luma is a 2x-upscaled closed-form block grid, so the oracle
+        # replays the REAL-decoder pipeline from the same arithmetic
+        # (per-frame grid -> bands -> cross-video band join ->
+        # popcount verify -> per-pair frame count)
+        "dedup_video_frames": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 100 < 3
+                             THEN doc_id - doc_id % 100
+                             ELSE doc_id END) % 197 AS a197,
+                       (CASE WHEN doc_id % 100 < 3
+                             THEN doc_id - doc_id % 100
+                             ELSE doc_id END) % 89 AS a89,
+                       CASE WHEN doc_id % 100 = 2
+                            THEN 1 ELSE 0 END AS noisy
+                FROM documents
+            ),
+            pf AS (
+                SELECT doc_id, a197, a89, noisy,
+                       unnest([0, 2, 4]) AS f
+                FROM params
+            ),
+            bits AS (
+                SELECT doc_id, f, CAST(k AS INT) AS k,
+                       CASE WHEN
+                           {_video_val_sql("(k // 8) * 9 + (k % 8)")}
+                           > {_video_val_sql(
+                               "(k // 8) * 9 + (k % 8) + 1")}
+                           THEN 1 ELSE 0 END AS bit
+                FROM pf, range(64) t(k)
+            ),
+            bands AS (
+                SELECT doc_id, f, k // 16 AS chunk,
+                       CAST(sum(CAST(bit AS BIGINT)
+                                << CAST(k % 16 AS INT)) AS BIGINT)
+                           AS key
+                FROM bits GROUP BY doc_id, f, k // 16
+            ),
+            sigs AS (
+                SELECT doc_id, f,
+                       max(CASE WHEN chunk = 0 THEN key END) AS b0,
+                       max(CASE WHEN chunk = 1 THEN key END) AS b1,
+                       max(CASE WHEN chunk = 2 THEN key END) AS b2,
+                       max(CASE WHEN chunk = 3 THEN key END) AS b3
+                FROM bands GROUP BY doc_id, f
+            ),
+            cands AS (
+                SELECT a.doc_id AS da, a.f AS fa,
+                       b.doc_id AS db, b.f AS fb
+                FROM bands a JOIN bands b
+                  ON a.chunk = b.chunk AND a.key = b.key
+                 AND (a.doc_id < b.doc_id
+                      OR (a.doc_id = b.doc_id AND a.f < b.f))
+                GROUP BY a.doc_id, a.f, b.doc_id, b.f
+            ),
+            verified AS (
+                SELECT da, db,
+                       bit_count(xor(x.b0, y.b0))
+                       + bit_count(xor(x.b1, y.b1))
+                       + bit_count(xor(x.b2, y.b2))
+                       + bit_count(xor(x.b3, y.b3)) AS hamming
+                FROM cands
+                JOIN sigs x ON x.doc_id = da AND x.f = fa
+                JOIN sigs y ON y.doc_id = db AND y.f = fb
+            )
+            SELECT da AS vid_a, db AS vid_b,
+                   CAST(count(*) AS BIGINT) AS n_matching_frames
+            FROM verified
+            WHERE hamming <= 3 AND da <> db
+            GROUP BY da, db
+            HAVING count(*) >= 2
+            ORDER BY vid_a, vid_b
+        """,
+        # audio fingerprint near-dup: closed-form energy grids through
+        # the same banding/verify replay (moduli 193/83, bump 17@31)
+        "dedup_audio_fingerprint": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 100 >= 4 AND doc_id % 100 < 8
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 193 AS a193,
+                       (CASE WHEN doc_id % 100 >= 4 AND doc_id % 100 < 8
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 83 AS a83,
+                       CASE WHEN doc_id % 100 >= 4 AND doc_id % 100 < 8
+                                 AND doc_id % 2 = 1
+                            THEN 1 ELSE 0 END AS noisy
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, CAST(k AS INT) AS k,
+                       CASE WHEN
+                           {_audio_val_sql("(k // 8) * 9 + (k % 8)")}
+                           > {_audio_val_sql(
+                               "(k // 8) * 9 + (k % 8) + 1")}
+                           THEN 1 ELSE 0 END AS bit
+                FROM params, range(64) t(k)
+            ),
+            bands AS (
+                SELECT doc_id, k // 16 AS chunk,
+                       CAST(sum(CAST(bit AS BIGINT)
+                                << CAST(k % 16 AS INT)) AS BIGINT)
+                           AS key
+                FROM bits GROUP BY doc_id, k // 16
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       max(CASE WHEN chunk = 0 THEN key END) AS b0,
+                       max(CASE WHEN chunk = 1 THEN key END) AS b1,
+                       max(CASE WHEN chunk = 2 THEN key END) AS b2,
+                       max(CASE WHEN chunk = 3 THEN key END) AS b3
+                FROM bands GROUP BY doc_id
+            ),
+            cands AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM bands a JOIN bands b
+                  ON a.chunk = b.chunk AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            verified AS (
+                SELECT ia AS audio_a, ib AS audio_b,
+                       CAST(bit_count(xor(x.b0, y.b0))
+                            + bit_count(xor(x.b1, y.b1))
+                            + bit_count(xor(x.b2, y.b2))
+                            + bit_count(xor(x.b3, y.b3)) AS INT)
+                           AS hamming
+                FROM cands
+                JOIN sigs x ON x.doc_id = ia
+                JOIN sigs y ON y.doc_id = ib
+            )
+            SELECT audio_a, audio_b, hamming
+            FROM verified WHERE hamming <= 3
+            ORDER BY audio_a, audio_b
+        """,
         "dedup_image_phash": f"""
             WITH params AS (
                 SELECT doc_id,

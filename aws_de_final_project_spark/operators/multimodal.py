@@ -1069,3 +1069,326 @@ def image_exact_groups(
         .filter(F.col("n_copies") >= 2)
         .orderBy("keeper_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video frame decode + frame-level near-dup (r11 verdict item 3): two
+# restricted-profile container decoders that need nothing beyond the
+# stdlib + the existing baseline-JPEG decoder — Y4M (YUV4MPEG2: text
+# header + raw planar frames) and MJPEG (concatenated baseline JPEGs,
+# each frame already handled by _parse_jpeg_planes). Sampled frames
+# feed the SAME 9x8 box-mean grid -> dHash -> pigeonhole-band path as
+# still images, so video near-dup is "videos sharing enough near-dup
+# sampled frames" — one extra aggregate over the guarded image join.
+# ---------------------------------------------------------------------------
+
+
+def _parse_y4m_frames(payload: bytes):
+    """Restricted-profile YUV4MPEG2 demux -> list of HxW numpy uint8
+    LUMA planes (chroma is parsed past, never decoded — the dHash
+    path is gray). Supported colorspaces: C420* (half-size chroma),
+    C422, C444, Cmono. Malformed headers/frames raise ValueError —
+    the caller quarantines."""
+    import numpy as _np
+
+    data = bytes(payload)
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cs = "C420jpeg"
+    for tok in data[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok.decode("ascii", "replace")
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("missing/invalid Y4M geometry")
+    if cs.startswith("C420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("C422"):
+        chroma = 2 * ((w // 2) * h)
+    elif cs.startswith("C444"):
+        chroma = 2 * (w * h)
+    elif cs.startswith("Cmono"):
+        chroma = 0
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    ysz, pos, frames = w * h, nl + 1, []
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M frame marker")
+        pos = fnl + 1
+        if pos + ysz > len(data):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            _np.frombuffer(data[pos : pos + ysz], dtype=_np.uint8)
+            .reshape(h, w)
+        )
+        pos += ysz + chroma
+    if not frames:
+        raise ValueError("Y4M stream with no frames")
+    return frames
+
+
+def _parse_mjpeg_frames(payload: bytes):
+    """MJPEG demux: the payload is concatenated baseline JPEGs; split
+    on SOI markers (0xFFD8 followed by a marker byte) and decode each
+    frame's LUMA with the existing restricted-profile decoder.
+    Returns a list of (gray-plane | None) — a corrupt FRAME yields
+    None (per-frame quarantine) while the others survive; an empty
+    frame list raises (container-level quarantine)."""
+    data = bytes(payload)
+    starts = []
+    i = 0
+    while True:
+        j = data.find(b"\xff\xd8\xff", i)
+        if j < 0:
+            break
+        starts.append(j)
+        i = j + 3
+    if not starts or starts[0] != 0:
+        raise ValueError("not an MJPEG stream")
+    frames = []
+    for k, s in enumerate(starts):
+        e = starts[k + 1] if k + 1 < len(starts) else len(data)
+        try:
+            _, _, planes = _parse_jpeg_planes(data[s:e])
+            frames.append(planes[0])
+        except Exception:
+            frames.append(None)
+    return frames
+
+
+def _video_frames(payload: bytes):
+    """Container dispatch by magic bytes -> list of (luma | None)."""
+    head = bytes(payload[:9])
+    if head.startswith(b"YUV4MPEG2"):
+        return _parse_y4m_frames(payload)
+    if head[:3] == b"\xff\xd8\xff":
+        return _parse_mjpeg_frames(payload)
+    raise ValueError("unsupported video container")
+
+
+VIDEO_FRAME_GRID_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("grid", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_video_to_frame_grids(
+    media: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """Arrow-batched video decode -> one row per SAMPLED frame
+    (media_id, frame_idx, 9x8 box-mean luma grid): Y4M/MJPEG demux,
+    every ``every_n``-th frame kept, each sampled luma through the
+    same :func:`gray_to_phash_grid` as still images. An undecodable
+    CONTAINER yields one (media_id, NULL, NULL) quarantine row; a
+    corrupt individual MJPEG frame yields (media_id, frame_idx,
+    NULL) while its siblings survive — both pinned in
+    tests/test_multimodal.py."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, grids = [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                try:
+                    frames = _video_frames(payload)
+                except Exception:
+                    ids.append(mid)
+                    idxs.append(None)
+                    grids.append(None)
+                    continue
+                for f in range(0, len(frames), every_n):
+                    ids.append(mid)
+                    idxs.append(f)
+                    grids.append(
+                        None
+                        if frames[f] is None
+                        else gray_to_phash_grid(frames[f])
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "grid": grids,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAME_GRID_SCHEMA)
+
+
+def video_near_pairs(
+    frames: DataFrame,
+    video_col: str,
+    frame_col: str,
+    grid_col: str,
+    max_hamming: int = 3,
+    min_matching_frames: int = 2,
+    max_band_freq: int | None = 1000,
+    max_frames_per_video: int = 1 << 20,
+) -> DataFrame:
+    """Video near-duplicate pairs from sampled-frame dHash matches:
+    (vid_a, vid_b, n_matching_frames), vid_a < vid_b, where a
+    "matching frame" is a cross-video frame pair within
+    ``max_hamming`` — two videos are near-dups when they share at
+    least ``min_matching_frames`` of them (re-encodes, resolution
+    changes, short trims). NULL-grid quarantine rows are dropped
+    first.
+
+    Plan shape: frames get a composite bigint id (video_id *
+    max_frames_per_video + frame_idx) and ride the GUARDED image
+    band join (:func:`image_phash_pairs` — exact-signature
+    pre-collapse + per-(band, value) frequency cap, so near-constant
+    frames cannot go quadratic), then one hash aggregate per video
+    pair. Everything downstream of the decode is the shared
+    still-image machinery."""
+    fid = (
+        F.col(video_col).cast("long") * F.lit(max_frames_per_video)
+        + F.col(frame_col).cast("long")
+    )
+    flat = frames.filter(
+        F.col(grid_col).isNotNull() & F.col(frame_col).isNotNull()
+    ).select(fid.alias("_fid"), F.col(grid_col).alias("_grid"))
+    pairs = image_phash_pairs(
+        flat, "_fid", "_grid",
+        max_hamming=max_hamming, max_band_freq=max_band_freq,
+    )
+    k = F.lit(max_frames_per_video)
+    va = (F.col("img_a") / k).cast("long")
+    vb = (F.col("img_b") / k).cast("long")
+    return (
+        pairs.select(
+            F.least(va, vb).alias("vid_a"),
+            F.greatest(va, vb).alias("vid_b"),
+        )
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint (r11 verdict item 4): Chromaprint-style
+# band-energy SIGN hash — the audio analogue of dHash. Mono PCM splits
+# into PHASH_GRID_W time windows; each window's rFFT power spectrum
+# collapses into PHASH_GRID_H frequency bands; the 72 quantized
+# log-energies form the SAME 9x8 grid the image path hashes, with bit
+# (band, t) = "energy rising between adjacent windows". Amplitude
+# re-encodes scale every energy by the same factor (a constant shift
+# in log space), so all comparisons — and the fingerprint — are
+# invariant; white noise randomizes the signs. Downstream (banding,
+# hot-band guard, exact collapse, popcount verify) is the shared
+# image machinery.
+# ---------------------------------------------------------------------------
+
+
+def _wav_mono_samples(payload: bytes):
+    """Mono float64 sample vector from a PCM WAV payload (the front
+    half of _parse_wav_pcm, shared with the fingerprint path)."""
+    import io
+    import wave as _wave
+
+    import numpy as _np
+
+    with _wave.open(io.BytesIO(bytes(payload))) as wv:
+        nch = wv.getnchannels()
+        sw = wv.getsampwidth()
+        raw = wv.readframes(wv.getnframes())
+    dtype = {2: _np.int16, 4: _np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError("unsupported sample width")
+    arr = _np.frombuffer(raw, dtype=dtype).astype(_np.float64) / float(
+        2 ** (8 * sw - 1)
+    )
+    return arr.reshape(-1, nch).mean(axis=1)
+
+
+def audio_energy_grid(samples) -> list[int]:
+    """9x8 quantized log-band-energy grid from a mono sample vector:
+    PHASH_GRID_W equal time windows (columns), PHASH_GRID_H equal
+    rFFT power bands (rows, DC bin excluded), cell = floor(40 *
+    log10(energy)) as int — row-major (band, window), so
+    :func:`dhash_bands` bits compare a band's energy across ADJACENT
+    windows. Quantization is scale-covariant (gain shifts every cell
+    equally), leaving every comparison bit unchanged."""
+    import math
+
+    import numpy as _np
+
+    n = len(samples)
+    if n < PHASH_GRID_W * 2 * PHASH_GRID_H:
+        raise ValueError("too few samples for a fingerprint grid")
+    grid = [0] * (PHASH_GRID_H * PHASH_GRID_W)
+    for t in range(PHASH_GRID_W):
+        s0, s1 = (t * n) // PHASH_GRID_W, ((t + 1) * n) // PHASH_GRID_W
+        spec = _np.abs(_np.fft.rfft(samples[s0:s1])) ** 2
+        spec = spec[1:]  # drop DC: gain/offset hygiene
+        m = len(spec)
+        for b in range(PHASH_GRID_H):
+            e0, e1 = (b * m) // PHASH_GRID_H, ((b + 1) * m) // PHASH_GRID_H
+            e = float(spec[e0:max(e1, e0 + 1)].sum())
+            grid[b * PHASH_GRID_W + t] = int(
+                math.floor(40.0 * math.log10(e + 1e-12))
+            )
+    return grid
+
+
+def decode_to_audio_fingerprint_grid(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode -> band-energy grid per audio row
+    (media_id, grid) — the audio twin of decode_to_phash_grid, same
+    NULL-grid quarantine discipline for undecodable payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, grids = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                ids.append(mid)
+                if kind != "audio" or payload is None:
+                    grids.append(None)
+                    continue
+                try:
+                    grids.append(
+                        audio_energy_grid(_wav_mono_samples(payload))
+                    )
+                except Exception:
+                    grids.append(None)
+            yield pd.DataFrame({"media_id": ids, "grid": grids})
+
+    return media.mapInPandas(batches, schema=PHASH_GRID_SCHEMA)
+
+
+def audio_fingerprint_pairs(
+    grids: DataFrame,
+    id_col: str,
+    grid_col: str,
+    max_hamming: int = 3,
+    max_band_freq: int | None = 1000,
+) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint Hamming distance:
+    the energy grid rides the identical guarded pigeonhole path as
+    images (:func:`image_phash_pairs` — exact-signature pre-collapse,
+    per-(band, value) frequency cap, popcount verify). Output
+    (img_a, img_b, hamming) renamed to the audio contract."""
+    p = image_phash_pairs(
+        grids, id_col, grid_col,
+        max_hamming=max_hamming, max_band_freq=max_band_freq,
+    )
+    return p.select(
+        F.col("img_a").alias("audio_a"),
+        F.col("img_b").alias("audio_b"),
+        "hamming",
+    )

@@ -5221,3 +5221,118 @@ def tokenizer_export_manifest(
         ],
         "artifact string, n_rows long, checksum_xor long",
     ).orderBy("artifact")
+
+
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by sampled-frame perceptual hash (operators/
+    multimodal: _parse_y4m_frames -> decode_video_to_frame_grids ->
+    video_near_pairs — r11 verdict item 3), THROUGH THE REAL
+    CONTAINER DECODER: every doc becomes a 6-frame 18x16 YUV4MPEG2
+    stream whose luma is a 2x-upscaled 9x8 block grid in closed form
+    from doc_id — box-mean decode recovers each block value EXACTLY,
+    so the FULL DuckDB oracle replays the pipeline from the same
+    arithmetic (grid -> dHash bands -> cross-video frame band join ->
+    popcount verify -> per-video-pair count) without ever seeing the
+    bytes. Docs with doc_id % 100 < 3 form 3-video groups sharing one
+    base stream; the third member's EVEN frames carry a single-cell
+    +29 bump (<= 2 flipped bits — the re-encode shape), so all 3
+    in-group pairs must match on every sampled frame (f = 0, 2, 4)
+    and clear min_matching_frames = 2. Output: (vid_a, vid_b,
+    n_matching_frames). The guarded band join (exact collapse +
+    hot-band cap) is the same machinery as dedup_image_phash."""
+    import numpy as np
+
+    from aws_de_final_project_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, kinds, payloads = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                # aligned group anchor: the first 3 docs of each
+                # 100-block share the block start (d - d % 3 would
+                # misalign at d = 100k and collide with ungrouped
+                # neighbors)
+                anchor = d - d % 100 if d % 100 < 3 else d
+                noisy = d % 100 == 2
+                a197, a89 = anchor % 197, anchor % 89
+                frames = []
+                for f in range(6):
+                    grid = [
+                        ((a89 + 3) * (a197 + i + 1) * (i + 2)
+                         * (f + 7)) % 197
+                        + (29 if noisy and i == 40 and f % 2 == 0
+                           else 0)
+                        for i in range(72)
+                    ]
+                    y = np.repeat(
+                        np.repeat(
+                            np.array(grid, dtype=np.uint8).reshape(8, 9),
+                            2, 0,
+                        ),
+                        2, 1,
+                    )
+                    frames.append(
+                        b"FRAME\n" + y.tobytes() + bytes([128]) * 144
+                    )
+                payloads.append(
+                    b"YUV4MPEG2 W18 H16 F25:1 Ip A1:1 C420jpeg\n"
+                    + b"".join(frames)
+                )
+                ids.append(d)
+                kinds.append("video")
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    grids = MM.decode_video_to_frame_grids(media, every_n=2)
+    return MM.video_near_pairs(
+        grids, "media_id", "frame_idx", "grid",
+        max_hamming=3, min_matching_frames=2,
+    ).orderBy("vid_a", "vid_b")
+
+
+def dedup_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup by band-energy sign fingerprint (operators/
+    multimodal: audio_energy_grid -> audio_fingerprint_pairs — r11
+    verdict item 4): the entry synthesizes each doc's 9x8 quantized
+    log-energy grid ARITHMETICALLY in closed form (the
+    dedup_image_phash discipline — the REAL WAV -> rFFT -> grid
+    composition is pinned by the planted amplitude-re-encode and
+    white-noise tests in tests/test_multimodal.py, which drive the
+    same hash from real PCM bytes), so the FULL DuckDB oracle replays
+    hash, banding and verify verbatim. Docs with doc_id % 100 in
+    [4, 8) form 4-audio groups sharing one energy pattern; odd
+    members get a single-cell +17 bump (<= 2 flipped bits — the
+    re-encode/transcode shape). Same guarded pigeonhole join as
+    images (exact collapse + hot-band cap)."""
+    from aws_de_final_project_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    grouped = (d % 100 >= 4) & (d % 100 < 8)
+    anchor = F.when(grouped, d - d % 4).otherwise(d)
+    noisy = grouped & (d % 2 == 1)
+    a193 = anchor % 193
+    a83 = anchor % 83
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: (
+            ((a83 + 5) * (a193 + i + 2) * (i + 3)) % 193
+            + F.when(noisy & (i == 31), F.lit(17)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    auds = t["documents"].select("doc_id", grid.alias("grid"))
+    return MM.audio_fingerprint_pairs(
+        auds, "doc_id", "grid", max_hamming=3
+    ).orderBy("audio_a", "audio_b")

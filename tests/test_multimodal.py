@@ -1070,3 +1070,175 @@ def test_phash_quarantines_corrupt_png_streams(spark):
            multimodal.decode_to_phash_grid(media).collect()}
     assert got[1] is None and got[2] is None
     assert got[3] is not None and len(got[3]) == 72
+
+
+def _make_y4m(frames, colorspace=b"C420jpeg") -> bytes:
+    """A real YUV4MPEG2 stream from HxW uint8 luma arrays (chroma
+    planes constant 128)."""
+    import numpy as np
+
+    h, w = np.asarray(frames[0]).shape
+    if colorspace.startswith(b"C420"):
+        chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+    elif colorspace == b"Cmono":
+        chroma = b""
+    else:
+        raise ValueError(colorspace)
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n"
+           % (w, h, colorspace)]
+    for f in frames:
+        out.append(b"FRAME\n"
+                   + np.asarray(f, dtype=np.uint8).tobytes() + chroma)
+    return b"".join(out)
+
+
+def test_y4m_decode_samples_exact_grids(spark):
+    """Y4M demux through decode_video_to_frame_grids: 2x-upscaled
+    block-grid frames decode to EXACTLY the source grid (box mean ==
+    block value), every_n sampling keeps frames 0 and 2 of 4, and
+    Cmono (no chroma) parses too."""
+    import numpy as np
+
+    from aws_de_final_project_spark.operators import multimodal
+
+    grids = [[(i * 13 + f * 7) % 200 for i in range(72)]
+             for f in range(4)]
+    frames = [np.repeat(np.repeat(
+        np.array(g, dtype=np.uint8).reshape(8, 9), 2, 0), 2, 1)
+        for g in grids]
+    media = _media_frame(
+        spark,
+        [(1, "video", _make_y4m(frames), "video/x-y4m"),
+         (2, "video", _make_y4m(frames[:1], b"Cmono"), "video/x-y4m")],
+    )
+    got = {(r.media_id, r.frame_idx): r.grid for r in
+           multimodal.decode_video_to_frame_grids(
+               media, every_n=2).collect()}
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 0)] == grids[0]
+    assert got[(1, 2)] == grids[2]
+    assert got[(2, 0)] == grids[0]
+
+
+def test_video_near_pairs_real_decoder_and_quarantine(spark):
+    """End-to-end video near-dup through the REAL Y4M decoder: a
+    base video, a re-encode-shaped copy (one cell bumped per frame,
+    <= 2 flipped bits), an unrelated video, a corrupt container
+    (quarantine row, no pairs), and an MJPEG whose middle frame is
+    corrupt (frame-level NULL, siblings survive)."""
+    import numpy as np
+
+    from aws_de_final_project_spark.operators import multimodal
+
+    def vid(bump):
+        frames = []
+        for f in range(4):
+            g = [((7 + i + 1) * (i + 2) * (f + 3)) % 197
+                 for i in range(72)]
+            if bump:
+                g[40] += 29
+            frames.append(np.repeat(np.repeat(
+                np.array(g, dtype=np.uint8).reshape(8, 9), 2, 0), 2, 1))
+        return _make_y4m(frames)
+
+    def other():
+        frames = [np.repeat(np.repeat(np.array(
+            [((11 + i) * (i + 5) * (f + 13)) % 191 for i in range(72)],
+            dtype=np.uint8).reshape(8, 9), 2, 0), 2, 1)
+            for f in range(4)]
+        return _make_y4m(frames)
+
+    jpg = _make_jpeg_gray8(
+        np.tile(np.arange(16, 80, 4, dtype=np.uint8), (16, 1)))
+    mjpeg = jpg + jpg + b"\xff\xd8\xffgarbage-frame"
+    media = _media_frame(
+        spark,
+        [(1, "video", vid(False), "video/x-y4m"),
+         (2, "video", vid(True), "video/x-y4m"),
+         (3, "video", other(), "video/x-y4m"),
+         (4, "video", b"YUV4MPEG2 W18 H16\nFRAME\nshort", "video/x-y4m"),
+         (5, "video", mjpeg, "video/x-mjpeg")],
+    )
+    grids = multimodal.decode_video_to_frame_grids(media, every_n=2)
+    rows = grids.collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.media_id, []).append(r)
+    # corrupt container -> one (NULL, NULL) quarantine row
+    assert len(by_vid[4]) == 1
+    assert by_vid[4][0].frame_idx is None and by_vid[4][0].grid is None
+    # corrupt MJPEG middle frame -> NULL grid, siblings decoded
+    m5 = {r.frame_idx: r.grid for r in by_vid[5]}
+    assert set(m5) == {0, 2}
+    assert m5[0] is not None and m5[2] is None  # frames 0,1,2 sampled 0,2
+    pairs = {(r.vid_a, r.vid_b): r.n_matching_frames for r in
+             multimodal.video_near_pairs(
+                 grids, "media_id", "frame_idx", "grid",
+                 min_matching_frames=2).collect()}
+    assert pairs == {(1, 2): 2}
+
+
+def test_audio_fingerprint_real_wav_invariance(spark):
+    """The REAL audio path: PCM WAV -> rFFT band-energy grid ->
+    fingerprint. An amplitude re-encode (x0.5, requantized int16)
+    keeps every energy comparison (gain is a constant log shift) so
+    the copy pairs with the original; deterministic white noise does
+    not; a corrupt payload quarantines."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from aws_de_final_project_spark.operators import multimodal
+
+    rate, wn, nw = 8192, 1024, 9
+
+    def tone_wav(scale):
+        samples = []
+        for t in range(nw):
+            amps = [1.5 ** ((t * (b + 2) + b) % 5) for b in range(8)]
+            for k in range(wn):
+                v = sum(a * math.sin(2 * math.pi * (b * 64 + 32)
+                                     * k / wn)
+                        for b, a in enumerate(amps))
+                samples.append(v)
+        peak = max(abs(s) for s in samples)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"".join(
+                struct.pack("<h", int(scale * s / peak * 30000))
+                for s in samples))
+        return buf.getvalue()
+
+    def noise_wav():
+        x, out = 12345, []
+        buf = io.BytesIO()
+        for _ in range(wn * nw):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            out.append(struct.pack("<h", (x % 40000) - 20000))
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"".join(out))
+        return buf.getvalue()
+
+    media = _media_frame(
+        spark,
+        [(1, "audio", tone_wav(1.0), "audio/wav"),
+         (2, "audio", tone_wav(0.5), "audio/wav"),
+         (3, "audio", noise_wav(), "audio/wav"),
+         (4, "audio", b"RIFFnot-really-a-wav", "audio/wav")],
+    )
+    grids = multimodal.decode_to_audio_fingerprint_grid(media)
+    got = {r.media_id: r.grid for r in grids.collect()}
+    assert got[4] is None and got[3] is not None
+    pairs = {(r.audio_a, r.audio_b): r.hamming for r in
+             multimodal.audio_fingerprint_pairs(
+                 grids.filter("grid is not null"), "media_id", "grid"
+             ).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3, pairs
+    assert not any(3 in p for p in pairs), pairs
