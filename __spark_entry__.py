@@ -76,6 +76,7 @@ _R11_ROTATION: tuple[str, ...] = (
 # sample slots are never burned on rows-only checks again.
 _R12_NEW: tuple[str, ...] = (
     "html_table_rows",
+    "avro_roundtrip_stats",
     "dedup_video_frames",
     "dedup_audio_fingerprint",
     "tokenizer_roundtrip_docs",
@@ -159,6 +160,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_export_manifest": X.tokenizer_export_manifest,
         "dedup_video_frames": X.dedup_video_frames,
         "dedup_audio_fingerprint": X.dedup_audio_fingerprint,
+        "avro_roundtrip_stats": X.avro_roundtrip_stats,
         # round-11 additions (inside the sample window via _R11_NEW)
         "main_content_multilingual_docs": X.main_content_multilingual_docs,
         "dedup_image_phash": X.dedup_image_phash,
@@ -5093,6 +5095,17 @@ def oracle_sql() -> dict[str, str]:
         # aggregate of the parquet ORIGINAL — a green row proves the
         # ORC write->read roundtrip lossless (60-bit md5 XOR covers
         # full text content, order-independent)
+        # avro OCF roundtrip: same original-table aggregate as orc
+        "avro_roundtrip_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                       AS text_checksum_xor
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
         "orc_roundtrip_stats": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -28,6 +28,13 @@ import __spark_entry__ as entrymod  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "return_pct_by_nation",
+    # round-12 additions
+    "html_table_rows",
+    "avro_roundtrip_stats",
+    "tokenizer_roundtrip_docs",
+    "tokenizer_export_manifest",
+    "dedup_video_frames",
+    "dedup_audio_fingerprint",
     # round-11 additions
     "main_content_multilingual_docs",
     "dedup_image_phash",

@@ -183,6 +183,20 @@ DOC_QUERIES = [
     # a pure scan — the claim is flat scan speed all the way to the
     # 500k-doc x100 tier
     "lang_id_classifier_docs",
+    # round-12 (VERDICT r11 #2): the two new r11 heavies with no
+    # probe rows — banded image phash (groups are doc_id-derived, so
+    # the id-shifted copies scale planted pairs exactly linearly) and
+    # the broadcast unigram encode (cipher copies grow |vocab| ~10x,
+    # so the claim is vocab-linear training + scan-linear encode)
+    "dedup_image_phash",
+    "unigram_encode_docs",
+    # round-12 additions: frame-sampled video banding, audio
+    # fingerprint banding, scan-side table extraction, and the
+    # tokenizer round-trip audit (train + broadcast verdict join)
+    "dedup_video_frames",
+    "dedup_audio_fingerprint",
+    "html_table_rows",
+    "tokenizer_roundtrip_docs",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
@@ -223,6 +237,10 @@ X30_QUERIES = [
     "bpe_merge_candidates",
     # round-11: x30 baseline for the lang-id x100 flat-scan claim
     "lang_id_classifier_docs",
+    # round-12 (VERDICT r11 #2): one more decade for the two r11
+    # heavies so superlinearity can't hide between decades
+    "dedup_image_phash",
+    "unigram_encode_docs",
 ]
 
 # round-6: the round-5 heavies (triangle enumeration over the
