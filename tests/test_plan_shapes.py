@@ -238,6 +238,10 @@ def test_headline_set_has_no_accidental_cross_product(plans):
         # the encode entry trains the same model first)
         "unigram_lm_vocab",
         "unigram_encode_docs",
+        # r12: both train the same unigram model (same 1-row
+        # bank-total broadcast); the export entry also trains BPE
+        "tokenizer_roundtrip_docs",
+        "tokenizer_export_manifest",
     }
     for name in bench.HEADLINE:
         p = plans(name)
