@@ -5243,9 +5243,12 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from aws_de_final_project_spark.operators import multimodal as MM
+    from aws_de_final_project_spark.operators.util import spread
 
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"].select("doc_id")
+    # 1-file scan = 1 task: the Python Y4M generate + decode chain is
+    # per-row-heavy — fan out first (a no-op at real scale)
+    docs = spread(t["documents"].select("doc_id"))
 
     def gen(it):
         for pdf in it:
