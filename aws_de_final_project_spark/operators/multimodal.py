@@ -891,9 +891,15 @@ def image_phash_pairs(
             f"max_hamming ({max_hamming}) > bands-1 ({PHASH_BANDS - 1}):"
             " pigeonhole banding cannot guarantee recall"
         )
+    # (id, signature) is consumed FIVE times below (reps, both sides
+    # of the hamming-0 self-join, both expansion joins) — materialize
+    # it once or the whole upstream grid/decode subtree re-runs per
+    # consumer (the round-5 multi-consumer lesson; measured 3.5 s ->
+    # 5.9 s at sf0.1 before this checkpoint). The frame is tiny:
+    # one id + four 16-bit bands per image.
     sigs = images.select(
         F.col(id_col).alias("_id"), dhash_bands(F.col(grid_col)).alias("_b")
-    )
+    ).localCheckpoint()
     # 1. exact-group collapse: one representative per distinct signature
     reps = sigs.groupBy("_b").agg(F.min("_id").alias("_rep"))
     # hamming-0 pairs straight off the signature equality (no banding)
