@@ -63,6 +63,11 @@ QUERIES = [
     # chained aggregates + a broadcast seasonal profile
     "cdc_apply_user_state",
     "seasonal_hourly_outliers",
+    # round-12: sf1 slope-flag triage — the deliberate hot-key probe
+    # pair (the plain join IS the planted pathology the salted twin
+    # exists to fix; the fresh rows quantify both)
+    "skew_plain_join",
+    "skew_salted_join",
 ]
 
 # dedup/text family runs against the documents x10/x30 tiers built by
@@ -262,6 +267,9 @@ MISC_QUERIES = [
     # round-6 session: basket pair expansion + two hash aggregates —
     # per-copy disjoint part ids keep pair counts exactly linear
     "basket_pair_affinity",
+    # round-12: sf1 flag triage — brute-force cosine top-k is a pure
+    # linear scan; the sf1 19x read is floor distortion (0.3 s base)
+    "ann_cosine_topk",
 ]
 # one more decade for the misc heavies (x30 = 18M lineitem rows /
 # 30k vectors / 450k customers — fits the memory envelope): decade-
