@@ -76,6 +76,7 @@ _R11_ROTATION: tuple[str, ...] = (
 # sample slots are never burned on rows-only checks again.
 _R12_NEW: tuple[str, ...] = (
     "html_table_rows",
+    "html_table_records",
     "avro_roundtrip_stats",
     "dedup_video_frames",
     "dedup_audio_fingerprint",
@@ -156,6 +157,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_layering": Q.view_layering,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
+        "html_table_records": X.html_table_records,
         "tokenizer_roundtrip_docs": X.tokenizer_roundtrip_docs,
         "tokenizer_export_manifest": X.tokenizer_export_manifest,
         "dedup_video_frames": X.dedup_video_frames,
@@ -908,6 +910,111 @@ def _tokenizer_export_manifest_sql() -> str:
                        1, 15))::BIGINT) AS checksum_xor
             FROM ({_unigram_vocab_sql(2)})
             ORDER BY artifact"""
+
+
+def _html_table_cells_sql() -> str:
+    """Shared WITH-chain for the two table-extraction oracles:
+    planted page -> tables -> rows -> cells -> entity-decoded cell
+    text, ending in CTE ``cellsx`` (doc_id, table_idx, row_idx,
+    col_idx, is_header, cell_text)."""
+    return f"""
+            WITH wrapped AS (
+                SELECT doc_id,
+                       '<html><body><p>' || text ||
+                       '</p><table class="t1"><tr><th>field</th>' ||
+                       '<th>value &amp; &#x42;</th></tr>' ||
+                       '<tr><td>doc<b>id</b></td><td>' ||
+                       CAST(doc_id AS VARCHAR) || '</td></tr>' ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '<tr><td>open row ' ||
+                                 CAST(doc_id % 7 AS VARCHAR) ||
+                                 '</td><td>x</td>'
+                            ELSE '' END ||
+                       '<tr><td>n_chars</td><td>' ||
+                       CAST(length(text) AS VARCHAR) ||
+                       '</td></tr></table>' ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '<table><tr><td>outer<table><tr><td>'
+                                 || 'inner ' ||
+                                 CAST(doc_id % 5 AS VARCHAR) ||
+                                 '</td></tr></table></td></tr>' ||
+                                 '<tr><td>lost</td></tr></table>'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '<TABLE><TR><TD>caps ' ||
+                                 CAST(doc_id % 11 AS VARCHAR) ||
+                                 '</TD></TR></TABLE>'
+                            ELSE '' END ||
+                       '</body></html>' AS html
+                FROM documents
+            ),
+            tarr AS (
+                SELECT doc_id,
+                       regexp_extract_all(html,
+                           '{_WC.TABLE_BODY_RE}', 1) AS tbs
+                FROM wrapped
+            ),
+            texp AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(tbs))) AS ti, tbs
+                FROM tarr
+            ),
+            tbody AS (
+                SELECT doc_id, CAST(ti - 1 AS INT) AS table_idx,
+                       tbs[CAST(ti AS INT)] AS tb
+                FROM texp
+            ),
+            rarr AS (
+                SELECT doc_id, table_idx,
+                       list_slice(
+                           string_split_regex(tb, '{_WC.TR_OPEN_RE}'),
+                           2, 2147483647) AS rws
+                FROM tbody
+            ),
+            rexp AS (
+                SELECT doc_id, table_idx,
+                       unnest(generate_series(1, len(rws))) AS ri, rws
+                FROM rarr
+            ),
+            rowc AS (
+                SELECT doc_id, table_idx, CAST(ri - 1 AS INT) AS row_idx,
+                       rws[CAST(ri AS INT)] AS rc
+                FROM rexp
+            ),
+            carr AS (
+                SELECT doc_id, table_idx, row_idx,
+                       list_transform(
+                           regexp_extract_all(rc, '{_WC.CELL_TAG_RE}', 1),
+                           x -> lower(x)) AS tags,
+                       list_slice(
+                           string_split_regex(rc, '{_WC.CELL_OPEN_RE}'),
+                           2, 2147483647) AS cs
+                FROM rowc
+            ),
+            cexp AS (
+                SELECT doc_id, table_idx, row_idx,
+                       unnest(generate_series(1, len(cs))) AS ci,
+                       tags, cs
+                FROM carr
+            ),
+            cellraw AS (
+                SELECT doc_id, table_idx, row_idx,
+                       CAST(ci - 1 AS INT) AS col_idx,
+                       tags[CAST(ci AS INT)] = 'th' AS is_header,
+                       regexp_replace(regexp_replace(cs[CAST(ci AS INT)],
+                           '(?is)</(?:td|th|tr|table)\\b.*', ' ', 'g'),
+                           '<[^>]*>', ' ', 'g') AS t
+                FROM cexp
+            ),
+            {_entity_decode_ctes(
+                "cellraw", "t",
+                "doc_id, table_idx, row_idx, col_idx, is_header")},
+            cellsx AS (
+                SELECT doc_id, table_idx, row_idx, col_idx, is_header,
+                       trim(regexp_replace(t, '__WS_RE__', ' ', 'g'))
+                           AS cell_text
+                FROM entdec
+            )""".replace("__WS_RE__", _WC.WS_RE)
 
 
 def _phash_val_sql(j: str) -> str:
@@ -6461,104 +6568,43 @@ def oracle_sql() -> dict[str, str]:
         # all-caps tags), same shared-dialect regexes, same
         # split-on-open / slice-off-first-fragment / aligned-tag-zip
         # pipeline, same one-pass entity decode on the cell text
-        "html_table_rows": f"""
-            WITH wrapped AS (
-                SELECT doc_id,
-                       '<html><body><p>' || text ||
-                       '</p><table class="t1"><tr><th>field</th>' ||
-                       '<th>value &amp; &#x42;</th></tr>' ||
-                       '<tr><td>doc<b>id</b></td><td>' ||
-                       CAST(doc_id AS VARCHAR) || '</td></tr>' ||
-                       CASE WHEN doc_id % 3 = 0
-                            THEN '<tr><td>open row ' ||
-                                 CAST(doc_id % 7 AS VARCHAR) ||
-                                 '</td><td>x</td>'
-                            ELSE '' END ||
-                       '<tr><td>n_chars</td><td>' ||
-                       CAST(length(text) AS VARCHAR) ||
-                       '</td></tr></table>' ||
-                       CASE WHEN doc_id % 4 = 0
-                            THEN '<table><tr><td>outer<table><tr><td>'
-                                 || 'inner ' ||
-                                 CAST(doc_id % 5 AS VARCHAR) ||
-                                 '</td></tr></table></td></tr>' ||
-                                 '<tr><td>lost</td></tr></table>'
-                            ELSE '' END ||
-                       CASE WHEN doc_id % 5 = 0
-                            THEN '<TABLE><TR><TD>caps ' ||
-                                 CAST(doc_id % 11 AS VARCHAR) ||
-                                 '</TD></TR></TABLE>'
-                            ELSE '' END ||
-                       '</body></html>' AS html
-                FROM documents
-            ),
-            tarr AS (
-                SELECT doc_id,
-                       regexp_extract_all(html,
-                           '{_WC.TABLE_BODY_RE}', 1) AS tbs
-                FROM wrapped
-            ),
-            texp AS (
-                SELECT doc_id,
-                       unnest(generate_series(1, len(tbs))) AS ti, tbs
-                FROM tarr
-            ),
-            tbody AS (
-                SELECT doc_id, CAST(ti - 1 AS INT) AS table_idx,
-                       tbs[CAST(ti AS INT)] AS tb
-                FROM texp
-            ),
-            rarr AS (
-                SELECT doc_id, table_idx,
-                       list_slice(
-                           string_split_regex(tb, '{_WC.TR_OPEN_RE}'),
-                           2, 2147483647) AS rws
-                FROM tbody
-            ),
-            rexp AS (
-                SELECT doc_id, table_idx,
-                       unnest(generate_series(1, len(rws))) AS ri, rws
-                FROM rarr
-            ),
-            rowc AS (
-                SELECT doc_id, table_idx, CAST(ri - 1 AS INT) AS row_idx,
-                       rws[CAST(ri AS INT)] AS rc
-                FROM rexp
-            ),
-            carr AS (
-                SELECT doc_id, table_idx, row_idx,
-                       list_transform(
-                           regexp_extract_all(rc, '{_WC.CELL_TAG_RE}', 1),
-                           x -> lower(x)) AS tags,
-                       list_slice(
-                           string_split_regex(rc, '{_WC.CELL_OPEN_RE}'),
-                           2, 2147483647) AS cs
-                FROM rowc
-            ),
-            cexp AS (
-                SELECT doc_id, table_idx, row_idx,
-                       unnest(generate_series(1, len(cs))) AS ci,
-                       tags, cs
-                FROM carr
-            ),
-            cellraw AS (
-                SELECT doc_id, table_idx, row_idx,
-                       CAST(ci - 1 AS INT) AS col_idx,
-                       tags[CAST(ci AS INT)] = 'th' AS is_header,
-                       regexp_replace(regexp_replace(cs[CAST(ci AS INT)],
-                           '(?is)</(?:td|th|tr|table)\\b.*', ' ', 'g'),
-                           '<[^>]*>', ' ', 'g') AS t
-                FROM cexp
-            ),
-            {_entity_decode_ctes(
-                "cellraw", "t",
-                "doc_id, table_idx, row_idx, col_idx, is_header")}
+        "html_table_rows": _html_table_cells_sql() + """
             SELECT doc_id, table_idx, row_idx, col_idx, is_header,
-                   trim(regexp_replace(t, '__WS_RE__', ' ', 'g'))
-                       AS cell_text
-            FROM entdec
+                   cell_text
+            FROM cellsx
             ORDER BY doc_id, table_idx, row_idx, col_idx
-        """.replace("__WS_RE__", _WC.WS_RE),
+        """,
+        # header-keyed records on the same chain: first all-<th> row
+        # keys the columns, positional col_<idx> fallback
+        "html_table_records": _html_table_cells_sql() + """,
+            allth AS (
+                SELECT doc_id, table_idx, min(row_idx) AS hrow FROM (
+                    SELECT doc_id, table_idx, row_idx,
+                           bool_and(is_header) AS a
+                    FROM cellsx GROUP BY doc_id, table_idx, row_idx
+                ) WHERE a GROUP BY doc_id, table_idx
+            ),
+            hdr AS (
+                SELECT c.doc_id, c.table_idx, c.col_idx,
+                       c.cell_text AS k
+                FROM cellsx c JOIN allth h
+                  ON c.doc_id = h.doc_id AND c.table_idx = h.table_idx
+                 AND c.row_idx = h.hrow
+            )
+            SELECT c.doc_id, c.table_idx, c.row_idx, c.col_idx,
+                   coalesce(hd.k,
+                            'col_' || CAST(c.col_idx AS VARCHAR))
+                       AS key,
+                   c.cell_text AS value
+            FROM cellsx c
+            LEFT JOIN allth h
+              ON c.doc_id = h.doc_id AND c.table_idx = h.table_idx
+            LEFT JOIN hdr hd
+              ON hd.doc_id = c.doc_id AND hd.table_idx = c.table_idx
+             AND hd.col_idx = c.col_idx
+            WHERE h.hrow IS NULL OR c.row_idx <> h.hrow
+            ORDER BY c.doc_id, c.table_idx, c.row_idx, c.col_idx
+        """,
         # over the interpolated MAIN_STOPWORD_BANKS literals, script
         # counts via the same literal char classes, same
         # script-coverage fallback term

@@ -1519,3 +1519,54 @@ def html_table_rows(
             _cell_visible_text(F.col("_cell.c")).alias("cell_text"),
         )
     )
+
+
+def html_table_records(
+    df: DataFrame, html_col: str, id_col: str
+) -> DataFrame:
+    """Header-keyed table records: each body cell becomes (doc_id,
+    table_idx, row_idx, col_idx, key, value) where ``key`` is the
+    header-row cell text of the same column — the step that turns
+    extracted table cells (:func:`html_table_rows`) into the
+    key/value records a crawl-extraction pipeline loads.
+
+    Header rule, pinned in tests: the header is the FIRST row whose
+    every cell is a ``<th>``; all other rows are body. Tables with no
+    all-``<th>`` row fall back to positional keys (``col_<idx>``),
+    and body rows wider than the header fall back positionally for
+    the uncovered columns.
+
+    Plan shape: one hash aggregate per (doc, table, row) for the
+    all-th test, a min per (doc, table) for the header row, then two
+    narrow keyed joins back — all on (doc_id, table_idx[, col_idx])
+    keys, volume bounded by the cell count."""
+    cells = html_table_rows(df, html_col, id_col)
+    rowk = ["doc_id", "table_idx"]
+    all_th = (
+        cells.groupBy(*rowk, "row_idx")
+        .agg(F.bool_and("is_header").alias("_all_th"))
+        .filter(F.col("_all_th"))
+        .groupBy(*rowk)
+        .agg(F.min("row_idx").alias("_hrow"))
+    )
+    with_h = cells.join(all_th, rowk, "left")
+    headers = with_h.filter(
+        F.col("row_idx") == F.col("_hrow")
+    ).select(*rowk, "col_idx", F.col("cell_text").alias("_key"))
+    body = with_h.filter(
+        F.col("_hrow").isNull() | (F.col("row_idx") != F.col("_hrow"))
+    )
+    return (
+        body.join(headers, [*rowk, "col_idx"], "left")
+        .select(
+            "doc_id",
+            "table_idx",
+            "row_idx",
+            "col_idx",
+            F.coalesce(
+                F.col("_key"),
+                F.concat(F.lit("col_"), F.col("col_idx").cast("string")),
+            ).alias("key"),
+            F.col("cell_text").alias("value"),
+        )
+    )

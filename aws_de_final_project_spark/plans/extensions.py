@@ -5393,3 +5393,62 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("lang")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def html_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-keyed table records (operators/webcrawl
+    .html_table_records) over the SAME planted-table page as
+    :func:`html_table_rows`: the first table's all-<th> first row
+    keys its columns ('field'/'value & B'), the unclosed-<tr> and
+    nested variants flow through the pinned extraction rules, and the
+    caps table (no <th> row) falls back to positional col_<idx> keys.
+    One hash aggregate for the all-th test + two narrow keyed joins
+    on (doc, table[, col]) after the scan-side extraction. FULL
+    DuckDB oracle: the shared cell-extraction CTE chain + the same
+    header-selection and fallback SQL."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p><table class=\"t1\"><tr><th>field</th>"
+              "<th>value &amp; &#x42;</th></tr>"
+              "<tr><td>doc<b>id</b></td><td>"),
+        d.cast("string"),
+        F.lit("</td></tr>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<tr><td>open row "),
+                (d % 7).cast("string"),
+                F.lit("</td><td>x</td>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<tr><td>n_chars</td><td>"),
+        F.length("text").cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<table><tr><td>outer<table><tr><td>inner "),
+                (d % 5).cast("string"),
+                F.lit("</td></tr></table></td></tr>"
+                      "<tr><td>lost</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("<TABLE><TR><TD>caps "),
+                (d % 11).cast("string"),
+                F.lit("</TD></TR></TABLE>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    docs = t["documents"].select("doc_id", html.alias("html"))
+    return WC.html_table_records(docs, "html", "doc_id").orderBy(
+        "doc_id", "table_idx", "row_idx", "col_idx"
+    )

@@ -30,6 +30,7 @@ HEADLINE = [
     "return_pct_by_nation",
     # round-12 additions
     "html_table_rows",
+    "html_table_records",
     "avro_roundtrip_stats",
     "tokenizer_roundtrip_docs",
     "tokenizer_export_manifest",

@@ -1295,3 +1295,33 @@ def test_html_table_rows_plan_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_html_table_records_header_keys_and_fallback(spark):
+    """Header rule pinned: the FIRST all-<th> row keys the columns;
+    other rows are body; a table with no all-th row gets positional
+    col_<idx> keys; a body row wider than the header falls back
+    positionally for the uncovered column; the header row itself
+    never appears as a record."""
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    html = (
+        "<table><tr><th>name</th><th>qty</th></tr>"
+        "<tr><td>apple</td><td>3</td></tr>"
+        "<tr><td>pear</td><td>5</td><td>extra</td></tr></table>"
+        "<table><tr><td>a</td><td>b</td></tr></table>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    got = sorted(
+        tuple(r)
+        for r in WC.html_table_records(df, "html", "doc_id").collect()
+    )
+    assert got == [
+        (1, 0, 1, 0, "name", "apple"),
+        (1, 0, 1, 1, "qty", "3"),
+        (1, 0, 2, 0, "name", "pear"),
+        (1, 0, 2, 1, "qty", "5"),
+        (1, 0, 2, 2, "col_2", "extra"),
+        (1, 1, 0, 0, "col_0", "a"),
+        (1, 1, 0, 1, "col_1", "b"),
+    ]
