@@ -1263,6 +1263,20 @@ def video_near_pairs(
         F.col(video_col).cast("long") * F.lit(max_frames_per_video)
         + F.col(frame_col).cast("long")
     )
+    # a frame index >= max_frames_per_video would alias into the next
+    # video's id space and silently corrupt pair attribution — fail
+    # the job instead (per-row codegen branch, no extra pass)
+    fid = F.when(
+        F.col(frame_col).cast("long") < F.lit(max_frames_per_video),
+        fid,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "video_near_pairs: frame_idx >= max_frames_per_video"
+                " — raise max_frames_per_video"
+            )
+        )
+    )
     flat = frames.filter(
         F.col(grid_col).isNotNull() & F.col(frame_col).isNotNull()
     ).select(fid.alias("_fid"), F.col(grid_col).alias("_grid"))

@@ -1536,28 +1536,39 @@ def html_table_records(
     and body rows wider than the header fall back positionally for
     the uncovered columns.
 
-    Plan shape: one hash aggregate per (doc, table, row) for the
-    all-th test, a min per (doc, table) for the header row, then two
-    narrow keyed joins back — all on (doc_id, table_idx[, col_idx])
-    keys, volume bounded by the cell count."""
+    Plan shape: three windows over shared (doc_id, table_idx) prefix
+    keys — all-th per row, first header row per table, header text
+    per column — so the scan-side extraction subtree is evaluated
+    ONCE (a join formulation would re-run the regex chain per join
+    consumer) and the only shuffle is the table-keyed window
+    exchange, volume bounded by the cell count."""
+    from pyspark.sql.window import Window
+
     cells = html_table_rows(df, html_col, id_col)
-    rowk = ["doc_id", "table_idx"]
-    all_th = (
-        cells.groupBy(*rowk, "row_idx")
-        .agg(F.bool_and("is_header").alias("_all_th"))
-        .filter(F.col("_all_th"))
-        .groupBy(*rowk)
-        .agg(F.min("row_idx").alias("_hrow"))
+    w_row = Window.partitionBy("doc_id", "table_idx", "row_idx")
+    w_tab = Window.partitionBy("doc_id", "table_idx")
+    w_col = Window.partitionBy("doc_id", "table_idx", "col_idx")
+    # staged withColumns: a window result cannot nest inside another
+    # window in one projection
+    staged = cells.withColumn(
+        "_all_th",
+        F.min(F.col("is_header").cast("int")).over(w_row) == 1,
+    ).withColumn(
+        "_hrow",
+        F.min(F.when(F.col("_all_th"), F.col("row_idx"))).over(w_tab),
     )
-    with_h = cells.join(all_th, rowk, "left")
-    headers = with_h.filter(
-        F.col("row_idx") == F.col("_hrow")
-    ).select(*rowk, "col_idx", F.col("cell_text").alias("_key"))
-    body = with_h.filter(
-        F.col("_hrow").isNull() | (F.col("row_idx") != F.col("_hrow"))
+    keyed = staged.withColumn(
+        "_key",
+        F.max(
+            F.when(F.col("row_idx") == F.col("_hrow"),
+                   F.col("cell_text"))
+        ).over(w_col),
     )
     return (
-        body.join(headers, [*rowk, "col_idx"], "left")
+        keyed.filter(
+            F.col("_hrow").isNull()
+            | (F.col("row_idx") != F.col("_hrow"))
+        )
         .select(
             "doc_id",
             "table_idx",

@@ -5191,7 +5191,7 @@ def tokenizer_export_manifest(
     existing generated unrolled-CTE oracles as subqueries) and the
     same integer-field rendering + XOR, so a green row proves the
     EXPORTED artifact content, not just the write."""
-    import os
+    import shutil
     import tempfile
 
     from aws_de_final_project_spark.functions.text import (
@@ -5210,10 +5210,13 @@ def tokenizer_export_manifest(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_tokenizer_model"
-    )
-    manifest = export_tokenizer_model(vocab, out_dir)
+    # per-run mkdtemp (a fixed path would race concurrent driver +
+    # builder runs); the manifest rows are materialized before cleanup
+    out_dir = tempfile.mkdtemp(prefix="tokenizer_model_")
+    try:
+        manifest = export_tokenizer_model(vocab, out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(
         [
             (a["artifact"], a["n_rows"], a["checksum_xor"])

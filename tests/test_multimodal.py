@@ -1242,3 +1242,19 @@ def test_audio_fingerprint_real_wav_invariance(spark):
              ).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3, pairs
     assert not any(3 in p for p in pairs), pairs
+
+
+def test_video_near_pairs_rejects_frame_idx_overflow(spark):
+    """A frame index >= max_frames_per_video would alias into the
+    next video's composite-id space — the job must fail loudly, not
+    mis-attribute pairs."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 0, [0] * 72), (1, 5, [0] * 72)],
+        ["vid", "f", "grid"],
+    )
+    with _pytest.raises(Exception, match="max_frames_per_video"):
+        multimodal.video_near_pairs(
+            df, "vid", "f", "grid", max_frames_per_video=4
+        ).collect()
