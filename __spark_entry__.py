@@ -79,6 +79,7 @@ _R12_NEW: tuple[str, ...] = (
     "html_table_records",
     "avro_roundtrip_stats",
     "dedup_video_frames",
+    "video_scene_cut_frames",
     "dedup_audio_fingerprint",
     "tokenizer_roundtrip_docs",
     "tokenizer_export_manifest",
@@ -161,6 +162,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_roundtrip_docs": X.tokenizer_roundtrip_docs,
         "tokenizer_export_manifest": X.tokenizer_export_manifest,
         "dedup_video_frames": X.dedup_video_frames,
+        "video_scene_cut_frames": X.video_scene_cut_frames,
         "dedup_audio_fingerprint": X.dedup_audio_fingerprint,
         "avro_roundtrip_stats": X.avro_roundtrip_stats,
         # round-11 additions (inside the sample window via _R11_NEW)
@@ -1039,6 +1041,17 @@ def _video_val_sql(j: str) -> str:
         f"(((a89 + 3) * (a197 + ({j}) + 1) * (({j}) + 2) * (f + 7))"
         f" % 197 + CASE WHEN noisy = 1 AND ({j}) = 40"
         " THEN 29 ELSE 0 END)"
+    )
+
+
+def _scene_val_sql(j: str) -> str:
+    """video_scene_cut_frames fixture grid value at index ``j`` for
+    frame column ``f`` (scene = f >= 3; per-frame single-cell +1
+    jitter at cell 17 + f)."""
+    return (
+        f"(((a89 + 3 + (CASE WHEN f >= 3 THEN 7 ELSE 0 END))"
+        f" * (a197 + ({j}) + 1) * (({j}) + 2)) % 197"
+        f" + CASE WHEN ({j}) = 17 + f THEN 1 ELSE 0 END)"
     )
 
 
@@ -6396,6 +6409,64 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY da, db
             HAVING count(*) >= 2
             ORDER BY vid_a, vid_b
+        """,
+        # scene-cut keyframes: same closed-form frame grids through
+        # the real decoder, lag window replayed in SQL
+        "video_scene_cut_frames": f"""
+            WITH params AS (
+                SELECT doc_id, doc_id % 197 AS a197, doc_id % 89 AS a89
+                FROM documents
+            ),
+            pf AS (
+                SELECT doc_id, a197, a89,
+                       unnest([0, 1, 2, 3, 4, 5]) AS f
+                FROM params
+            ),
+            bits AS (
+                SELECT doc_id, f, CAST(k AS INT) AS k,
+                       CASE WHEN
+                           {_scene_val_sql("(k // 8) * 9 + (k % 8)")}
+                           > {_scene_val_sql(
+                               "(k // 8) * 9 + (k % 8) + 1")}
+                           THEN 1 ELSE 0 END AS bit
+                FROM pf, range(64) t(k)
+            ),
+            bands AS (
+                SELECT doc_id, f, k // 16 AS chunk,
+                       CAST(sum(CAST(bit AS BIGINT)
+                                << CAST(k % 16 AS INT)) AS BIGINT)
+                           AS key
+                FROM bits GROUP BY doc_id, f, k // 16
+            ),
+            sigs AS (
+                SELECT doc_id, f,
+                       max(CASE WHEN chunk = 0 THEN key END) AS b0,
+                       max(CASE WHEN chunk = 1 THEN key END) AS b1,
+                       max(CASE WHEN chunk = 2 THEN key END) AS b2,
+                       max(CASE WHEN chunk = 3 THEN key END) AS b3
+                FROM bands GROUP BY doc_id, f
+            ),
+            lagged AS (
+                SELECT doc_id, f,
+                       b0, b1, b2, b3,
+                       lag(b0) OVER w AS p0, lag(b1) OVER w AS p1,
+                       lag(b2) OVER w AS p2, lag(b3) OVER w AS p3
+                FROM sigs
+                WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+            )
+            SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+                   CAST(CASE WHEN p0 IS NULL THEN NULL
+                        ELSE bit_count(xor(b0, p0))
+                           + bit_count(xor(b1, p1))
+                           + bit_count(xor(b2, p2))
+                           + bit_count(xor(b3, p3)) END AS INT)
+                       AS hamming_prev,
+                   (p0 IS NULL
+                    OR bit_count(xor(b0, p0)) + bit_count(xor(b1, p1))
+                     + bit_count(xor(b2, p2)) + bit_count(xor(b3, p3))
+                     >= 8) AS is_cut
+            FROM lagged
+            ORDER BY media_id, frame_idx
         """,
         # audio fingerprint near-dup: closed-form energy grids through
         # the same banding/verify replay (moduli 193/83, bump 17@31)

@@ -1412,3 +1412,57 @@ def audio_fingerprint_pairs(
         F.col("img_b").alias("audio_b"),
         "hamming",
     )
+
+
+def video_scene_cuts(
+    frames: DataFrame,
+    video_col: str,
+    frame_col: str,
+    grid_col: str,
+    min_hamming: int = 8,
+) -> DataFrame:
+    """Content-aware frame sampling — scene-CHANGE detection over
+    decoded frame grids: each frame's dHash is compared to the
+    PREVIOUS frame's (lag window per video, ordered by frame index),
+    and a frame is a cut when the Hamming distance reaches
+    ``min_hamming`` (the first frame of every video is always a cut).
+    Stride sampling (every n-th frame) over-samples static scenes and
+    misses fast ones; cut-based sampling is the policy a real video
+    dedup/captioning pipeline feeds its per-scene keyframes from.
+
+    Output: (video_col, frame_col, hamming_prev, is_cut) for every
+    decoded frame — downstream keeps ``is_cut`` rows as keyframes and
+    routes them into :func:`video_near_pairs`. One lag window on
+    (video, frame) — a narrow video-keyed shuffle, no joins; NULL
+    grids (quarantined frames) are dropped first so a corrupt frame
+    never manufactures a phantom cut. Fully relational, so the DuckDB
+    oracle replays hash, lag and threshold verbatim."""
+    from pyspark.sql.window import Window
+
+    sigs = frames.filter(F.col(grid_col).isNotNull()).select(
+        F.col(video_col).alias("vid"),
+        F.col(frame_col).alias("frame_idx"),
+        dhash_bands(F.col(grid_col)).alias("_b"),
+    )
+    w = Window.partitionBy("vid").orderBy("frame_idx")
+    prev = F.lag("_b").over(w)
+    hamming = sum(
+        F.bit_count(
+            F.element_at("_b", j + 1).bitwiseXOR(
+                F.element_at(prev, j + 1)
+            )
+        )
+        for j in range(PHASH_BANDS)
+    )
+    return sigs.select(
+        F.col("vid").alias(video_col),
+        F.col("frame_idx").alias(frame_col),
+        F.when(prev.isNull(), F.lit(None))
+        .otherwise(hamming)
+        .cast("int")
+        .alias("hamming_prev"),
+    ).withColumn(
+        "is_cut",
+        F.col("hamming_prev").isNull()
+        | (F.col("hamming_prev") >= min_hamming),
+    )

@@ -5455,3 +5455,74 @@ def html_table_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WC.html_table_records(docs, "html", "doc_id").orderBy(
         "doc_id", "table_idx", "row_idx", "col_idx"
     )
+
+
+def video_scene_cut_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scene-change keyframe detection (operators/multimodal
+    .video_scene_cuts) THROUGH the real Y4M decoder: every doc
+    becomes a 6-frame video with TWO SCENES — frames 0-2 and 3-5
+    share closed-form base patterns that differ by a scene term, and
+    each frame adds a single-cell +1 jitter (<= 4 flipped bits
+    between consecutive same-scene frames, far below the threshold),
+    so the lag-window detector must fire exactly at frame 0 (first)
+    and frame 3 (the scene change) wherever the scene delta clears
+    min_hamming (the product form makes it ~32 bits for almost every
+    anchor; the handful that land lower replay identically in the
+    oracle). Output: (doc_id, frame_idx, hamming_prev, is_cut) for
+    all six decoded frames. One narrow video-keyed lag window after
+    the distributed decode; FULL DuckDB oracle replays grid -> bands
+    -> lag -> threshold from the same arithmetic."""
+    import numpy as np
+
+    from aws_de_final_project_spark.operators import multimodal as MM
+    from aws_de_final_project_spark.operators.util import spread
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = spread(t["documents"].select("doc_id"))
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, kinds, payloads = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                a197, a89 = d % 197, d % 89
+                frames = []
+                for f in range(6):
+                    scene = 0 if f < 3 else 1
+                    grid = [
+                        ((a89 + 3 + scene * 7) * (a197 + i + 1)
+                         * (i + 2)) % 197
+                        + (1 if i == 17 + f else 0)
+                        for i in range(72)
+                    ]
+                    y = np.repeat(
+                        np.repeat(
+                            np.array(grid, dtype=np.uint8).reshape(8, 9),
+                            2, 0,
+                        ),
+                        2, 1,
+                    )
+                    frames.append(
+                        b"FRAME\n" + y.tobytes() + bytes([128]) * 144
+                    )
+                payloads.append(
+                    b"YUV4MPEG2 W18 H16 F25:1 Ip A1:1 C420jpeg\n"
+                    + b"".join(frames)
+                )
+                ids.append(d)
+                kinds.append("video")
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    grids = MM.decode_video_to_frame_grids(media, every_n=1)
+    return MM.video_scene_cuts(
+        grids, "media_id", "frame_idx", "grid", min_hamming=8
+    ).orderBy("media_id", "frame_idx")

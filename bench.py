@@ -35,6 +35,7 @@ HEADLINE = [
     "tokenizer_roundtrip_docs",
     "tokenizer_export_manifest",
     "dedup_video_frames",
+    "video_scene_cut_frames",
     "dedup_audio_fingerprint",
     # round-11 additions
     "main_content_multilingual_docs",

@@ -1258,3 +1258,35 @@ def test_video_near_pairs_rejects_frame_idx_overflow(spark):
         multimodal.video_near_pairs(
             df, "vid", "f", "grid", max_frames_per_video=4
         ).collect()
+
+
+def test_video_scene_cuts_detects_changes_not_jitter(spark):
+    """Lag-window scene detection: the first frame is always a cut,
+    single-cell jitter between same-scene frames stays below the
+    threshold, a scene change fires, and a quarantined (NULL-grid)
+    frame neither cuts nor breaks the lag chain."""
+    base = [((7 + i) * (i + 3)) % 180 for i in range(72)]
+    scene2 = [((7 + i) * (i + 3) * 5) % 180 for i in range(72)]
+    def jitter(g, c):
+        out = list(g); out[c] += 1; return out
+    rows = [
+        (1, 0, base),
+        (1, 1, jitter(base, 20)),
+        (1, 2, None),              # quarantined frame
+        (1, 3, scene2),            # scene change
+        (1, 4, jitter(scene2, 30)),
+        (2, 0, base),              # second video: first frame cut
+    ]
+    df = spark.createDataFrame(rows, ["vid", "f", "grid"])
+    got = {(r.vid, r.f): (r.hamming_prev, r.is_cut) for r in
+           multimodal.video_scene_cuts(df, "vid", "f", "grid",
+                                       min_hamming=8).collect()}
+    assert (1, 2) not in got            # NULL grid dropped
+    assert got[(1, 0)] == (None, True)
+    assert got[(2, 0)] == (None, True)
+    h1, cut1 = got[(1, 1)]
+    assert h1 <= 4 and not cut1         # jitter below threshold
+    h3, cut3 = got[(1, 3)]
+    assert h3 >= 8 and cut3             # scene change fires
+    h4, cut4 = got[(1, 4)]
+    assert h4 <= 4 and not cut4
