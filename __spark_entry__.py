@@ -80,6 +80,7 @@ _R12_NEW: tuple[str, ...] = (
     "avro_roundtrip_stats",
     "dedup_video_frames",
     "video_scene_cut_frames",
+    "media_header_stats",
     "dedup_audio_fingerprint",
     "tokenizer_roundtrip_docs",
     "tokenizer_export_manifest",
@@ -163,6 +164,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_export_manifest": X.tokenizer_export_manifest,
         "dedup_video_frames": X.dedup_video_frames,
         "video_scene_cut_frames": X.video_scene_cut_frames,
+        "media_header_stats": X.media_header_stats,
         "dedup_audio_fingerprint": X.dedup_audio_fingerprint,
         "avro_roundtrip_stats": X.avro_roundtrip_stats,
         # round-11 additions (inside the sample window via _R11_NEW)
@@ -6409,6 +6411,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY da, db
             HAVING count(*) >= 2
             ORDER BY vid_a, vid_b
+        """,
+        # header-sniff metadata: pure field arithmetic per doc_id
+        "media_header_stats": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                        ELSE 'wav' END AS format,
+                   CAST(CASE doc_id % 4
+                        WHEN 0 THEN doc_id % 13 + 3
+                        WHEN 1 THEN doc_id % 11 + 1
+                        WHEN 2 THEN doc_id % 300 + 1
+                        ELSE (doc_id % 50 + 10) END AS INT) AS width,
+                   CAST(CASE doc_id % 4
+                        WHEN 0 THEN doc_id % 7 + 2
+                        WHEN 1 THEN doc_id % 9 + 1
+                        WHEN 2 THEN doc_id % 200 + 1
+                        ELSE NULL END AS INT) AS height,
+                   CAST(CASE doc_id % 4
+                        WHEN 0 THEN 8 WHEN 1 THEN 8
+                        WHEN 2 THEN doc_id % 8 + 1
+                        ELSE 16 END AS INT) AS bit_depth,
+                   CAST(CASE doc_id % 4
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN CASE WHEN doc_id % 2 = 1
+                                         THEN 1 ELSE 3 END
+                        WHEN 2 THEN 1
+                        ELSE 1 + doc_id % 2 END AS INT) AS n_channels,
+                   CAST(CASE doc_id % 4
+                        WHEN 3 THEN 8000 * (1 + doc_id % 3)
+                        ELSE NULL END AS INT) AS sample_rate
+            FROM documents
+            ORDER BY media_id
         """,
         # scene-cut keyframes: same closed-form frame grids through
         # the real decoder, lag window replayed in SQL

@@ -1466,3 +1466,129 @@ def video_scene_cuts(
         F.col("hamming_prev").isNull()
         | (F.col("hamming_prev") >= min_hamming),
     )
+
+
+# ---------------------------------------------------------------------------
+# Header-only media metadata (sniffing): format, dimensions, depth and
+# sample geometry read from container HEADERS without decoding any
+# pixel/sample data — the filter pass a 100 TB multimodal pipeline
+# runs FIRST (drop tracking pixels, icons, wrong aspect ratios, 8 kHz
+# phone audio) so the expensive decode only ever sees survivors.
+# Stdlib-only marker/chunk walks, same restricted-profile discipline.
+# ---------------------------------------------------------------------------
+
+
+def sniff_media_header(payload: bytes) -> tuple:
+    """(format, width, height, bit_depth, n_channels, sample_rate) —
+    header fields only; bytes past the header are never touched.
+
+    PNG: IHDR. JPEG: first SOF0/1/2 segment (marker walk, segments
+    skipped by length). GIF87a/89a: logical screen descriptor. WAV:
+    RIFF fmt chunk (+ data size -> sample count in the width slot,
+    the decode_media convention). Unknown/malformed -> ValueError
+    (callers quarantine)."""
+    import struct
+
+    data = bytes(payload)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if data[12:16] != b"IHDR" or len(data) < 26:
+            raise ValueError("png without leading IHDR")
+        w, h, depth = struct.unpack(">IIB", data[16:25])
+        return ("png", w, h, depth, 1, None)
+    if data[:3] == b"\xff\xd8\xff":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("jpeg marker desync")
+            marker = data[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                depth, h, w, ncomp = struct.unpack(
+                    ">BHHB", data[pos + 4 : pos + 10]
+                )
+                return ("jpeg", w, h, depth, ncomp, None)
+            if marker == 0xD9 or marker == 0xDA:
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if seglen < 2:
+                raise ValueError("jpeg segment length < 2")
+            pos += 2 + seglen
+        raise ValueError("jpeg without SOF before scan")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) < 11:
+            raise ValueError("truncated gif screen descriptor")
+        w, h = struct.unpack("<HH", data[6:10])
+        depth = (data[10] & 0x07) + 1
+        return ("gif", w, h, depth, 1, None)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos = 12
+        fmt = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if cid == b"fmt " and clen >= 16:
+                _, nch, rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", data[pos + 8 : pos + 24]
+                )
+                fmt = (nch, rate, bits)
+            elif cid == b"data" and fmt is not None:
+                nch, rate, bits = fmt
+                n_samples = clen // (nch * (bits // 8))
+                return ("wav", n_samples, None, bits, nch, rate)
+            pos += 8 + clen + (clen & 1)
+        raise ValueError("wav without fmt+data chunks")
+    raise ValueError("unknown media container")
+
+
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def media_header_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched header sniff over a media table: one row per
+    payload with format/dims/depth/channels/rate read from the
+    container header only (no pixel/sample decode — the pre-decode
+    filter pass). Unsniffable payloads yield a NULL-format
+    quarantine row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "format", "width",
+                                   "height", "bit_depth",
+                                   "n_channels", "sample_rate")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    f, w, h, d, c, r = sniff_media_header(payload)
+                except Exception:
+                    f = w = h = d = c = r = None
+                out["format"].append(f)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(d)
+                out["n_channels"].append(c)
+                out["sample_rate"].append(r)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "format": out["format"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "bit_depth": pd.array(out["bit_depth"],
+                                          dtype="Int32"),
+                    "n_channels": pd.array(out["n_channels"],
+                                           dtype="Int32"),
+                    "sample_rate": pd.array(out["sample_rate"],
+                                            dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_HEADER_SCHEMA)

@@ -5526,3 +5526,88 @@ def video_scene_cut_frames(
     return MM.video_scene_cuts(
         grids, "media_id", "frame_idx", "grid", min_hamming=8
     ).orderBy("media_id", "frame_idx")
+
+
+def media_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media metadata sniff (operators/multimodal
+    .sniff_media_header / media_header_meta): every doc becomes one
+    of four REAL container headers with closed-form fields — PNG
+    (IHDR + CRC), header-only JPEG (SOI + APP0 + COM + SOF0, gray or
+    3-component), GIF89a (logical screen descriptor), PCM WAV (RIFF +
+    fmt + data sizing) — and the sniffer reads format/dims/depth/
+    channels/rate WITHOUT decoding any pixel or sample data: the
+    pre-decode filter pass a 100 TB multimodal pipeline runs first.
+    FULL DuckDB oracle replays the field arithmetic per doc_id."""
+    import struct
+    import zlib
+
+    from aws_de_final_project_spark.operators import multimodal as MM
+    from aws_de_final_project_spark.operators.util import spread
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = spread(t["documents"].select("doc_id"))
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                kind = d % 4
+                if kind == 0:
+                    w, h = (d % 13) + 3, (d % 7) + 2
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                    p = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", 13) + b"IHDR" + ihdr
+                        + struct.pack(
+                            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+                        )
+                        + struct.pack(">I", 0) + b"IEND"
+                        + struct.pack(
+                            ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+                        )
+                    )
+                elif kind == 1:
+                    w, h = (d % 11) + 1, (d % 9) + 1
+                    ncomp = 1 if d % 2 == 1 else 3
+                    comp = b"".join(
+                        struct.pack(">BBB", i + 1, 0x11, 0)
+                        for i in range(ncomp)
+                    )
+                    sof = struct.pack(">BHHB", 8, h, w, ncomp) + comp
+                    p = (
+                        b"\xff\xd8"
+                        + b"\xff\xe0" + struct.pack(">H", 7) + b"probe"
+                        + b"\xff\xfe" + struct.pack(">H", 4) + b"hi"
+                        + b"\xff\xc0"
+                        + struct.pack(">H", 2 + len(sof)) + sof
+                        + b"\xff\xd9"
+                    )
+                elif kind == 2:
+                    w, h = (d % 300) + 1, (d % 200) + 1
+                    p = (
+                        b"GIF89a"
+                        + struct.pack("<HH", w, h)
+                        + bytes([d % 8]) + b"\x00\x00"
+                    )
+                else:
+                    nch = 1 + (d % 2)
+                    rate = 8000 * (1 + (d % 3))
+                    n = (d % 50) + 10
+                    dlen = n * nch * 2
+                    p = (
+                        b"RIFF" + struct.pack("<I", 36 + dlen) + b"WAVE"
+                        + b"fmt " + struct.pack("<I", 16)
+                        + struct.pack("<HHIIHH", 1, nch, rate,
+                                      rate * nch * 2, nch * 2, 16)
+                        + b"data" + struct.pack("<I", dlen)
+                        + bytes(dlen)
+                    )
+                ids.append(d)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return MM.media_header_meta(media).orderBy("media_id")

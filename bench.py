@@ -36,6 +36,7 @@ HEADLINE = [
     "tokenizer_export_manifest",
     "dedup_video_frames",
     "video_scene_cut_frames",
+    "media_header_stats",
     "dedup_audio_fingerprint",
     # round-11 additions
     "main_content_multilingual_docs",

@@ -1290,3 +1290,31 @@ def test_video_scene_cuts_detects_changes_not_jitter(spark):
     assert h3 >= 8 and cut3             # scene change fires
     h4, cut4 = got[(1, 4)]
     assert h4 <= 4 and not cut4
+
+
+def test_sniff_media_header_on_real_encoders(spark):
+    """The sniffer agrees with REAL files from the independent
+    test-side encoders (PNG/JPEG/WAV) and GIF bytes, reads only
+    headers (a JPEG with segments before SOF0 works), and
+    quarantines junk via media_header_meta."""
+    import numpy as np
+
+    png, _ = _make_png_gray8(6, 4)
+    assert multimodal.sniff_media_header(png) == ("png", 6, 4, 8, 1, None)
+    jpg = _make_jpeg_gray8(np.full((16, 24), 80, dtype=np.uint8))
+    assert multimodal.sniff_media_header(jpg)[:4] == ("jpeg", 24, 16, 8)
+    wav, _ = _make_wav_pcm16(800, 8000)
+    assert multimodal.sniff_media_header(wav) == (
+        "wav", 800, None, 16, 1, 8000
+    )
+    gif = b"GIF89a" + (37).to_bytes(2, "little") + \
+        (21).to_bytes(2, "little") + bytes([0x85]) + b"\x00\x00"
+    assert multimodal.sniff_media_header(gif) == ("gif", 37, 21, 6, 1, None)
+    media = _media_frame(
+        spark,
+        [(1, "image", png, "image/png"),
+         (2, "image", b"junk bytes", "application/octet-stream")],
+    )
+    got = {r.media_id: r.format for r in
+           multimodal.media_header_meta(media).collect()}
+    assert got == {1: "png", 2: None}
