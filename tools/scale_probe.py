@@ -201,7 +201,10 @@ DOC_QUERIES = [
     "dedup_video_frames",
     "dedup_audio_fingerprint",
     "html_table_rows",
+    "html_table_records",
     "tokenizer_roundtrip_docs",
+    "video_scene_cut_frames",
+    "media_header_stats",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
