@@ -81,6 +81,7 @@ _R12_NEW: tuple[str, ...] = (
     "dedup_video_frames",
     "video_scene_cut_frames",
     "media_header_stats",
+    "dedup_image_quality_keepers",
     "dedup_audio_fingerprint",
     "tokenizer_roundtrip_docs",
     "tokenizer_export_manifest",
@@ -165,6 +166,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_video_frames": X.dedup_video_frames,
         "video_scene_cut_frames": X.video_scene_cut_frames,
         "media_header_stats": X.media_header_stats,
+        "dedup_image_quality_keepers": X.dedup_image_quality_keepers,
         "dedup_audio_fingerprint": X.dedup_audio_fingerprint,
         "avro_roundtrip_stats": X.avro_roundtrip_stats,
         # round-11 additions (inside the sample window via _R11_NEW)
@@ -6620,6 +6622,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT img_a, img_b, hamming
             FROM verified WHERE hamming <= 3
             ORDER BY img_a, img_b
+        """,
+        # quality-keeper image dedup: same grid/bands chain + the
+        # quality_score twin and a signature-partition rank window
+        "dedup_image_quality_keepers": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 197 AS a197,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 89 AS a89,
+                       CASE WHEN doc_id % 2 = 1 AND doc_id % 100 < 4
+                            THEN 1 ELSE 0 END AS noisy
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, CAST(k AS INT) AS k,
+                       CASE WHEN
+                           {_phash_val_sql("(k // 8) * 9 + (k % 8)")}
+                           > {_phash_val_sql("(k // 8) * 9 + (k % 8) + 1")}
+                           THEN 1 ELSE 0 END AS bit
+                FROM params, range(64) t(k)
+            ),
+            bands AS (
+                SELECT doc_id, k // 16 AS chunk,
+                       CAST(sum(CAST(bit AS BIGINT)
+                                << CAST(k % 16 AS INT)) AS BIGINT) AS key
+                FROM bits GROUP BY doc_id, k // 16
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       max(CASE WHEN chunk = 0 THEN key END) AS b0,
+                       max(CASE WHEN chunk = 1 THEN key END) AS b1,
+                       max(CASE WHEN chunk = 2 THEN key END) AS b2,
+                       max(CASE WHEN chunk = 3 THEN key END) AS b3
+                FROM bands GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT doc_id,
+                       (floor((greatest(0.0,
+                           least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                                  END AS double) / 100.0, 1.0)
+                           * (1 - CASE WHEN length(text) > 0
+                                  THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS double)
+                                       / CAST(length(text) AS double)
+                                  ELSE 0.0 END)
+                       )) * 10000.0 + 0.5) / 10000.0) AS q
+                FROM documents
+            ),
+            ranked AS (
+                SELECT g.doc_id, s.q,
+                       row_number() OVER (
+                           PARTITION BY g.b0, g.b1, g.b2, g.b3
+                           ORDER BY s.q DESC, g.doc_id ASC) AS rn,
+                       count(*) OVER (
+                           PARTITION BY g.b0, g.b1, g.b2, g.b3)
+                           AS n_copies
+                FROM sigs g JOIN scored s USING (doc_id)
+            )
+            SELECT doc_id AS keeper_id,
+                   CAST(n_copies AS BIGINT) AS n_copies,
+                   q AS keeper_quality
+            FROM ranked WHERE rn = 1 AND n_copies >= 2
+            ORDER BY keeper_id
         """,
         # exact-dup image groups: same grid/bands CTEs as the phash
         # oracle, GROUP BY the full 4-band signature

@@ -1592,3 +1592,46 @@ def media_header_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=MEDIA_HEADER_SCHEMA)
+
+
+def image_quality_keepers(
+    images: DataFrame,
+    id_col: str,
+    grid_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Exact-duplicate image groups with QUALITY-based keeper
+    selection — the multimodal twin of the corpus
+    dedup_corpus_quality_keepers composition: within each
+    full-64-bit-signature group, keep the copy whose owning document
+    scores highest (ties -> smallest id), not the arbitrary min-id
+    one. The artifact an image-dedup pipeline actually ships: which
+    copy survives matters when the copies differ in caption/context
+    quality.
+
+    One window (rank over the 4-band signature partition, quality
+    DESC then id ASC) after the hash — no joins beyond what the
+    caller did to attach the quality column. Returns
+    (keeper_id, n_copies, keeper_quality) for groups of >= 2."""
+    from pyspark.sql.window import Window
+
+    sigs = images.select(
+        F.col(id_col).alias("_id"),
+        F.col(quality_col).alias("_q"),
+        dhash_bands(F.col(grid_col)).alias("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.desc("_q"), F.asc("_id")
+    )
+    wt = Window.partitionBy("_b")
+    ranked = sigs.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wt)
+    )
+    return (
+        ranked.filter((F.col("_rk") == 1) & (F.col("_n") >= 2))
+        .select(
+            F.col("_id").alias("keeper_id"),
+            F.col("_n").cast("long").alias("n_copies"),
+            F.col("_q").alias("keeper_quality"),
+        )
+    )

@@ -5611,3 +5611,41 @@ def media_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
     return MM.media_header_meta(media).orderBy("media_id")
+
+
+def dedup_image_quality_keepers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image exact-dup groups with QUALITY keeper selection
+    (operators/multimodal.image_quality_keepers — the multimodal twin
+    of dedup_corpus_quality_keepers): same closed-form grid fixture
+    as dedup_image_exact_groups, with each image's owning document
+    scored by the 4dp-deterministic quality_score; within each
+    full-signature group the best-scoring copy survives (ties ->
+    smallest id) — which copy survives matters when copies differ in
+    caption/context quality. One window over the signature partition.
+    FULL DuckDB oracle replays grid -> bands -> signature window ->
+    quality rank."""
+    from aws_de_final_project_spark.functions.text import quality_score
+    from aws_de_final_project_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    anchor = F.when(d % 100 < 4, d - d % 4).otherwise(d)
+    noisy = (d % 2 == 1) & (d % 100 < 4)
+    a197 = anchor % 197
+    a89 = anchor % 89
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: (
+            ((a89 + 3) * (a197 + i + 1) * (i + 2)) % 197
+            + F.when(noisy & (i == 40), F.lit(29)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    imgs = t["documents"].select(
+        "doc_id", grid.alias("grid"),
+        quality_score("text").alias("q"),
+    )
+    return MM.image_quality_keepers(
+        imgs, "doc_id", "grid", "q"
+    ).orderBy("keeper_id")

@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_video_frames",
     "video_scene_cut_frames",
     "media_header_stats",
+    "dedup_image_quality_keepers",
     "dedup_audio_fingerprint",
     # round-11 additions
     "main_content_multilingual_docs",

@@ -1318,3 +1318,18 @@ def test_sniff_media_header_on_real_encoders(spark):
     got = {r.media_id: r.format for r in
            multimodal.media_header_meta(media).collect()}
     assert got == {1: "png", 2: None}
+
+
+def test_image_quality_keepers_picks_best_copy(spark):
+    """Within a signature group the highest-quality copy survives
+    (ties -> smallest id); singletons drop."""
+    base = [((i * 7) % 50 + (i % 9) * 3) for i in range(72)]
+    other = list(range(72))
+    df = spark.createDataFrame(
+        [(1, base, 0.5), (2, base, 0.9), (3, base, 0.9),
+         (9, other, 1.0)],
+        ["i", "grid", "q"],
+    )
+    got = [tuple(r) for r in multimodal.image_quality_keepers(
+        df, "i", "grid", "q").collect()]
+    assert got == [(2, 3, 0.9)]
