@@ -1208,6 +1208,12 @@ def export_tokenizer_model(
     import json
     import os
 
+    # Both trainings localCheckpoint their own derivation of `vocab`,
+    # so without this the corpus-sized explode+groupBy upstream runs
+    # TWICE (once per family) — materialize the tiny (w, c) aggregate
+    # once and both trainings start from it (the "count consumers"
+    # lesson; this is the slowest bench entry).
+    vocab = vocab.localCheckpoint()
     merges = bpe_train_merges(vocab, n_merges)
     uni = unigram_train(vocab, n_iters)
     merges.orderBy("step").coalesce(1).write.mode("overwrite").parquet(

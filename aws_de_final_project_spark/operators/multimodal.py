@@ -896,10 +896,14 @@ def image_phash_pairs(
     # it once or the whole upstream grid/decode subtree re-runs per
     # consumer (the round-5 multi-consumer lesson; measured 3.5 s ->
     # 5.9 s at sf0.1 before this checkpoint). The frame is tiny:
-    # one id + four 16-bit bands per image.
+    # one id + four 16-bit bands per image. eager=False defers the
+    # materializing job to the first action (composing the plan stays
+    # free); the lineage-loss trade remains — executor loss after
+    # materialization fails the job instead of recomputing, acceptable
+    # for a short-lived intermediate this small.
     sigs = images.select(
         F.col(id_col).alias("_id"), dhash_bands(F.col(grid_col)).alias("_b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # 1. exact-group collapse: one representative per distinct signature
     reps = sigs.groupBy("_b").agg(F.min("_id").alias("_rep"))
     # hamming-0 pairs straight off the signature equality (no banding)
@@ -1264,16 +1268,22 @@ def video_near_pairs(
         + F.col(frame_col).cast("long")
     )
     # a frame index >= max_frames_per_video would alias into the next
-    # video's id space and silently corrupt pair attribution — fail
-    # the job instead (per-row codegen branch, no extra pass)
+    # video's id space, and a video id >= 2^63 / max_frames_per_video
+    # would wrap the composite bigint — both silently corrupt pair
+    # attribution at snowflake-scale ids, so fail the job instead
+    # (per-row codegen branch, no extra pass)
+    max_vid = (1 << 63) // max_frames_per_video
     fid = F.when(
-        F.col(frame_col).cast("long") < F.lit(max_frames_per_video),
+        (F.col(frame_col).cast("long") < F.lit(max_frames_per_video))
+        & (F.col(video_col).cast("long") < F.lit(max_vid))
+        & (F.col(video_col).cast("long") >= 0),
         fid,
     ).otherwise(
         F.raise_error(
             F.lit(
                 "video_near_pairs: frame_idx >= max_frames_per_video"
-                " — raise max_frames_per_video"
+                " or video id outside [0, 2^63/max_frames_per_video)"
+                " — composite frame id would alias/overflow"
             )
         )
     )
@@ -1284,9 +1294,10 @@ def video_near_pairs(
         flat, "_fid", "_grid",
         max_hamming=max_hamming, max_band_freq=max_band_freq,
     )
-    k = F.lit(max_frames_per_video)
-    va = (F.col("img_a") / k).cast("long")
-    vb = (F.col("img_b") / k).cast("long")
+    # integer `div` recovers the video id exactly; (img / k) went
+    # through double and lost low bits for video ids >= ~2^33
+    va = F.expr(f"img_a div {max_frames_per_video}L")
+    vb = F.expr(f"img_b div {max_frames_per_video}L")
     return (
         pairs.select(
             F.least(va, vb).alias("vid_a"),
@@ -1532,6 +1543,10 @@ def sniff_media_header(payload: bytes) -> tuple:
                 fmt = (nch, rate, bits)
             elif cid == b"data" and fmt is not None:
                 nch, rate, bits = fmt
+                if nch < 1 or bits < 8:
+                    raise ValueError(
+                        "wav fmt chunk with nch < 1 or bits < 8"
+                    )
                 n_samples = clen // (nch * (bits // 8))
                 return ("wav", n_samples, None, bits, nch, rate)
             pos += 8 + clen + (clen & 1)

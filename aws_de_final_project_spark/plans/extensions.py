@@ -3754,8 +3754,11 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
     imgs = t["documents"].select("doc_id", grid.alias("grid"))
+    # max_band_freq=None: the DuckDB oracle replays the band join
+    # UNCAPPED, so the entry must too (the cap itself is pinned by the
+    # planted hot-band unit test; this fixture's max bucket is 18)
     return MM.image_phash_pairs(
-        imgs, "doc_id", "grid", max_hamming=3
+        imgs, "doc_id", "grid", max_hamming=3, max_band_freq=None
     ).orderBy("img_a", "img_b")
 
 
@@ -5300,9 +5303,10 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, "media_id long, kind string, payload binary"
     )
     grids = MM.decode_video_to_frame_grids(media, every_n=2)
+    # max_band_freq=None: oracle replays the band join uncapped
     return MM.video_near_pairs(
         grids, "media_id", "frame_idx", "grid",
-        max_hamming=3, min_matching_frames=2,
+        max_hamming=3, min_matching_frames=2, max_band_freq=None,
     ).orderBy("vid_a", "vid_b")
 
 
@@ -5339,8 +5343,9 @@ def dedup_audio_fingerprint(
         ).cast("int"),
     )
     auds = t["documents"].select("doc_id", grid.alias("grid"))
+    # max_band_freq=None: oracle replays the band join uncapped
     return MM.audio_fingerprint_pairs(
-        auds, "doc_id", "grid", max_hamming=3
+        auds, "doc_id", "grid", max_hamming=3, max_band_freq=None
     ).orderBy("audio_a", "audio_b")
 
 

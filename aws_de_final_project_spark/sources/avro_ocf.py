@@ -158,16 +158,21 @@ def _decode_value(buf: bytes, pos: int, t: str, nullable: bool):
     raise ValueError(f"unsupported avro type {t}")
 
 
-def write_avro_ocf(
+def write_avro_ocf_stream(
+    out,
     records: Iterator[dict],
     fields: list[tuple[str, str, bool]],
     codec: str = "null",
     block_records: int = 1000,
-) -> bytes:
-    """Serialize records (dicts) to one Object Container File."""
+) -> int:
+    """Stream records (dicts) into an open binary file object as a
+    multi-block Object Container File; returns the record count.
+    Memory is bounded by one uncompressed block (``block_records``
+    rows), never the whole partition — the OCF format is natively
+    append-per-block, so arbitrarily large partitions stream through
+    a fixed-size buffer."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec}")
-    out = io.BytesIO()
     out.write(MAGIC)
     meta = {
         "avro.schema": avro_schema_json(fields).encode(),
@@ -179,7 +184,7 @@ def write_avro_ocf(
         _write_bytes(out, meta[k])
     _write_varint(out, 0)
     out.write(SYNC)
-    block, n_in_block = io.BytesIO(), 0
+    block, n_in_block, total = io.BytesIO(), 0, 0
 
     def flush():
         nonlocal block, n_in_block
@@ -199,9 +204,24 @@ def write_avro_ocf(
         for name, t, nullable in fields:
             _encode_value(block, t, nullable, rec[name])
         n_in_block += 1
+        total += 1
         if n_in_block >= block_records:
             flush()
     flush()
+    return total
+
+
+def write_avro_ocf(
+    records: Iterator[dict],
+    fields: list[tuple[str, str, bool]],
+    codec: str = "null",
+    block_records: int = 1000,
+) -> bytes:
+    """Serialize records (dicts) to one in-memory Object Container
+    File payload (the test/fixture convenience; the sink streams via
+    :func:`write_avro_ocf_stream`)."""
+    out = io.BytesIO()
+    write_avro_ocf_stream(out, records, fields, codec, block_records)
     return out.getvalue()
 
 
@@ -279,7 +299,21 @@ def write_avro_dir(df: DataFrame, out_dir: str,
                    codec: str = "deflate") -> None:
     """Distributed Avro sink: one OCF file per partition, written by
     the executors (TaskContext partition id names the file — the
-    partitioned-parquet sink discipline, no driver row traffic)."""
+    partitioned-parquet sink discipline, no driver row traffic).
+
+    Cluster posture: ``out_dir`` must be a SHARED filesystem visible
+    from every executor (NFS/FUSE mount; local[?] trivially
+    qualifies) — executors write with plain ``open()``, there is no
+    object-store protocol here. Memory is bounded: rows stream from
+    each Arrow batch straight into the OCF block buffer
+    (:func:`write_avro_ocf_stream`), never the whole partition.
+    Task commit is temp-then-rename: each attempt writes
+    ``.part-NNNNN-<attempt>.avro.tmp`` and atomically
+    ``os.replace``s it onto the final name, so speculative twin
+    attempts cannot interleave bytes — the last completed attempt
+    wins with a whole, valid file."""
+    import itertools
+
     import pandas as pd
     from pyspark import TaskContext
 
@@ -288,21 +322,35 @@ def write_avro_dir(df: DataFrame, out_dir: str,
     names = [n for n, _, _ in fields]
 
     def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[dict] = []
-        for pdf in it:
-            for rec in pdf[names].to_dict("records"):
-                rows.append(
-                    {k: (None if pd.isna(v) else v)
-                     for k, v in rec.items()}
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+
+        def rows() -> Iterator[dict]:
+            for pdf in it:
+                for rec in pdf[names].to_dict("records"):
+                    yield {k: (None if pd.isna(v) else v)
+                           for k, v in rec.items()}
+
+        row_it = rows()
+        try:
+            first = next(row_it)
+        except StopIteration:
+            yield pd.DataFrame({"part": [pid], "n_rows": [0]})
+            return
+        final = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        tmp = os.path.join(
+            out_dir, f".part-{pid:05d}-{tc.taskAttemptId()}.avro.tmp"
+        )
+        try:
+            with open(tmp, "wb") as f:
+                n = write_avro_ocf_stream(
+                    f, itertools.chain([first], row_it), fields,
+                    codec=codec,
                 )
-        pid = TaskContext.get().partitionId()
-        n = 0
-        if rows:
-            payload = write_avro_ocf(iter(rows), fields, codec=codec)
-            with open(os.path.join(out_dir, f"part-{pid:05d}.avro"),
-                      "wb") as f:
-                f.write(payload)
-            n = len(rows)
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pd.DataFrame({"part": [pid], "n_rows": [n]})
 
     df.mapInPandas(write_part, "part int, n_rows long").collect()

@@ -99,3 +99,44 @@ def test_df_avro_fields_rejects_nested(spark):
     df = spark.createDataFrame([(1, [1, 2])], "a long, b array<int>")
     with pytest.raises(ValueError):
         AV.df_avro_fields(df)
+
+
+def test_sink_streams_multi_block_with_atomic_commit(spark, tmp_path):
+    """Cluster-hardening pins (VERDICT r12 item 8): (a) a partition
+    larger than one OCF block streams through the bounded block
+    buffer into MULTIPLE sync-separated blocks (never a whole-
+    partition buffer — write_avro_ocf_stream is the only writer the
+    sink uses); (b) the task commit is temp-then-rename: no .tmp
+    files survive, the final file is whole and valid; (c) a stale
+    speculative-twin temp file does not poison the read path (dot-
+    prefixed + *.avro glob keeps it invisible)."""
+    import os
+
+    rows = [(i, f"text {i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    out = str(tmp_path / "avbig")
+    AV.write_avro_dir(df, out, codec="null")
+    files = sorted(os.listdir(out))
+    assert files == ["part-00000.avro"], files  # no .tmp residue
+    payload = open(os.path.join(out, files[0]), "rb").read()
+    # 5000 rows / block_records=1000 -> 5 data blocks, each trailed
+    # by the 16-byte sync marker (+1 for the header's sync)
+    assert payload.count(AV.SYNC) >= 6
+    # plant a stale twin temp file: the binaryFile read ignores it
+    with open(os.path.join(out, ".part-00000-99.avro.tmp"), "wb") as f:
+        f.write(b"garbage from a killed speculative attempt")
+    back = AV.read_avro_dir(spark, out, "doc_id long, text string")
+    assert back.count() == 5000
+
+
+def test_stream_writer_returns_count_and_bounded_blocks(tmp_path):
+    import io as _io
+
+    many = [{"id": i, "name": f"n{i}", "score": 0.0, "ok": True}
+            for i in range(3210)]
+    buf = _io.BytesIO()
+    n = AV.write_avro_ocf_stream(buf, iter(many), FIELDS,
+                                 block_records=100)
+    assert n == 3210
+    _, records = AV.read_avro_ocf(buf.getvalue())
+    assert records == many
