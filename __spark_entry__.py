@@ -118,9 +118,49 @@ _NO_ORACLE_BACK: tuple[str, ...] = (
 )
 
 
+# Round-13 driver-sample rotation (VERDICT r12 item 9): the next-
+# stalest cohort — all 26 oracled entries last driver-sampled in r7,
+# the 7 last sampled in r8, and the head of the r9 block to fill the
+# ~50-entry window behind the flagship + this round's new entries.
+_R13_NEW: tuple[str, ...] = (
+    "pdf_extract_stats",
+    "image_caption_pairs",
+    "media_exif_stats",
+    "scrub_exif_gps_docs",
+    "pagerank_host_graph",
+    "chat_validation_suite",
+    "chat_prompt_dedup",
+)
+_R13_ROTATION: tuple[str, ...] = (
+    # last sampled r7
+    "curation_manifest_docs", "decontaminate_vs_benchmark",
+    "dedup_component_groups", "dedup_component_groups_portable",
+    "dedup_containment_pairs", "dedup_incremental_fold",
+    "drift_psi_event_values", "epoch_shuffle_docs",
+    "interval_coverage_per_user", "jl_project_embeddings",
+    "latency_quantiles_by_type", "line_dedup_docs",
+    "max_event_gap_per_user", "mixture_rebalance", "ngram_top_terms",
+    "phrase_search_docs", "quality_filter_flags",
+    "quality_topq_by_source", "repetition_top_bigram",
+    "rollup_incremental_distinct_kmv", "sketch_cms_token_freq",
+    "sketch_kmv_distinct_portable", "split_train_val_test_docs",
+    "stratified_sample_events", "topk_orders_per_customer_agg",
+    "zorder_pruned_scan",
+    # last sampled r8
+    "cdc_apply_user_state", "ema_user_value",
+    "entity_resolution_customers", "inverted_index_postings",
+    "k_anonymity_customers", "profile_orders_table",
+    "state_diff_user_snapshots",
+    # head of the r9 block (fills the window)
+    "anchor_text_stats", "bloom_incremental_union", "bm25_doc_scores",
+    "bpe_encode_docs", "cap_docs_per_host", "dedup_prefix_filter_pairs",
+    "dsir_importance_docs", "heavy_hitter_tokens",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    front = ["return_pct_by_nation", *_R12_NEW, *_R12_ROTATION]
+    front = ["return_pct_by_nation", *_R13_NEW, *_R13_ROTATION]
     out = {k: base[k] for k in front if k in base}
     out.update(
         (k, v) for k, v in base.items()
@@ -158,6 +198,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_customers": Q.distinct_agg_customers,
         "set_union_distinct": Q.set_union_distinct,
         "view_layering": Q.view_layering,
+        # round-13 additions (inside the sample window via _R13_NEW)
+        "pdf_extract_stats": X.pdf_extract_stats,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -6965,6 +7007,34 @@ def oracle_sql() -> dict[str, str]:
                        AS codepoints_composed
             FROM raw
             ORDER BY doc_id
+        """,
+        # ------------------------------------------------------ r13
+        "pdf_extract_stats": """
+            WITH ids AS (SELECT doc_id AS d FROM documents),
+            good AS (
+                SELECT d, CAST(i AS INT) AS p
+                FROM ids,
+                     unnest(generate_series(0, CAST(d % 3 AS INT)))
+                         AS t(i)
+                WHERE d % 17 NOT IN (5, 13)
+            ),
+            built AS (
+                SELECT d, p,
+                       'Doc ' || d || ' page ' || p || ' (q'
+                       || ((7 * d + p) % 93) || ')' || chr(10)
+                       || 'tok' || ((d + p) % 11) || ' #' || (d % 5)
+                       || 'alpha beta ' || p
+                       || '!x' || ((3 * d + p) % 29) AS text
+                FROM good
+            )
+            SELECT d AS doc_id, p AS page_idx, text,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM built
+            UNION ALL
+            SELECT d, CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            FROM ids WHERE d % 17 IN (5, 13)
+            ORDER BY doc_id, page_idx
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the
