@@ -200,6 +200,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_layering": Q.view_layering,
         # round-13 additions (inside the sample window via _R13_NEW)
         "pdf_extract_stats": X.pdf_extract_stats,
+        "media_exif_stats": X.media_exif_stats,
+        "scrub_exif_gps_docs": X.scrub_exif_gps_docs,
+        "image_caption_pairs": X.image_caption_pairs,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -7035,6 +7038,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT)
             FROM ids WHERE d % 17 IN (5, 13)
             ORDER BY doc_id, page_idx
+        """,
+        "media_exif_stats": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 23 = 7 THEN CAST(NULL AS BOOLEAN)
+                        WHEN doc_id % 23 = 15 THEN FALSE
+                        ELSE TRUE END AS has_exif,
+                   CASE WHEN doc_id % 23 IN (7, 15)
+                            THEN CAST(NULL AS VARCHAR)
+                        WHEN doc_id % 2 = 0 THEN 'II'
+                        ELSE 'MM' END AS byte_order,
+                   CASE WHEN doc_id % 23 IN (7, 15)
+                            THEN CAST(NULL AS INT)
+                        ELSE CAST(1 + doc_id % 8 AS INT)
+                   END AS orientation,
+                   CASE WHEN doc_id % 23 IN (7, 15)
+                            THEN CAST(NULL AS VARCHAR)
+                        ELSE '2024:'
+                          || lpad(CAST(1 + doc_id % 12 AS VARCHAR),
+                                  2, '0')
+                          || ':'
+                          || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                  2, '0')
+                          || ' '
+                          || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                          || ':'
+                          || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                          || ':'
+                          || lpad(CAST((3 * doc_id) % 60 AS VARCHAR),
+                                  2, '0')
+                   END AS exif_datetime,
+                   CASE WHEN doc_id % 23 IN (7, 15)
+                             OR doc_id % 5 >= 2
+                            THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(
+                          (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END)
+                          * ((doc_id % 90) * 3600000
+                             + ((3 * doc_id) % 60) * 60000
+                             + ((7 * doc_id) % 6000) * 10) AS BIGINT)
+                   END AS gps_lat_mas,
+                   CASE WHEN doc_id % 23 IN (7, 15)
+                             OR doc_id % 5 >= 2
+                            THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(
+                          (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END)
+                          * (((11 * doc_id) % 180) * 3600000
+                             + ((13 * doc_id) % 60) * 60000
+                             + ((17 * doc_id) % 6000) * 10) AS BIGINT)
+                   END AS gps_lon_mas
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "scrub_exif_gps_docs": """
+            -- closed-form segment layout: GPS-bearing fixture JPEG is
+            -- 199 bytes with a 182-byte APP1 Exif segment (8-byte TIFF
+            -- header + 42-byte IFD0 + 54-byte GPS IFD + 68-byte data
+            -- area + 10 bytes of marker/length/Exif\\0\\0 framing);
+            -- no-GPS EXIF docs are 85 bytes, EXIF-less docs 17
+            SELECT doc_id,
+                   CASE WHEN doc_id % 23 = 7 THEN CAST(NULL AS BOOLEAN)
+                        WHEN doc_id % 23 = 15 THEN FALSE
+                        WHEN doc_id % 5 < 2 THEN TRUE
+                        ELSE FALSE END AS had_gps,
+                   CAST(CASE WHEN doc_id % 23 = 7 THEN 199
+                             WHEN doc_id % 23 = 15 THEN 17
+                             WHEN doc_id % 5 < 2 THEN 17
+                             ELSE 85 END AS BIGINT) AS clean_len,
+                   CAST(CASE WHEN doc_id % 23 NOT IN (7, 15)
+                                  AND doc_id % 5 < 2
+                             THEN 182 ELSE 0 END AS BIGINT)
+                       AS bytes_removed
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "image_caption_pairs": """
+            WITH ids AS (SELECT doc_id AS d FROM documents),
+            cand AS (
+                SELECT d,
+                       'http://images.example.com/shared/'
+                           || (d - d % 10) || '.jpg' AS img_url,
+                       'Alt ' || d
+                           || CASE WHEN d % 2 = 0 THEN ' & stuff'
+                                   ELSE ' plain' END AS caption
+                FROM ids
+                UNION ALL
+                SELECT d,
+                       'http://cdn' || (d % 7) || '.example.org/f/'
+                           || d || '.gif',
+                       'Fig ' || ((d * 3) % 13) || ' of doc ' || d
+                FROM ids
+            ),
+            ranked AS (
+                SELECT img_url, caption, d,
+                       row_number() OVER (
+                           PARTITION BY img_url
+                           ORDER BY length(caption) DESC, caption, d
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY img_url) AS n_refs
+                FROM cand
+            )
+            SELECT img_url, CAST(n_refs AS BIGINT) AS n_refs,
+                   caption AS best_caption,
+                   CAST(d AS BIGINT) AS best_doc_id
+            FROM ranked WHERE rn = 1
+            ORDER BY img_url
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

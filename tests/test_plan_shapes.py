@@ -392,3 +392,23 @@ def test_cms_probe_join_is_broadcast_and_jl_is_scan_only(plans):
     assert "Join" not in p
     # one exchange only: the output ordering's range partitioning
     assert p.count("Exchange") <= 2
+
+
+def test_image_caption_pairs_single_imgurl_shuffle(plans):
+    """Image-caption mining must stay scan-side until the one
+    img_url-keyed best-caption window: extraction/decode/canon/
+    figcaption lookup add NO exchange of their own, and there is no
+    join (the figure lookup is an array filter, not a shuffle join)."""
+    p = plans("image_caption_pairs")
+    assert "Join" not in p, "figcaption lookup must not plan a join"
+    n_exch = p.count("Exchange hashpartitioning")
+    assert n_exch <= 2, f"expected only the window shuffle, got {n_exch}"
+    assert "img_url" in p.split("Exchange hashpartitioning", 1)[1]
+
+
+def test_pdf_extract_no_shuffle_before_sort(plans):
+    """PDF extraction is a pure mapInPandas chain: the only exchange
+    is the output presentation sort."""
+    p = plans("pdf_extract_stats")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 0

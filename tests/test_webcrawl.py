@@ -1325,3 +1325,86 @@ def test_html_table_records_header_keys_and_fallback(spark):
         (1, 1, 0, 0, "col_0", "a"),
         (1, 1, 0, 1, "col_1", "b"),
     ]
+
+
+class TestImageCaptionPairs:
+    """Image-text pair mining (VERDICT r12 item 3): extraction
+    profile, caption precedence, and the relative/self/missing-alt
+    exclusions."""
+
+    def _df(self, spark, html, url="http://site.example.com/p/1"):
+        return spark.createDataFrame(
+            [(1, url, html)], "doc_id long, url string, html string"
+        )
+
+    def test_alt_quote_styles_and_entity_decode(self, spark):
+        html = (
+            '<p><IMG SRC="http://a.com/x.jpg" alt="A &amp; B"></p>'
+            "<img src='http://a.com/y.jpg' alt='single'>"
+            '<img src=http://a.com/z.jpg alt=unquoted>'
+        )
+        got = sorted(
+            (r.img_url, r.caption)
+            for r in WC.image_caption_candidates(
+                self._df(spark, html), "doc_id", "url", "html"
+            ).collect()
+        )
+        assert got == [
+            ("http://a.com/x.jpg", "A & B"),
+            ("http://a.com/y.jpg", "single"),
+            ("http://a.com/z.jpg", "unquoted"),
+        ]
+
+    def test_figcaption_fallback_and_alt_precedence(self, spark):
+        html = (
+            "<figure><img src=\"http://a.com/noalt.jpg\">"
+            "<figcaption>fig wins &gt; here</figcaption></figure>"
+            "<figure><img src=\"http://a.com/hasalt.jpg\" alt=\"alt wins\">"
+            "<figcaption>fig loses</figcaption></figure>"
+        )
+        got = sorted(
+            (r.img_url, r.caption)
+            for r in WC.image_caption_candidates(
+                self._df(spark, html), "doc_id", "url", "html"
+            ).collect()
+        )
+        assert got == [
+            ("http://a.com/hasalt.jpg", "alt wins"),
+            ("http://a.com/noalt.jpg", "fig wins > here"),
+        ]
+
+    def test_exclusions_relative_self_missing(self, spark):
+        page = "http://site.example.com/p/1"
+        html = (
+            '<img src="/relative/x.jpg" alt="rel">'
+            '<img src="data:image/png;base64,AAAA" alt="data uri">'
+            f'<img src="{page}#frag" alt="self echo">'
+            '<img src="http://a.com/nocap.jpg">'
+            '<img src="http://a.com/kept.jpg" alt="kept">'
+        )
+        got = [
+            (r.img_url, r.caption)
+            for r in WC.image_caption_candidates(
+                self._df(spark, html, url=page), "doc_id", "url", "html"
+            ).collect()
+        ]
+        assert got == [("http://a.com/kept.jpg", "kept")]
+
+    def test_best_caption_window(self, spark):
+        cands = spark.createDataFrame(
+            [
+                (3, "http://a.com/i.jpg", "short"),
+                (1, "http://a.com/i.jpg", "the longest caption"),
+                (2, "http://a.com/i.jpg", "the longest caption"),
+                (9, "http://b.com/j.jpg", "only"),
+            ],
+            "doc_id long, img_url string, caption string",
+        )
+        got = {
+            r.img_url: (r.n_refs, r.best_caption, r.best_doc_id)
+            for r in WC.best_caption_per_image(cands).collect()
+        }
+        assert got == {
+            "http://a.com/i.jpg": (3, "the longest caption", 1),
+            "http://b.com/j.jpg": (1, "only", 9),
+        }
