@@ -203,6 +203,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif_stats": X.media_exif_stats,
         "scrub_exif_gps_docs": X.scrub_exif_gps_docs,
         "image_caption_pairs": X.image_caption_pairs,
+        "pagerank_host_graph": X.pagerank_host_graph,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -1502,28 +1503,74 @@ def _auto_cells(n_rows: int) -> int:
     return auto_n_clusters(n_rows, n_assign=2)
 
 
-def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 10) -> str:
-    """Unrolled weighted-PageRank twin of
-    operators/graphrank.trade_pagerank: identical edge derivation,
+def _host_graph_ctes() -> str:
+    """The host-fixture CTE chain (pages -> hrefs -> canonical
+    domains) shared by the host_link_graph and
+    pagerank_host_graph oracles — ends at ``withdomain``."""
+    return f"""pages AS (
+                SELECT doc_id,
+                       source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
+                       CASE WHEN doc_id % 11 = 0 THEN '.co.uk'
+                            ELSE '.com' END AS src_domain,
+                       '<html><body>'
+                       || '<a href=http://Site'
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.COM/p/' || CAST(doc_id AS VARCHAR) || '>x</a>'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '<a class="l" href=' || chr(39)
+                                    || 'HTTPS://WWW.site'
+                                    || CAST((doc_id + 2) % 7 AS VARCHAR)
+                                    || '.co.uk:443/x?utm_source=z&b=1'
+                                    || chr(39) || '>y</a>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<a href="/about">rel</a>' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '<a href="mailto:u@example.com">m</a>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN '<a href="http://' || source || '-'
+                                    || CAST(doc_id % 7 AS VARCHAR)
+                                    || CASE WHEN doc_id % 11 = 0
+                                            THEN '.co.uk' ELSE '.com' END
+                                    || '/self">s</a>'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            rawhrefs AS (
+                SELECT src_domain,
+                       unnest(regexp_extract_all(html,
+                           '{_sq(_WC.HREF_RE)}', 1)) AS v
+                FROM pages
+            ),
+            hrefs AS (
+                SELECT src_domain,
+                       {_strip_href_quotes_sql("v")} AS url
+                FROM rawhrefs
+            ),
+            urls AS (
+                SELECT * FROM hrefs
+                WHERE regexp_matches(url, '{_WC.ABS_HTTP_RE}')
+            ),
+            {_URL_CANON_CTES}"""
+
+
+def _pagerank_unrolled_sql(graph_ctes: str, out_select: str,
+                           damping: float = 0.85,
+                           n_iter: int = 10) -> str:
+    """Generic unrolled weighted-PageRank twin of
+    operators/graphrank.pagerank: the caller supplies CTEs defining
+    ``nodes(id, ...)`` and ``edges(src, dst, w)``; this appends the
     identical fixed iterations with uniform dangling redistribution,
     identical expression shape (base + d * (contrib + dangling/N)).
-    MATERIALIZED for the same inlining-explosion reason as the PCA
-    twin."""
+    ``out_select`` is a format string receiving ``{prev}``, the final
+    rank CTE name. MATERIALIZED for the same inlining-explosion
+    reason as the PCA twin."""
     d = repr(damping)
     parts = [f"""
-        WITH nodes AS MATERIALIZED (
-            SELECT n_nationkey AS id, n_name FROM nation
-        ),
+        WITH {graph_ctes},
         nn AS (SELECT count(*) AS n FROM nodes),
-        edges AS MATERIALIZED (
-            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-                   CAST(count(*) AS DOUBLE) AS w
-            FROM lineitem l
-            JOIN orders o ON l.l_orderkey = o.o_orderkey
-            JOIN customer c ON o.o_custkey = c.c_custkey
-            JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            GROUP BY 1, 2
-        ),
         outw AS MATERIALIZED (
             SELECT src, sum(w) AS tw FROM edges GROUP BY src
         ),
@@ -1550,14 +1597,31 @@ def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 10) -> str:
                        GROUP BY e.dst) c ON n.id = c.dst
         )""")
         prev = f"r{k}"
-    parts.append(f"""
+    parts.append(out_select.format(prev=prev))
+    return "".join(parts)
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 10) -> str:
+    """Trade-graph instantiation (pagerank_trade_nations)."""
+    graph = """nodes AS MATERIALIZED (
+            SELECT n_nationkey AS id, n_name FROM nation
+        ),
+        edges AS MATERIALIZED (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        )"""
+    out = """
         SELECT n.n_name,
                (floor((r.pr) * 1000000.0 + 0.5) / 1000000.0) AS pr
         FROM {prev} r JOIN nodes n ON r.id = n.id
         ORDER BY pr DESC, n.n_name ASC
-    """)
-    return "".join(parts)
-
+    """
+    return _pagerank_unrolled_sql(graph, out, damping, n_iter)
 
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 8) -> str:
     """Unrolled power-iteration PCA twin of
@@ -5207,53 +5271,7 @@ def oracle_sql() -> dict[str, str]:
         # same canon chain on the hrefs; the page URL is clean
         # lowercase by construction so src_domain == constructed host
         "host_link_graph": f"""
-            WITH pages AS (
-                SELECT doc_id,
-                       source || '-' || CAST(doc_id % 7 AS VARCHAR) ||
-                       CASE WHEN doc_id % 11 = 0 THEN '.co.uk'
-                            ELSE '.com' END AS src_domain,
-                       '<html><body>'
-                       || '<a href=http://Site'
-                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
-                       || '.COM/p/' || CAST(doc_id AS VARCHAR) || '>x</a>'
-                       || CASE WHEN doc_id % 2 = 0
-                               THEN '<a class="l" href=' || chr(39)
-                                    || 'HTTPS://WWW.site'
-                                    || CAST((doc_id + 2) % 7 AS VARCHAR)
-                                    || '.co.uk:443/x?utm_source=z&b=1'
-                                    || chr(39) || '>y</a>'
-                               ELSE '' END
-                       || CASE WHEN doc_id % 3 = 0
-                               THEN '<a href="/about">rel</a>' ELSE '' END
-                       || CASE WHEN doc_id % 5 = 0
-                               THEN '<a href="mailto:u@example.com">m</a>'
-                               ELSE '' END
-                       || CASE WHEN doc_id % 7 = 0
-                               THEN '<a href="http://' || source || '-'
-                                    || CAST(doc_id % 7 AS VARCHAR)
-                                    || CASE WHEN doc_id % 11 = 0
-                                            THEN '.co.uk' ELSE '.com' END
-                                    || '/self">s</a>'
-                               ELSE '' END
-                       || '</body></html>' AS html
-                FROM documents
-            ),
-            rawhrefs AS (
-                SELECT src_domain,
-                       unnest(regexp_extract_all(html,
-                           '{_sq(_WC.HREF_RE)}', 1)) AS v
-                FROM pages
-            ),
-            hrefs AS (
-                SELECT src_domain,
-                       {_strip_href_quotes_sql("v")} AS url
-                FROM rawhrefs
-            ),
-            urls AS (
-                SELECT * FROM hrefs
-                WHERE regexp_matches(url, '{_WC.ABS_HTTP_RE}')
-            ),
-            {_URL_CANON_CTES}
+            WITH {_host_graph_ctes()}
             SELECT src_domain, domain AS dst_domain,
                    CAST(count(*) AS BIGINT) AS n_links
             FROM withdomain
@@ -7143,6 +7161,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
             ORDER BY img_url
         """,
+        # host-authority composition: host_link_graph CTE chain ->
+        # the same unrolled fixed-iteration PageRank as the trade twin
+        "pagerank_host_graph": _pagerank_unrolled_sql(
+            f"""{_host_graph_ctes()},
+            edges AS MATERIALIZED (
+                SELECT src_domain AS src, domain AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                FROM withdomain
+                WHERE src_domain <> domain
+                GROUP BY 1, 2
+            ),
+            nodes AS MATERIALIZED (
+                SELECT src AS id FROM edges
+                UNION
+                SELECT dst FROM edges
+            )""",
+            """
+            SELECT r.id AS domain,
+                   (floor((r.pr) * 1000000.0 + 0.5) / 1000000.0) AS pr
+            FROM {prev} r
+            ORDER BY pr DESC, domain ASC
+            """,
+        ),
     }
     # the Arrow/numpy ANN twin has the same output contract as the
     # HOF path, so it shares the oracle verbatim (4dp rounding absorbs

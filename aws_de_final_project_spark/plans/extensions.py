@@ -4040,6 +4040,16 @@ def host_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the map-side-combinable (src,dst) count."""
     from aws_de_final_project_spark.operators import webcrawl as WC
 
+    pages = _host_fixture_pages(spark, sf_dir)
+    return WC.host_link_graph(pages, "url", "html").orderBy(
+        "src_domain", "dst_domain"
+    )
+
+
+def _host_fixture_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host-graph HTML fixture (see host_link_graph_docs's
+    docstring for the plant inventory) — shared by the link-graph and
+    host-PageRank entries so both replay the identical corpus."""
     t = load_tables(spark, sf_dir, ("documents",))
     d = F.col("doc_id")
     suffix = F.when(d % 11 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
@@ -4076,10 +4086,26 @@ def host_link_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
-    pages = t["documents"].select(url.alias("url"), html.alias("html"))
-    return WC.host_link_graph(pages, "url", "html").orderBy(
-        "src_domain", "dst_domain"
-    )
+    return t["documents"].select(url.alias("url"), html.alias("html"))
+
+
+def pagerank_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority composition (operators/graphrank.host_pagerank
+    over operators/webcrawl.host_link_graph — VERDICT r12 "missing"
+    item 4): the registered-domain link graph from the shared host
+    fixture feeds ten fixed weighted-PageRank iterations; domains
+    with only in-links are dangling nodes whose mass redistributes
+    uniformly. The edge aggregate is domain-keyed (schema-bounded),
+    so the rank iteration collapses to the bounded driver program
+    after the data-sized graph build. FULL DuckDB oracle: the
+    host_link_graph CTE chain feeding the same unrolled fixed
+    iterations (the pagerank_trade_nations precedent)."""
+    from aws_de_final_project_spark.operators import graphrank
+    from aws_de_final_project_spark.operators import webcrawl as WC
+
+    pages = _host_fixture_pages(spark, sf_dir)
+    edges = WC.host_link_graph(pages, "url", "html")
+    return graphrank.host_pagerank(edges)
 
 
 def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

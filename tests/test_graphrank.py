@@ -184,3 +184,35 @@ def test_pagerank_and_triangles_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert t_durable == t_base
+
+
+def test_host_pagerank_blocklisted_spam_ranks_low(spark):
+    """Composition pin (VERDICT r12 item 5): on a planted host graph,
+    a spam/link-farm domain (out-links only, zero in-links — the
+    blocklist shape) must rank BELOW every organically-linked host,
+    and a pure sink (in-links only, a dangling node) must still
+    receive rank mass."""
+    from aws_de_final_project_spark.operators.graphrank import host_pagerank
+
+    edges = spark.createDataFrame(
+        [
+            # organic core: a <-> b, both -> authority c
+            ("a.com", "b.com", 5), ("b.com", "a.com", 5),
+            ("a.com", "c.com", 10), ("b.com", "c.com", 10),
+            # c links on to the dangling sink d
+            ("c.com", "d.com", 3),
+            # spam farm: blasts links at everyone, receives none
+            ("spam.biz", "a.com", 100), ("spam.biz", "b.com", 100),
+            ("spam.biz", "c.com", 100),
+        ],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    pr = {r.domain: r.pr for r in host_pagerank(edges).collect()}
+    assert set(pr) == {"a.com", "b.com", "c.com", "d.com", "spam.biz"}
+    assert abs(sum(pr.values()) - 1.0) < 1e-3  # mass conserved
+    spam = pr["spam.biz"]
+    assert all(spam < v for k, v in pr.items() if k != "spam.biz"), pr
+    # the doubly-linked authority outranks its linkers; the dangling
+    # sink (c's only out-edge) legitimately collects c's mass
+    assert pr["c.com"] > pr["a.com"] and pr["c.com"] > pr["b.com"]
+    assert pr["d.com"] > spam  # dangling sink still collects rank
