@@ -204,6 +204,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_exif_gps_docs": X.scrub_exif_gps_docs,
         "image_caption_pairs": X.image_caption_pairs,
         "pagerank_host_graph": X.pagerank_host_graph,
+        "chat_validation_suite": X.chat_validation_suite,
+        "chat_prompt_dedup": X.chat_prompt_dedup,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -7184,6 +7186,80 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pr DESC, domain ASC
             """,
         ),
+        # each fixture class violates exactly one check; malformed
+        # lines fail only malformed_json (protocol checks pass on
+        # NULL-messages rows by construction)
+        "chat_validation_suite": """
+            WITH ids AS (SELECT doc_id AS d FROM documents),
+            counts AS (
+                SELECT 'satisfies:malformed_json' AS check_name,
+                       CAST(count(*) FILTER (WHERE d % 17 = 2)
+                            AS BIGINT) AS violations FROM ids
+                UNION ALL
+                SELECT 'satisfies:unknown_role',
+                       CAST(count(*) FILTER (WHERE d % 17 <> 2
+                            AND d % 13 = 9) AS BIGINT) FROM ids
+                UNION ALL
+                SELECT 'satisfies:system_not_leading',
+                       CAST(count(*) FILTER (WHERE d % 17 <> 2
+                            AND d % 13 = 1) AS BIGINT) FROM ids
+                UNION ALL
+                SELECT 'satisfies:first_turn_not_user',
+                       CAST(count(*) FILTER (WHERE d % 17 <> 2
+                            AND d % 13 = 0) AS BIGINT) FROM ids
+                UNION ALL
+                SELECT 'satisfies:role_repeat',
+                       CAST(count(*) FILTER (WHERE d % 17 <> 2
+                            AND d % 13 = 3) AS BIGINT) FROM ids
+                UNION ALL
+                SELECT 'satisfies:last_turn_not_assistant',
+                       CAST(count(*) FILTER (WHERE d % 17 <> 2
+                            AND d % 13 = 11) AS BIGINT) FROM ids
+                UNION ALL
+                SELECT 'satisfies:empty_content',
+                       CAST(count(*) FILTER (WHERE d % 17 <> 2
+                            AND d % 13 = 7) AS BIGINT) FROM ids
+                UNION ALL
+                SELECT 'satisfies:turn_over_token_budget',
+                       CAST(count(*) FILTER (WHERE d % 17 <> 2
+                            AND d % 13 = 5) AS BIGINT) FROM ids
+            )
+            SELECT check_name, violations,
+                   violations = 0 AS passed
+            FROM counts
+            ORDER BY check_name
+        """,
+        # normalization + md5 fingerprint + registry anti-join replay
+        "chat_prompt_dedup": """
+            WITH ids AS (
+                SELECT doc_id AS d FROM documents
+                WHERE doc_id % 17 <> 2
+            ),
+            pr AS (
+                SELECT d,
+                       CASE WHEN d % 13 = 5
+                            THEN repeat('w ', 69) || 'w'
+                            ELSE 'question ' || (d % 25)
+                                 || ' on topic ' || ((d % 25) % 5)
+                                 || ' please' END AS prompt
+                FROM ids
+            ),
+            hist AS (
+                SELECT DISTINCT md5(prompt) AS fp
+                FROM pr WHERE d % 100 < 20
+            ),
+            batch AS (
+                SELECT md5(prompt) AS fp,
+                       CAST(min(d) AS BIGINT) AS conv_id
+                FROM pr WHERE d % 100 >= 20
+                GROUP BY md5(prompt)
+            )
+            SELECT b.conv_id, b.fp
+            FROM batch b
+            LEFT JOIN hist h ON b.fp = h.fp
+            WHERE h.fp IS NULL
+            ORDER BY conv_id
+        """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the
     # HOF path, so it shares the oracle verbatim (4dp rounding absorbs

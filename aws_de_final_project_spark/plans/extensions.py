@@ -5995,3 +5995,123 @@ def image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         html.alias("html"))
     cands = WC.image_caption_candidates(pages, "doc_id", "url", "html")
     return WC.best_caption_per_image(cands).orderBy("img_url")
+
+
+def _chat_fixture_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form JSONL chat lines from doc_id (round-13 chat
+    entries): optional leading system turn (d%4==0), 1-2 user/
+    assistant pairs, prompt text with case/whitespace noise on odd
+    docs (normalization must fold it), and one planted violation
+    class per d%13 residue — 0: opens with assistant, 1: non-leading
+    system, 3: duplicated user turn, 5: 70-token prompt (budget),
+    7: whitespace-only last assistant, 9: unknown role 'bot',
+    11: trailing user turn. d%17==2 is a malformed-JSON plant. Each
+    class violates EXACTLY one suite check (the protocol checks run
+    on the user/assistant subsequence, so foreign/system turns don't
+    cascade into alternation failures)."""
+    from aws_de_final_project_spark.operators.util import spread
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = spread(t["documents"].select("doc_id"))
+
+    def gen(it):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, lines = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ids.append(d)
+                if d % 17 == 2:
+                    lines.append("{broken json line")
+                    continue
+                k = d % 25
+                if d % 13 == 5:
+                    prompt = "w " * 69 + "w"
+                elif d % 2 == 1:
+                    prompt = (f"QUESTION  {k} ON  TOPIC {k % 5}"
+                              f"  PLEASE")
+                else:
+                    prompt = f"Question {k} on topic {k % 5} please"
+                msgs = []
+                if d % 4 == 0:
+                    msgs.append(("system", "be helpful"))
+                if d % 13 == 0:
+                    msgs.append(("assistant", f"intro {d}"))
+                msgs.append(("user", prompt))
+                if d % 13 == 3:
+                    msgs.append(("user", prompt))
+                if d % 13 == 1:
+                    msgs.append(("system", "late note"))
+                msgs.append(("assistant", f"answer {d} part 0"))
+                if d % 2 == 1:
+                    msgs.append(("user", f"follow up {d}"))
+                    msgs.append(("assistant", f"answer {d} part 1"))
+                if d % 13 == 7:
+                    msgs[-1] = ("assistant", "   ")
+                if d % 13 == 9:
+                    msgs.append(("bot", "beep"))
+                if d % 13 == 11:
+                    msgs.append(("user", f"bye {d}"))
+                lines.append(_json.dumps({"messages": [
+                    {"role": r, "content": c} for r, c in msgs
+                ]}))
+            yield pd.DataFrame({"conv_id": ids, "line": lines})
+
+    return docs.mapInPandas(gen, "conv_id long, line string")
+
+
+def chat_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT record validation (operators/chat.chat_check_suite —
+    VERDICT r12 "missing" item 5): JSONL chat lines parse through
+    from_json with the explicit schema (malformed lines -> NULL,
+    counted, never dropped silently), then EIGHT role-protocol /
+    content checks run in ONE scan + one hash aggregate
+    (operators/dq.check_suite underneath). The fixture plants exactly
+    one violation class per d%13 residue, so the FULL DuckDB oracle
+    states each check's violation count arithmetically."""
+    from aws_de_final_project_spark.operators import chat as CH
+
+    convs = CH.parse_chat_lines(
+        _chat_fixture_lines(spark, sf_dir), "line"
+    )
+    return CH.chat_check_suite(convs)
+
+
+def chat_prompt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-level dedup across conversations (operators/chat
+    .chat_prompt_dedup_against_registry -> operators/dedup
+    .dedup_against_state — the incremental fingerprint-registry path:
+    history is NEVER rescanned, shuffle volume is batch-sized). The
+    history batch (conv_id%100 < 20) seeds the registry with prompts
+    q0..q19 (+ the budget-plant mega-prompt); the new batch's
+    survivors are the first arrivals of the five never-seen prompts
+    q20..q24 — case/whitespace noise on odd docs MUST fold into the
+    same fingerprint for the counts to match. FULL DuckDB oracle
+    replays normalization + md5 fingerprints + the registry
+    anti-join."""
+    from aws_de_final_project_spark.operators import chat as CH
+    from aws_de_final_project_spark.operators import dedup as DD
+
+    convs = CH.parse_chat_lines(
+        _chat_fixture_lines(spark, sf_dir), "line"
+    )
+    hist = convs.filter(F.col("conv_id") % 100 < 20)
+    batch = convs.filter(F.col("conv_id") % 100 >= 20)
+    registry = (
+        hist.select(
+            "conv_id", CH.normalized_prompt().alias("_prompt")
+        )
+        .filter(F.col("_prompt").isNotNull())
+        .select(
+            DD.fingerprint("_prompt").alias("fp"), F.col("conv_id")
+        )
+        .groupBy("fp")
+        .agg(F.min("conv_id").alias("keeper_id"))
+    )
+    kept, _new_state = CH.chat_prompt_dedup_against_registry(
+        batch, registry
+    )
+    return kept.orderBy("conv_id")
