@@ -130,6 +130,7 @@ _R13_NEW: tuple[str, ...] = (
     "pagerank_host_graph",
     "chat_validation_suite",
     "chat_prompt_dedup",
+    "chat_prompt_near_dedup",
 )
 _R13_ROTATION: tuple[str, ...] = (
     # last sampled r7
@@ -206,6 +207,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_host_graph": X.pagerank_host_graph,
         "chat_validation_suite": X.chat_validation_suite,
         "chat_prompt_dedup": X.chat_prompt_dedup,
+        "chat_prompt_near_dedup": X.chat_prompt_near_dedup,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -1826,10 +1828,16 @@ def _mojibake_repair_sql(inner: str) -> str:
     return e
 
 
-def _minhash_portable_sql() -> str:
+def _minhash_portable_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs_portable: identical md5
     hash family, 16 signatures, 4 bands of 4, candidate join, exact
-    Jaccard verify."""
+    Jaccard verify. ``source_sql`` supplies (doc_id, text) — the
+    documents table by default, or any derived prompt/snippet frame
+    (the chat prompt twin reuses the whole pipeline this way)."""
     mins = ",\n                ".join(
         f"min(('0x' || substr(md5('{i}:' || sh1), 1, 15))::BIGINT) AS m{i}"
         for i in range(16)
@@ -1842,7 +1850,7 @@ def _minhash_portable_sql() -> str:
     return f"""
         WITH w AS (
             SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS wd
-            FROM documents
+            FROM ({source_sql})
         ),
         s AS (
             SELECT doc_id,
@@ -1869,7 +1877,7 @@ def _minhash_portable_sql() -> str:
             FROM b a JOIN b c
               ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
         )
-        SELECT cand.doc_a, cand.doc_b,
+        SELECT cand.doc_a AS {out_a}, cand.doc_b AS {out_b},
                (floor((CAST(len(list_intersect(x.sh, y.sh)) AS double) /
                    CAST(len(x.sh) + len(y.sh)
                         - len(list_intersect(x.sh, y.sh)) AS double))
@@ -1881,8 +1889,25 @@ def _minhash_portable_sql() -> str:
                    CAST(len(x.sh) + len(y.sh)
                         - len(list_intersect(x.sh, y.sh)) AS double))
                    * 10000.0 + 0.5) / 10000.0) >= 0.5
-        ORDER BY doc_a, doc_b
+        ORDER BY {out_a}, {out_b}
     """
+
+
+CHAT_NEAR_SRC = """SELECT doc_id,
+                   CASE WHEN doc_id % 100 < 4
+                        THEN 'please summarize document '
+                             || (doc_id - doc_id % 100)
+                             || ' about spark shuffles and partitions in '
+                             || CASE WHEN doc_id % 100 = 2 THEN 'five'
+                                     ELSE 'three' END
+                             || ' short bullet points for '
+                             || CASE WHEN doc_id % 100 = 3 THEN 'standup'
+                                     ELSE 'review' END
+                        ELSE 'unique ask ' || doc_id || ' about topic '
+                             || (doc_id % 7)
+                             || ' with nothing shared here at all' END
+                       AS text
+            FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7260,6 +7285,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE h.fp IS NULL
             ORDER BY conv_id
         """,
+        # the parameterized minhash twin over the closed-form prompt
+        # expression — identical signatures/bands/verify
+        "chat_prompt_near_dedup": _minhash_portable_sql(
+            source_sql=CHAT_NEAR_SRC,
+            out_a="conv_a", out_b="conv_b",
+        ),
     }
     # the Arrow/numpy ANN twin has the same output contract as the
     # HOF path, so it shares the oracle verbatim (4dp rounding absorbs

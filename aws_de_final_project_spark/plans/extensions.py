@@ -6115,3 +6115,66 @@ def chat_prompt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, registry
     )
     return kept.orderBy("conv_id")
+
+
+def chat_prompt_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate prompt pairs across conversations: the portable
+    MinHash+LSH pipeline (operators/dedup.minhash_lsh_pairs_portable)
+    applied to the normalized first-user-turn prompt — the rephrase
+    channel exact fingerprints cannot catch. Fixture: docs with
+    d%100 < 4 form 4-prompt groups per 100-block (two verbatim
+    copies, a 'three'->'five' rewrite at J=0.647, a 'review'->
+    'standup' rewrite at J=0.867 — group size FIXED at 4, so pair
+    volume stays linear in corpus size); other docs carry unique
+    prompts sharing a low-Jaccard tail (J=0.25, must be verify-
+    rejected even when a band collides). FULL DuckDB oracle: the
+    parameterized minhash twin runs over the identical closed-form
+    prompt expression — banding recall at mid-J is a deterministic
+    property of the md5 family, replayed exactly, never assumed."""
+    from aws_de_final_project_spark.operators import chat as CH
+    from aws_de_final_project_spark.operators import dedup as DD
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    anchor = (d - d % 100).cast("string")
+    prompt = F.when(
+        d % 100 < 4,
+        F.concat(
+            F.lit("please summarize document "), anchor,
+            F.lit(" about spark shuffles and partitions in "),
+            F.when(d % 100 == 2, F.lit("five")).otherwise(F.lit("three")),
+            F.lit(" short bullet points for "),
+            F.when(d % 100 == 3, F.lit("standup"))
+            .otherwise(F.lit("review")),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("unique ask "), d.cast("string"),
+            F.lit(" about topic "), (d % 7).cast("string"),
+            F.lit(" with nothing shared here at all"),
+        )
+    )
+    msgs = F.array(
+        F.struct(F.lit("user").alias("role"), prompt.alias("content")),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.concat(F.lit("answer "), d.cast("string")).alias("content"),
+        ),
+    )
+    convs = t["documents"].select(
+        d.alias("conv_id"), msgs.alias("messages")
+    )
+    prompts = convs.select(
+        "conv_id", CH.normalized_prompt().alias("prompt")
+    )
+    return (
+        DD.minhash_lsh_pairs_portable(
+            prompts, "prompt", "conv_id", threshold=0.5
+        )
+        .select(
+            F.col("doc_a").alias("conv_a"),
+            F.col("doc_b").alias("conv_b"),
+            "jaccard",
+        )
+        .orderBy("conv_a", "conv_b")
+    )

@@ -28,6 +28,15 @@ import __spark_entry__ as entrymod  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "return_pct_by_nation",
+    # round-13 additions
+    "pdf_extract_stats",
+    "media_exif_stats",
+    "scrub_exif_gps_docs",
+    "image_caption_pairs",
+    "pagerank_host_graph",
+    "chat_validation_suite",
+    "chat_prompt_dedup",
+    "chat_prompt_near_dedup",
     # round-12 additions
     "html_table_rows",
     "html_table_records",
