@@ -1897,15 +1897,23 @@ CHAT_NEAR_SRC = """SELECT doc_id,
                    CASE WHEN doc_id % 100 < 4
                         THEN 'please summarize document '
                              || (doc_id - doc_id % 100)
-                             || ' about spark shuffles and partitions in '
+                             || ' about ' || (doc_id - doc_id % 100 + 1)
+                             || ' spark shuffles '
+                             || (doc_id - doc_id % 100 + 2)
+                             || ' partitions in '
                              || CASE WHEN doc_id % 100 = 2 THEN 'five'
                                      ELSE 'three' END
-                             || ' short bullet points for '
+                             || ' short bullet '
+                             || (doc_id - doc_id % 100 + 3)
+                             || ' points for '
                              || CASE WHEN doc_id % 100 = 3 THEN 'standup'
                                      ELSE 'review' END
-                        ELSE 'unique ask ' || doc_id || ' about topic '
-                             || (doc_id % 7)
-                             || ' with nothing shared here at all' END
+                        ELSE 'unique ask ' || doc_id
+                             || ' q ' || (doc_id % 7)
+                             || ' prompt ' || (doc_id * 3)
+                             || ' about ' || ((doc_id * 7) % 13)
+                             || ' topic ' || (doc_id % 11)
+                             || ' end' END
                        AS text
             FROM documents"""
 

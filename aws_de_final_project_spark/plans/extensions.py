@@ -6126,8 +6126,8 @@ def chat_prompt_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies, a 'three'->'five' rewrite at J=0.647, a 'review'->
     'standup' rewrite at J=0.867 — group size FIXED at 4, so pair
     volume stays linear in corpus size); other docs carry unique
-    prompts sharing a low-Jaccard tail (J=0.25, must be verify-
-    rejected even when a band collides). FULL DuckDB oracle: the
+    prompts whose pairwise word-3-gram Jaccard is <= 3/17 (must be
+    verify-rejected even when a band collides). FULL DuckDB oracle: the
     parameterized minhash twin runs over the identical closed-form
     prompt expression — banding recall at mid-J is a deterministic
     property of the md5 family, replayed exactly, never assumed."""
@@ -6137,21 +6137,41 @@ def chat_prompt_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     d = F.col("doc_id")
     anchor = (d - d % 100).cast("string")
+    # block-anchor tokens at FOUR spread positions: cross-block pairs
+    # share only 4 of 16 word-3-gram shingles (J=0.14 — band-collision
+    # probability ~4e-4, so grouped docs never pair across blocks and
+    # pair volume stays linear); within-block rewrites sit at
+    # J=0.68/0.88/0.60, all above the 0.5 verify threshold
+    a1 = (d - d % 100 + 1).cast("string")
+    a2 = (d - d % 100 + 2).cast("string")
+    a3 = (d - d % 100 + 3).cast("string")
     prompt = F.when(
         d % 100 < 4,
         F.concat(
             F.lit("please summarize document "), anchor,
-            F.lit(" about spark shuffles and partitions in "),
+            F.lit(" about "), a1,
+            F.lit(" spark shuffles "), a2,
+            F.lit(" partitions in "),
             F.when(d % 100 == 2, F.lit("five")).otherwise(F.lit("three")),
-            F.lit(" short bullet points for "),
+            F.lit(" short bullet "), a3,
+            F.lit(" points for "),
             F.when(d % 100 == 3, F.lit("standup"))
             .otherwise(F.lit("review")),
         ),
     ).otherwise(
+        # a d-dependent token every <=2 words: no two distinct docs
+        # share 3 consecutive words, so the word-3-gram Jaccard
+        # between any two unique prompts is <= 3/17 — far below the
+        # 0.5 verify threshold (an earlier tail with a 6-word shared
+        # run verified same-residue pairs at J=0.54 and went
+        # QUADRATIC in the residue group size; caught at sf0.01)
         F.concat(
             F.lit("unique ask "), d.cast("string"),
-            F.lit(" about topic "), (d % 7).cast("string"),
-            F.lit(" with nothing shared here at all"),
+            F.lit(" q "), (d % 7).cast("string"),
+            F.lit(" prompt "), (d * 3).cast("string"),
+            F.lit(" about "), ((d * 7) % 13).cast("string"),
+            F.lit(" topic "), (d % 11).cast("string"),
+            F.lit(" end"),
         )
     )
     msgs = F.array(
