@@ -131,6 +131,8 @@ _R13_NEW: tuple[str, ...] = (
     "chat_validation_suite",
     "chat_prompt_dedup",
     "chat_prompt_near_dedup",
+    "chat_loss_mask_stats",
+    "chat_prompt_split",
 )
 _R13_ROTATION: tuple[str, ...] = (
     # last sampled r7
@@ -208,6 +210,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_validation_suite": X.chat_validation_suite,
         "chat_prompt_dedup": X.chat_prompt_dedup,
         "chat_prompt_near_dedup": X.chat_prompt_near_dedup,
+        "chat_loss_mask_stats": X.chat_loss_mask_stats,
+        "chat_prompt_split": X.chat_prompt_split,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -7299,6 +7303,78 @@ def oracle_sql() -> dict[str, str]:
             source_sql=CHAT_NEAR_SRC,
             out_a="conv_a", out_b="conv_b",
         ),
+        # every turn's whitespace token count is closed-form in d:
+        # system 2, intro 2, prompt 6 (70 on the budget plant),
+        # late-system 2, answers 4 each (1 when the empty plant
+        # blanks the last), follow-up 3, bot 1, bye 2
+        "chat_loss_mask_stats": """
+            WITH ids AS (
+                SELECT doc_id AS d FROM documents
+                WHERE doc_id % 17 <> 2
+            ),
+            tok AS (
+                SELECT d,
+                       CASE WHEN d % 13 = 5 THEN 70 ELSE 6 END AS ptok,
+                       CASE WHEN d % 4 = 0 THEN 2 ELSE 0 END
+                       + CASE WHEN d % 13 = 1 THEN 2 ELSE 0 END
+                       + CASE WHEN d % 13 = 9 THEN 1 ELSE 0 END
+                       + CASE WHEN d % 13 = 11 THEN 2 ELSE 0 END
+                       + CASE WHEN d % 2 = 1 THEN 3 ELSE 0 END
+                           AS other_masked,
+                       CASE WHEN d % 13 = 0 THEN 2 ELSE 0 END
+                       + 4
+                       + CASE WHEN d % 2 = 1 THEN 4 ELSE 0 END
+                       + CASE WHEN d % 13 = 7 THEN -3 ELSE 0 END
+                           AS trainable
+                FROM ids
+            ),
+            agg AS (
+                SELECT d,
+                       ptok * (CASE WHEN d % 13 = 3 THEN 2 ELSE 1 END)
+                           + other_masked + trainable AS total,
+                       trainable
+                FROM tok
+            )
+            SELECT d AS conv_id,
+                   CAST(total AS BIGINT) AS total_tokens,
+                   CAST(trainable AS BIGINT) AS trainable_tokens,
+                   CAST(total - trainable AS BIGINT) AS masked_tokens,
+                   (floor((CAST(trainable AS DOUBLE)
+                           / CAST(total AS DOUBLE)) * 10000.0 + 0.5)
+                    / 10000.0) AS trainable_pct
+            FROM agg
+            ORDER BY conv_id
+        """,
+        # hash-range split on the md5 uniform of the NORMALIZED prompt
+        "chat_prompt_split": """
+            WITH ids AS (
+                SELECT doc_id AS d FROM documents
+                WHERE doc_id % 17 <> 2
+            ),
+            pr AS (
+                SELECT d,
+                       CASE WHEN d % 13 = 5
+                            THEN repeat('w ', 69) || 'w'
+                            ELSE 'question ' || (d % 25)
+                                 || ' on topic ' || ((d % 25) % 5)
+                                 || ' please' END AS prompt
+                FROM ids
+            ),
+            u AS (
+                SELECT d,
+                       CAST(('0x' || substr(
+                            md5('chat-split-42:' || prompt),
+                            1, 15))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+                FROM pr
+            )
+            SELECT d AS conv_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+            ORDER BY conv_id
+        """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the
     # HOF path, so it shares the oracle verbatim (4dp rounding absorbs

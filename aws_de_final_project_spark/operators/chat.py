@@ -187,3 +187,76 @@ def chat_prompt_dedup_against_registry(
         F.col(id_col), normalized_prompt(msg_col).alias("_prompt")
     ).filter(F.col("_prompt").isNotNull())
     return dedup_against_state(prompts, registry, "_prompt", id_col)
+
+
+def chat_loss_mask_stats(convs: DataFrame, id_col: str = "conv_id",
+                         msg_col: str = "messages") -> DataFrame:
+    """SFT loss-mask token accounting: in supervised fine-tuning only
+    ASSISTANT tokens receive loss; system/user (and any foreign-role)
+    tokens are attended but masked. Per conversation: total tokens,
+    trainable (assistant) tokens, masked tokens, and the trainable
+    ratio (4dp floor-form) — the budgeting numbers an SFT data
+    pipeline reports before packing. Pure HOF projection, zero
+    shuffles; malformed rows (NULL messages) are dropped (the
+    validation suite counts them)."""
+    from aws_de_final_project_spark.functions.numeric import (
+        round_half_up as rnd,
+    )
+
+    m = F.col(msg_col)
+
+    def ntok(s):
+        return F.size(F.split(F.trim(s["content"]), r"\s+"))
+
+    total = F.aggregate(
+        F.transform(m, ntok), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    trainable = F.aggregate(
+        F.transform(
+            F.filter(m, lambda s: s["role"] == F.lit("assistant")), ntok
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return (
+        convs.filter(m.isNotNull())
+        .select(
+            F.col(id_col),
+            total.alias("total_tokens"),
+            trainable.alias("trainable_tokens"),
+            (total - trainable).alias("masked_tokens"),
+            rnd(
+                trainable.cast("double") / total.cast("double"), 4
+            ).alias("trainable_pct"),
+        )
+    )
+
+
+def chat_prompt_split(convs: DataFrame, id_col: str = "conv_id",
+                      msg_col: str = "messages",
+                      salt: str = "chat-split-42:",
+                      train: float = 0.8,
+                      val: float = 0.9) -> DataFrame:
+    """Leakage-FREE train/val/test assignment for conversations: the
+    hash-range split (the split_train_val_test_docs recipe) keyed by
+    the NORMALIZED PROMPT, not the conversation id — every re-ask of
+    the same prompt (retries, paraphrase-free duplicates, multi-turn
+    continuations of one seed) lands in the SAME split, so eval
+    prompts can never leak into training across dataset versions.
+    Pure projection, zero shuffles, stable as the corpus grows."""
+    p = normalized_prompt(msg_col)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), p)), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(float(16 ** 15))
+    )
+    return convs.filter(
+        F.col(msg_col).isNotNull() & p.isNotNull()
+    ).select(
+        F.col(id_col),
+        F.when(u < train, F.lit("train"))
+        .when(u < val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

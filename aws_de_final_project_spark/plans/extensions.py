@@ -6198,3 +6198,42 @@ def chat_prompt_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("conv_a", "conv_b")
     )
+
+
+def chat_loss_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask token accounting (operators/chat
+    .chat_loss_mask_stats): only assistant tokens receive loss, so
+    the budgeting numbers a post-training pipeline reports are
+    total / trainable / masked token counts and the trainable ratio
+    per conversation. Runs over the shared chat fixture — every
+    turn's whitespace token count is closed-form in doc_id (the d%13
+    violation classes shift the sums in known ways: the budget plant
+    adds 64 masked tokens, the empty-content plant collapses the
+    last assistant turn to 1, the duplicate-user plant doubles the
+    prompt's masked mass), so the FULL DuckDB oracle states all four
+    columns arithmetically. Pure HOF projection, zero shuffles."""
+    from aws_de_final_project_spark.operators import chat as CH
+
+    convs = CH.parse_chat_lines(
+        _chat_fixture_lines(spark, sf_dir), "line"
+    )
+    return CH.chat_loss_mask_stats(convs).orderBy("conv_id")
+
+
+def chat_prompt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free conversation split (operators/chat
+    .chat_prompt_split): the hash-range 80/10/10 split keyed by the
+    NORMALIZED PROMPT fingerprint instead of the conversation id —
+    re-asks of one prompt always land in the same split, so eval
+    prompts cannot leak into training as the corpus grows (the
+    split_train_val_test_docs stability contract, lifted to the
+    prompt level; the leakage property itself is pinned in
+    tests/test_chat.py). Pure projection, zero shuffles. FULL DuckDB
+    oracle replays the md5-derived uniform on the closed-form
+    prompt."""
+    from aws_de_final_project_spark.operators import chat as CH
+
+    convs = CH.parse_chat_lines(
+        _chat_fixture_lines(spark, sf_dir), "line"
+    )
+    return CH.chat_prompt_split(convs).orderBy("conv_id")

@@ -37,6 +37,8 @@ HEADLINE = [
     "chat_validation_suite",
     "chat_prompt_dedup",
     "chat_prompt_near_dedup",
+    "chat_loss_mask_stats",
+    "chat_prompt_split",
     # round-12 additions
     "html_table_rows",
     "html_table_records",

@@ -114,3 +114,33 @@ def test_prompt_near_dup_via_minhash(spark):
     )
     got = sorted((r[0], r[1]) for r in pairs.collect())
     assert got == [(1, 2)]
+
+
+def test_loss_mask_stats_clean(spark):
+    convs = _convs(spark, [_line(1, CLEAN), (2, "{broken")])
+    rows = C.chat_loss_mask_stats(convs).collect()
+    assert len(rows) == 1  # malformed dropped (suite counts it)
+    r = rows[0]
+    # assistant turns: "hello"(1) + "welcome"(1) = 2 of 7 tokens
+    assert (r.total_tokens, r.trainable_tokens, r.masked_tokens) == (7, 2, 5)
+    assert r.trainable_pct == 0.2857
+
+
+def test_prompt_split_is_leakage_free(spark):
+    """Conversations sharing a (normalized) prompt MUST land in the
+    same split — the property conv-id-keyed splits cannot give."""
+    convs = _convs(spark, [
+        _line(i, [("user", "Shared   QUESTION here"), ("assistant", "a")])
+        for i in range(10)
+    ] + [
+        _line(100 + i, [("user", f"other ask {i}"), ("assistant", "b")])
+        for i in range(30)
+    ])
+    rows = C.chat_prompt_split(convs).collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r.conv_id)
+    shared = {r.split for r in rows if r.conv_id < 100}
+    assert len(shared) == 1  # all 10 re-asks in ONE split
+    assert set(by_split) <= {"train", "val", "test"}
+    assert len(rows) == 40

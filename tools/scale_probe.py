@@ -205,6 +205,21 @@ DOC_QUERIES = [
     "tokenizer_roundtrip_docs",
     "video_scene_cut_frames",
     "media_header_stats",
+    # round-13 additions: per-page PDF parse (mapInPandas scan —
+    # flat-linear claim), EXIF walk + GPS scrub (header-only byte
+    # walks — flat), image-caption mining (scan-side extraction +
+    # one img_url window), host PageRank (domain-keyed graph build +
+    # bounded driver iteration), chat validation/stats (single-scan
+    # HOF suite), prompt dedup exact (batch-sized registry anti-join)
+    # and near (bounded 4-prompt groups -> linear pair volume)
+    "pdf_extract_stats",
+    "media_exif_stats",
+    "scrub_exif_gps_docs",
+    "image_caption_pairs",
+    "pagerank_host_graph",
+    "chat_validation_suite",
+    "chat_prompt_dedup",
+    "chat_prompt_near_dedup",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
@@ -249,6 +264,9 @@ X30_QUERIES = [
     # heavies so superlinearity can't hide between decades
     "dedup_image_phash",
     "unigram_encode_docs",
+    # round-13 (VERDICT r12 #10): scene cuts had the highest r12 x10
+    # slope (3.9) and no x30 row — one more decade settles it
+    "video_scene_cut_frames",
 ]
 
 # round-6: the round-5 heavies (triangle enumeration over the
