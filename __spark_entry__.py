@@ -133,6 +133,7 @@ _R13_NEW: tuple[str, ...] = (
     "chat_prompt_near_dedup",
     "chat_loss_mask_stats",
     "chat_prompt_split",
+    "image_caption_keepers",
 )
 _R13_ROTATION: tuple[str, ...] = (
     # last sampled r7
@@ -212,6 +213,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_prompt_near_dedup": X.chat_prompt_near_dedup,
         "chat_loss_mask_stats": X.chat_loss_mask_stats,
         "chat_prompt_split": X.chat_prompt_split,
+        "image_caption_keepers": X.image_caption_keepers,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -7374,6 +7376,69 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM u
             ORDER BY conv_id
+        """,
+        # caption-aware keepers: the exact-signature grid chain (noisy
+        # always 0 — every block member shares one signature) + the
+        # best-caption window ordering
+        "image_caption_keepers": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 197 AS a197,
+                       (CASE WHEN doc_id % 100 < 4
+                             THEN doc_id - doc_id % 4
+                             ELSE doc_id END) % 89 AS a89,
+                       0 AS noisy
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, CAST(k AS INT) AS k,
+                       CASE WHEN
+                           {_phash_val_sql("(k // 8) * 9 + (k % 8)")}
+                           > {_phash_val_sql("(k // 8) * 9 + (k % 8) + 1")}
+                           THEN 1 ELSE 0 END AS bit
+                FROM params, range(64) t(k)
+            ),
+            bands AS (
+                SELECT doc_id, k // 16 AS chunk,
+                       CAST(sum(CAST(bit AS BIGINT)
+                                << CAST(k % 16 AS INT)) AS BIGINT) AS key
+                FROM bits GROUP BY doc_id, k // 16
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       max(CASE WHEN chunk = 0 THEN key END) AS b0,
+                       max(CASE WHEN chunk = 1 THEN key END) AS b1,
+                       max(CASE WHEN chunk = 2 THEN key END) AS b2,
+                       max(CASE WHEN chunk = 3 THEN key END) AS b3
+                FROM bands GROUP BY doc_id
+            ),
+            caps AS (
+                SELECT doc_id,
+                       'caption ' || doc_id || ' for block '
+                       || (doc_id - doc_id % 100)
+                       || CASE WHEN doc_id % 2 = 1
+                               THEN ' with extra rich detail'
+                               ELSE '' END AS caption
+                FROM documents
+            ),
+            ranked AS (
+                SELECT g.doc_id, c.caption,
+                       row_number() OVER (
+                           PARTITION BY g.b0, g.b1, g.b2, g.b3
+                           ORDER BY length(c.caption) DESC,
+                                    c.caption ASC, g.doc_id ASC) AS rn,
+                       count(*) OVER (
+                           PARTITION BY g.b0, g.b1, g.b2, g.b3)
+                           AS n_copies
+                FROM sigs g JOIN caps c USING (doc_id)
+            )
+            SELECT doc_id AS keeper_id,
+                   CAST(n_copies AS BIGINT) AS n_copies,
+                   caption
+            FROM ranked WHERE rn = 1 AND n_copies >= 2
+            ORDER BY keeper_id
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

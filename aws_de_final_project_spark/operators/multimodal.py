@@ -1932,3 +1932,49 @@ def scrub_exif_gps(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=SCRUB_GPS_SCHEMA)
+
+
+def image_caption_keepers(
+    images: DataFrame,
+    id_col: str,
+    grid_col: str,
+    caption_col: str,
+) -> DataFrame:
+    """The caption-aware keeper composition (VERDICT r12 item 3's
+    closing step): within each exact-signature duplicate group, keep
+    the copy carrying the BEST caption (longest, ties ->
+    lexicographically smallest caption then smallest id — the
+    best_caption_per_image ordering), and ship that caption with the
+    keeper. This is the image-side join point of the pairing
+    pipeline: phash/exact groups decide WHICH pixels survive,
+    captions decide which copy's TEXT survives with them.
+
+    One window over the 4-band signature partition (the
+    image_quality_keepers shape) — no joins beyond what the caller
+    did to attach the caption column. Returns
+    (keeper_id, n_copies, caption) for groups of >= 2."""
+    from pyspark.sql.window import Window
+
+    sigs = images.select(
+        F.col(id_col).alias("_id"),
+        F.col(caption_col).alias("_cap"),
+        dhash_bands(F.col(grid_col)).alias("_b"),
+    )
+    w = Window.partitionBy("_b")
+    wo = w.orderBy(
+        F.length("_cap").desc(), F.asc("_cap"), F.asc("_id")
+    )
+    return (
+        sigs.select(
+            "_id",
+            "_cap",
+            F.row_number().over(wo).alias("_rn"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+        )
+        .filter((F.col("_rn") == 1) & (F.col("n_copies") >= 2))
+        .select(
+            F.col("_id").alias("keeper_id"),
+            "n_copies",
+            F.col("_cap").alias("caption"),
+        )
+    )

@@ -6237,3 +6237,42 @@ def chat_prompt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _chat_fixture_lines(spark, sf_dir), "line"
     )
     return CH.chat_prompt_split(convs).orderBy("conv_id")
+
+
+def image_caption_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-aware image dedup keepers (operators/multimodal
+    .image_caption_keepers — the composition VERDICT r12 item 3
+    described: phash groups decide which pixels survive, captions
+    decide which copy's text survives with them). Fixture: the
+    product-form grid family WITHOUT the noise bump, so each
+    d%100 < 4 block's four images share one exact 64-bit signature;
+    captions are closed-form with odd members carrying a longer
+    variant — the keeper must be the smallest odd member, carrying
+    its caption. One signature-partition window, no joins. FULL
+    DuckDB oracle replays grid -> dHash bands -> signature window ->
+    caption ordering."""
+    from aws_de_final_project_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    anchor = F.when(d % 100 < 4, d - d % 4).otherwise(d)
+    a197 = anchor % 197
+    a89 = anchor % 89
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: (
+            ((a89 + 3) * (a197 + i + 1) * (i + 2)) % 197
+        ).cast("int"),
+    )
+    caption = F.concat(
+        F.lit("caption "), d.cast("string"),
+        F.lit(" for block "), (d - d % 100).cast("string"),
+        F.when(d % 2 == 1, F.lit(" with extra rich detail"))
+        .otherwise(F.lit("")),
+    )
+    imgs = t["documents"].select(
+        "doc_id", grid.alias("grid"), caption.alias("caption")
+    )
+    return MM.image_caption_keepers(
+        imgs, "doc_id", "grid", "caption"
+    ).orderBy("keeper_id")

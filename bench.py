@@ -39,6 +39,7 @@ HEADLINE = [
     "chat_prompt_near_dedup",
     "chat_loss_mask_stats",
     "chat_prompt_split",
+    "image_caption_keepers",
     # round-12 additions
     "html_table_rows",
     "html_table_records",
