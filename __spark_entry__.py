@@ -134,6 +134,7 @@ _R13_NEW: tuple[str, ...] = (
     "chat_loss_mask_stats",
     "chat_prompt_split",
     "image_caption_keepers",
+    "chat_render_template",
 )
 _R13_ROTATION: tuple[str, ...] = (
     # last sampled r7
@@ -214,6 +215,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_loss_mask_stats": X.chat_loss_mask_stats,
         "chat_prompt_split": X.chat_prompt_split,
         "image_caption_keepers": X.image_caption_keepers,
+        "chat_render_template": X.chat_render_template,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -7439,6 +7441,88 @@ def oracle_sql() -> dict[str, str]:
                    caption
             FROM ranked WHERE rn = 1 AND n_copies >= 2
             ORDER BY keeper_id
+        """,
+        # full rendered-string re-assembly from the closed-form
+        # message list (seg(role, content) per turn, in order)
+        "chat_render_template": """
+            WITH ids AS (
+                SELECT doc_id AS d FROM documents
+                WHERE doc_id % 17 <> 2
+            ),
+            pieces AS (
+                SELECT d,
+                       CASE WHEN d % 13 = 5
+                            THEN repeat('w ', 69) || 'w'
+                            WHEN d % 2 = 1
+                            THEN 'QUESTION  ' || (d % 25) || ' ON  TOPIC '
+                                 || ((d % 25) % 5) || '  PLEASE'
+                            ELSE 'Question ' || (d % 25) || ' on topic '
+                                 || ((d % 25) % 5) || ' please'
+                       END AS prompt,
+                       CASE WHEN d % 13 = 7 AND d % 2 = 0
+                            THEN '   '
+                            ELSE 'answer ' || d || ' part 0' END AS a0,
+                       CASE WHEN d % 13 = 7 AND d % 2 = 1
+                            THEN '   '
+                            ELSE 'answer ' || d || ' part 1' END AS a1
+                FROM ids
+            ),
+            seg AS (
+                SELECT d,
+                       CASE WHEN d % 4 = 0
+                            THEN '<|im_start|>system' || chr(10)
+                                 || 'be helpful<|im_end|>' || chr(10)
+                            ELSE '' END
+                       || CASE WHEN d % 13 = 0
+                            THEN '<|im_start|>assistant' || chr(10)
+                                 || 'intro ' || d || '<|im_end|>'
+                                 || chr(10)
+                            ELSE '' END
+                       || '<|im_start|>user' || chr(10) || prompt
+                       || '<|im_end|>' || chr(10)
+                       || CASE WHEN d % 13 = 3
+                            THEN '<|im_start|>user' || chr(10) || prompt
+                                 || '<|im_end|>' || chr(10)
+                            ELSE '' END
+                       || CASE WHEN d % 13 = 1
+                            THEN '<|im_start|>system' || chr(10)
+                                 || 'late note<|im_end|>' || chr(10)
+                            ELSE '' END
+                       || '<|im_start|>assistant' || chr(10) || a0
+                       || '<|im_end|>' || chr(10)
+                       || CASE WHEN d % 2 = 1
+                            THEN '<|im_start|>user' || chr(10)
+                                 || 'follow up ' || d || '<|im_end|>'
+                                 || chr(10)
+                                 || '<|im_start|>assistant' || chr(10)
+                                 || a1 || '<|im_end|>' || chr(10)
+                            ELSE '' END
+                       || CASE WHEN d % 13 = 9
+                            THEN '<|im_start|>bot' || chr(10)
+                                 || 'beep<|im_end|>' || chr(10)
+                            ELSE '' END
+                       || CASE WHEN d % 13 = 11
+                            THEN '<|im_start|>user' || chr(10)
+                                 || 'bye ' || d || '<|im_end|>'
+                                 || chr(10)
+                            ELSE '' END AS rendered,
+                       CAST(1
+                            + CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 0 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 3 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 1 THEN 1 ELSE 0 END
+                            + 1
+                            + CASE WHEN d % 2 = 1 THEN 2 ELSE 0 END
+                            + CASE WHEN d % 13 = 9 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 11 THEN 1 ELSE 0 END
+                        AS INT) AS n_turns
+                FROM pieces
+            )
+            SELECT d AS conv_id, rendered,
+                   CAST(length(rendered) AS BIGINT) AS n_chars,
+                   CAST(n_turns * 2 AS INT) AS n_special
+            FROM seg
+            ORDER BY conv_id
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

@@ -260,3 +260,33 @@ def chat_prompt_split(convs: DataFrame, id_col: str = "conv_id",
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def render_chat_template(convs: DataFrame, id_col: str = "conv_id",
+                         msg_col: str = "messages",
+                         start: str = "<|im_start|>",
+                         end: str = "<|im_end|>") -> DataFrame:
+    """ChatML-style training-text rendering: each turn becomes
+    ``<|im_start|>{role}\\n{content}<|im_end|>\\n`` and the turns
+    concatenate in order — the serialization an SFT trainer consumes
+    (special-token ids come later, from the tokenizer's added-token
+    table). One ``aggregate`` fold over the message array: pure HOF
+    projection, zero shuffles, byte-deterministic. Malformed rows
+    are dropped (the validation suite counts them). Returns
+    (conv_id, rendered, n_chars, n_special) with n_special = two
+    markers per turn."""
+    m = F.col(msg_col)
+    rendered = F.aggregate(
+        m,
+        F.lit(""),
+        lambda acc, s: F.concat(
+            acc, F.lit(start), s["role"], F.lit("\n"),
+            s["content"], F.lit(end), F.lit("\n"),
+        ),
+    )
+    return convs.filter(m.isNotNull()).select(
+        F.col(id_col),
+        rendered.alias("rendered"),
+        F.length(rendered).cast("long").alias("n_chars"),
+        (F.size(m) * 2).cast("int").alias("n_special"),
+    )

@@ -6276,3 +6276,20 @@ def image_caption_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_caption_keepers(
         imgs, "doc_id", "grid", "caption"
     ).orderBy("keeper_id")
+
+
+def chat_render_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML rendering (operators/chat.render_chat_template) over
+    the shared chat fixture: every conversation serializes to the
+    exact training text an SFT trainer consumes, byte-deterministic.
+    The FULL DuckDB oracle re-assembles the rendered string from the
+    same closed-form message list (every d%13 violation class, the
+    case/whitespace prompt noise VERBATIM — double spaces included —
+    and the d%4 system turns), so a green row pins the template
+    serialization end-to-end, not just its lengths."""
+    from aws_de_final_project_spark.operators import chat as CH
+
+    convs = CH.parse_chat_lines(
+        _chat_fixture_lines(spark, sf_dir), "line"
+    )
+    return CH.render_chat_template(convs).orderBy("conv_id")

@@ -40,6 +40,7 @@ HEADLINE = [
     "chat_loss_mask_stats",
     "chat_prompt_split",
     "image_caption_keepers",
+    "chat_render_template",
     # round-12 additions
     "html_table_rows",
     "html_table_records",
