@@ -220,6 +220,13 @@ DOC_QUERIES = [
     "chat_validation_suite",
     "chat_prompt_dedup",
     "chat_prompt_near_dedup",
+    # round-13 session 2: loss-mask accounting + prompt-keyed split
+    # (both pure projections — flat claims), caption-aware keepers
+    # (one signature window), ChatML rendering (one HOF fold)
+    "chat_loss_mask_stats",
+    "chat_prompt_split",
+    "image_caption_keepers",
+    "chat_render_template",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
