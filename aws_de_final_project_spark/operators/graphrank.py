@@ -104,6 +104,12 @@ def pagerank(
         F.col(dst_col).alias("_dst"),
         F.col(weight_col).cast("double").alias("_w"),
     )
+    # e is consumed 2-4 times below (the auto-sizing count, then
+    # either the driver collect or the outw/en pair) — without this
+    # the caller's data-sized graph build (e.g. the trade 4-way join
+    # or the full HTML link extraction) re-runs per consumer (the
+    # multi-consumer lesson). Lazy: materializes at the first action.
+    e = e.localCheckpoint(eager=False)
     if iter_impl == "auto":
         iter_impl = (
             "driver"
