@@ -135,6 +135,7 @@ _R13_NEW: tuple[str, ...] = (
     "chat_prompt_split",
     "image_caption_keepers",
     "chat_render_template",
+    "chat_pack_sequences",
 )
 _R13_ROTATION: tuple[str, ...] = (
     # last sampled r7
@@ -216,6 +217,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_prompt_split": X.chat_prompt_split,
         "image_caption_keepers": X.image_caption_keepers,
         "chat_render_template": X.chat_render_template,
+        "chat_pack_sequences": X.chat_pack_sequences,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -7523,6 +7525,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_turns * 2 AS INT) AS n_special
             FROM seg
             ORDER BY conv_id
+        """,
+        # closed-form per-conversation token counts (2 markers +
+        # content tokens per turn; empty contents contribute the two
+        # markers only) + the per-shard concat-and-chunk pack window
+        "chat_pack_sequences": """
+            WITH ids AS (
+                SELECT doc_id AS d FROM documents
+                WHERE doc_id % 17 <> 2
+            ),
+            tok AS (
+                SELECT d,
+                       CASE WHEN d % 13 = 5 THEN 70 ELSE 6 END AS ptok,
+                       CAST(1
+                            + CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 0 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 3 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 1 THEN 1 ELSE 0 END
+                            + 1
+                            + CASE WHEN d % 2 = 1 THEN 2 ELSE 0 END
+                            + CASE WHEN d % 13 = 9 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 11 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_turns
+                FROM ids
+            ),
+            base AS (
+                SELECT d AS conv_id, CAST(d % 4 AS INT) AS shard,
+                       CAST(2 * n_turns
+                            + CASE WHEN d % 4 = 0 THEN 2 ELSE 0 END
+                            + CASE WHEN d % 13 = 0 THEN 2 ELSE 0 END
+                            + ptok * (CASE WHEN d % 13 = 3
+                                           THEN 2 ELSE 1 END)
+                            + CASE WHEN d % 13 = 1 THEN 2 ELSE 0 END
+                            + CASE WHEN d % 13 = 7 AND d % 2 = 0
+                                   THEN 0 ELSE 4 END
+                            + CASE WHEN d % 2 = 1 THEN 3
+                                   + CASE WHEN d % 13 = 7
+                                          THEN 0 ELSE 4 END
+                                   ELSE 0 END
+                            + CASE WHEN d % 13 = 9 THEN 1 ELSE 0 END
+                            + CASE WHEN d % 13 = 11 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_tok
+                FROM tok
+            ),
+            offs AS (
+                SELECT *, CAST(coalesce(sum(n_tok) OVER (
+                        PARTITION BY shard ORDER BY conv_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING),
+                        0) AS BIGINT) AS strt
+                FROM base
+            ),
+            ex AS (
+                SELECT conv_id, shard, n_tok, strt,
+                       unnest(range(strt // 128,
+                                    (strt + n_tok - 1) // 128 + 1))
+                           AS seq_id
+                FROM offs
+            )
+            SELECT conv_id, shard, seq_id, n_tok,
+                   greatest(seq_id * 128 - strt, 0) AS begin_tok,
+                   least((seq_id + 1) * 128, strt + n_tok) - strt
+                       AS end_tok
+            FROM ex
+            ORDER BY conv_id, shard, seq_id
         """,
     }
     # the Arrow/numpy ANN twin has the same output contract as the

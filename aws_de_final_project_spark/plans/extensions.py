@@ -6293,3 +6293,50 @@ def chat_render_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         _chat_fixture_lines(spark, sf_dir), "line"
     )
     return CH.render_chat_template(convs).orderBy("conv_id")
+
+
+def chat_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sequence packing (operators/segments.pack_sequences over
+    rendered conversations): each conversation serializes to a
+    space-clean token stream (``<|im_start|>role`` marker token,
+    whitespace-normalized content tokens, ``<|im_end|>`` token per
+    turn — empty contents contribute just the two markers), then the
+    concat-and-chunk packer lays conversations end-to-end per shard
+    and cuts every 128 tokens; a conversation crossing a cut belongs
+    to every sequence it overlaps with (begin_tok, end_tok) spans.
+    The step between ChatML rendering and the trainer's data loader.
+    Per-shard window only (never a global window); one shuffle. FULL
+    DuckDB oracle: per-conversation token counts are closed-form in
+    doc_id (2 + content tokens per turn), and the pack math replays
+    with the same per-shard cumulative-sum window."""
+    from aws_de_final_project_spark.operators import chat as CH
+    from aws_de_final_project_spark.operators import segments as SEG
+
+    convs = CH.parse_chat_lines(
+        _chat_fixture_lines(spark, sf_dir), "line"
+    )
+    m = F.col("messages")
+    stream = F.aggregate(
+        m,
+        F.lit(""),
+        lambda acc, s: F.concat(
+            acc,
+            F.when(acc == F.lit(""), F.lit("")).otherwise(F.lit(" ")),
+            F.lit("<|im_start|>"), s["role"],
+            F.when(
+                F.trim(s["content"]) == F.lit(""), F.lit("")
+            ).otherwise(
+                F.concat(
+                    F.lit(" "),
+                    F.regexp_replace(F.trim(s["content"]), r"\s+", " "),
+                )
+            ),
+            F.lit(" <|im_end|>"),
+        ),
+    )
+    base = convs.filter(m.isNotNull()).select(
+        "conv_id", stream.alias("text")
+    )
+    return SEG.pack_sequences(
+        base, text_col="text", id_col="conv_id", budget=128, n_shards=4
+    ).orderBy("conv_id", "shard", "seq_id")

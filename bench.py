@@ -41,6 +41,7 @@ HEADLINE = [
     "chat_prompt_split",
     "image_caption_keepers",
     "chat_render_template",
+    "chat_pack_sequences",
     # round-12 additions
     "html_table_rows",
     "html_table_records",

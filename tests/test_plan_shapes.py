@@ -412,3 +412,22 @@ def test_pdf_extract_no_shuffle_before_sort(plans):
     p = plans("pdf_extract_stats")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_chat_projections_no_shuffle(plans):
+    """The chat projection family (loss-mask stats, prompt split,
+    template rendering) must stay scan-side: mapInPandas fixture gen
+    + from_json + HOFs, with no exchange before the presentation
+    sort and no join anywhere."""
+    for name in ("chat_loss_mask_stats", "chat_prompt_split",
+                 "chat_render_template"):
+        p = plans(name)
+        assert "Join" not in p, name
+        assert p.count("Exchange hashpartitioning") == 0, name
+
+
+def test_chat_prompt_dedup_batch_sized_antijoin(plans):
+    """The registry dedup must plan the anti-join (batch-sized
+    shuffle), never a full join of history against the batch."""
+    p = plans("chat_prompt_dedup")
+    assert "LeftAnti" in p
