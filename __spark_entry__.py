@@ -136,6 +136,7 @@ _R13_NEW: tuple[str, ...] = (
     "image_caption_keepers",
     "chat_render_template",
     "chat_pack_sequences",
+    "streaming_chat_validation_replay",
 )
 _R13_ROTATION: tuple[str, ...] = (
     # last sampled r7
@@ -218,6 +219,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_keepers": X.image_caption_keepers,
         "chat_render_template": X.chat_render_template,
         "chat_pack_sequences": X.chat_pack_sequences,
+        "streaming_chat_validation_replay": X.streaming_chat_validation_replay,
         # round-12 additions (inside the sample window via _R12_NEW)
         "html_table_rows": X.html_table_rows,
         "html_table_records": X.html_table_records,
@@ -7595,6 +7597,13 @@ def oracle_sql() -> dict[str, str]:
     # HOF path, so it shares the oracle verbatim (4dp rounding absorbs
     # BLAS-vs-left-to-right float summation order).
     sqls["ann_cosine_topk_vec"] = sqls["ann_cosine_topk"]
+    # the streaming chat-validation fold is additive across the
+    # 3-slice replay, so the final state must equal the batch suite
+    # over the full corpus — the shared oracle IS the stream==batch
+    # proof (the KMV-merge precedent)
+    sqls["streaming_chat_validation_replay"] = sqls[
+        "chat_validation_suite"
+    ]
     # KMV merge is exactly lossless, so the incrementally-merged
     # rollup must equal the direct sketch of the full corpus — the
     # shared oracle IS the mergeability proof

@@ -290,3 +290,21 @@ def render_chat_template(convs: DataFrame, id_col: str = "conv_id",
         F.length(rendered).cast("long").alias("n_chars"),
         (F.size(m) * 2).cast("int").alias("n_special"),
     )
+
+
+def chat_violation_counts_stream(stream: DataFrame,
+                                 msg_col: str = "messages",
+                                 token_budget: int = 64) -> DataFrame:
+    """Streaming twin of :func:`chat_check_suite`: the same PASS
+    conditions become 0/1 violation counts folded in ONE streaming
+    global aggregate (complete output mode). Counts are additive —
+    each conversation arrives in exactly one micro-batch — so the
+    final fold MUST equal the batch suite over the full history;
+    the replay entry's shared oracle is that proof. State is eight
+    longs, independent of stream length."""
+    aggs = [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("long")
+        .alias(f"satisfies:{name}")
+        for name, cond in chat_flag_conditions(msg_col, token_budget)
+    ]
+    return stream.agg(*aggs)

@@ -6340,3 +6340,76 @@ def chat_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEG.pack_sequences(
         base, text_col="text", id_col="conv_id", budget=128, n_shards=4
     ).orderBy("conv_id", "shard", "seq_id")
+
+
+def streaming_chat_validation_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING chat validation (operators/chat
+    .chat_violation_counts_stream) driven end-to-end over a bounded
+    3-slice replay of the chat JSONL fixture — the fifth
+    driver-checkable streaming entry: protocol/content violation
+    counts fold across micro-batches in one complete-mode global
+    aggregate (state = eight longs), and because each conversation
+    arrives exactly once the final fold must equal the BATCH suite
+    over the full corpus — which is exactly what the shared
+    chat_validation_suite oracle computes, so the oracle match proves
+    stream == batch. Replay mechanics are the streaming_kmv_replay
+    harness (slice parquet + maxFilesPerTrigger=1 + availableNow +
+    isolated small-shuffle session)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from aws_de_final_project_spark.operators import chat as CH
+
+    lines = _chat_fixture_lines(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="chatval_replay_")
+    try:
+        part_dir = os.path.join(tmp, "_parts")
+        (
+            lines.withColumn(
+                "_slice", (F.col("conv_id") % 3).cast("int")
+            )
+            .repartition("_slice")
+            .write.mode("overwrite")
+            .partitionBy("_slice")
+            .parquet(part_dir)
+        )
+        for i in range(3):
+            d = os.path.join(part_dir, f"_slice={i}")
+            f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+            dst = os.path.join(tmp, f"f{i}.parquet")
+            os.rename(os.path.join(d, f), dst)
+            now = time.time()
+            os.utime(dst, (now + i * 10, now + i * 10))
+        shutil.rmtree(part_dir)
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", "2")
+        stream = (
+            iso.readStream.schema("conv_id long, line string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        convs = CH.parse_chat_lines(stream, "line")
+        qname = f"chatval_replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            CH.chat_violation_counts_stream(convs)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = iso.sql(f"SELECT * FROM {qname}").collect()
+        assert len(final) == 1
+        row = final[0].asDict()
+        return spark.createDataFrame(
+            [(k, int(v), int(v) == 0) for k, v in sorted(row.items())],
+            "check_name string, violations long, passed boolean",
+        ).orderBy("check_name")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -42,6 +42,7 @@ HEADLINE = [
     "image_caption_keepers",
     "chat_render_template",
     "chat_pack_sequences",
+    "streaming_chat_validation_replay",
     # round-12 additions
     "html_table_rows",
     "html_table_records",
