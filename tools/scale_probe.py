@@ -227,6 +227,10 @@ DOC_QUERIES = [
     "chat_prompt_split",
     "image_caption_keepers",
     "chat_render_template",
+    # round-13 session 3: per-shard pack window + the streaming
+    # validation fold (state = 8 longs -> batch-count-linear claim)
+    "chat_pack_sequences",
+    "streaming_chat_validation_replay",
 ]
 
 # x30 docs tier (VERDICT r4 #3): winnow and quality grew fastest at
