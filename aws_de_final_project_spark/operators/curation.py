@@ -57,9 +57,20 @@ def decontaminate(
     is broadcast; the count is a map-side broadcast join + partial
     agg on id. No full-corpus shuffle, no cross join.
     """
+    # explode_outer + a post-generate null filter instead of a plain
+    # explode: InferFiltersFromGenerate would infer `size(_words) > 0`
+    # for an inner explode and — because `_words` is a computed
+    # expression, not a stored column — substitute the ENTIRE shingle
+    # pipeline into that Filter, which then pushes below the spread
+    # repartition onto the (possibly single-partition) pre-spread side.
+    # Measured at sf0.1: a 4.9 s single-task stage re-shingling the
+    # whole corpus serially before the 32-way shingle projection ran
+    # again. The outer generate infers nothing; the cheap IsNotNull on
+    # the generated column drops the same empty-set rows.
     doc_sh = (
         _shingle_sets(spread(docs), text_col, id_col, ngram)
-        .select("_id", F.explode("_words").alias("_sh"))
+        .select("_id", F.explode_outer("_words").alias("_sh"))
+        .filter(F.col("_sh").isNotNull())
         .select("_id", _md5_long(F.col("_sh")).alias("_h"))
     )
     bench_sh = F.broadcast(
@@ -68,27 +79,26 @@ def decontaminate(
         .select(_md5_long(F.col("_sh")).alias("_h"))
         .distinct()
     )
-    hits = (
-        doc_sh.join(bench_sh, "_h", "left_semi")
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # One corpus pass: mark each shingle via a broadcast LEFT join
+    # (multiplicity 1 — both sides are distinct per key) and take
+    # totals + hits from a single aggregate, instead of evaluating the
+    # shingle subtree twice (semi-join hit counts + separate totals)
+    # and outer-joining two aggregates back together.
+    marked = doc_sh.join(
+        bench_sh.withColumn("_hit", F.lit(1)), "_h", "left"
     )
-    totals = doc_sh.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    report = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_hits"),
     )
-    return (
-        totals.join(hits, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_shingles",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            rnd(
-                F.coalesce(F.col("n_hits"), F.lit(0))
-                / F.col("n_shingles").cast("double"),
-                4,
-            ).alias("hit_frac"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
-        )
+    return report.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_hits",
+        rnd(
+            F.col("n_hits") / F.col("n_shingles").cast("double"), 4
+        ).alias("hit_frac"),
+        (F.col("n_hits") > 0).alias("contaminated"),
     )
 
 
