@@ -448,6 +448,63 @@ def mojibake_chars_recovered(col: Column | str) -> Column:
     return (F.length(t) - F.length(repair_mojibake(t))).cast("long")
 
 
+def _driver_train_max_vocab(spark) -> int:
+    """Vocabulary-row threshold below which tokenizer TRAINING folds
+    onto the driver (``spark.graft.tokenizer.driverTrainMaxVocab``,
+    default 2,000,000 rows ~= tens of MB — broadcast-sized; 0 disables
+    the fold). The corpus-side vocabulary aggregate is always
+    distributed; only the vocab-sized iterative loop moves. This is
+    the SentencePiece posture — word counts are reduced cluster-side,
+    the merge/EM loop runs in memory — and it removes the per-
+    iteration job-scheduling + plan-analysis overhead (measured
+    ~0.25 s/iteration on local[32] REGARDLESS of vocab size). Above
+    the threshold the distributed loop below runs unchanged."""
+    try:
+        return int(
+            spark.conf.get(
+                "spark.graft.tokenizer.driverTrainMaxVocab", "2000000"
+            )
+        )
+    except ValueError:
+        return 2_000_000
+
+
+def py_bpe_train_merges(
+    word_counts: dict[str, int], n_merges: int = 16
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE merge loop over a collected word-frequency
+    vocabulary — the same boundary-encoded ``<sym>`` strings, the same
+    all-adjacent corpus-weighted pair counts, the same
+    (freq DESC, lhs, rhs) argmax tie-break, and the same
+    left-to-right non-overlapping ``str.replace`` application as the
+    distributed loop in :func:`bpe_train_merges` (Python's
+    ``str.replace`` and Spark's ``F.replace`` share the
+    all-occurrences left-to-right contract). Agreement with the
+    distributed loop is pinned by
+    tests/test_curation.py::test_bpe_train_merges_match_python_reference."""
+    rows = [
+        ("".join(f"<{ch}>" for ch in w), c)
+        for w, c in word_counts.items()
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        freq: dict[tuple[str, str], int] = {}
+        for enc, c in rows:
+            s = enc[1:-1].split("><") if len(enc) >= 2 else []
+            for i in range(len(s) - 1):
+                pair = (s[i], s[i + 1])
+                freq[pair] = freq.get(pair, 0) + c
+        if not freq:
+            break
+        (lhs, rhs), f = min(
+            freq.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((step, lhs, rhs, f))
+        old, new = f"<{lhs}><{rhs}>", f"<{lhs}{rhs}>"
+        rows = [(e.replace(old, new), c) for e, c in rows]
+    return merges
+
+
 def bpe_train_merges(vocab, n_merges: int = 16):
     """Full BPE tokenizer training over a word-frequency VOCABULARY:
     ``vocab`` is a DataFrame (w, c) — the output of the one corpus
@@ -489,6 +546,23 @@ def bpe_train_merges(vocab, n_merges: int = 16):
         )
         .localCheckpoint()
     )
+    # Scale-adaptive fold (guide §2/§5): the loop's per-iteration cost
+    # on local[32] is dominated by fixed driver overhead (plan build +
+    # 2 scheduled jobs ~= 0.25 s/iteration) regardless of |vocab|.
+    # Below the conf'd threshold, collect the MATERIALIZED encoded
+    # vocab once and run the byte-identical Python loop; above it the
+    # distributed loop below is unchanged.
+    thr = _driver_train_max_vocab(spark)
+    if thr > 0 and syms.count() <= thr:
+        wc: dict[str, int] = {}
+        for r in syms.collect():
+            # enc is already boundary-encoded; strip to the raw word
+            w = r.enc.replace("<", "").replace(">", "")
+            wc[w] = wc.get(w, 0) + r.c
+        return spark.createDataFrame(
+            py_bpe_train_merges(wc, n_merges),
+            "step int, lhs string, rhs string, freq long",
+        )
     merges = []
     for step in range(1, n_merges + 1):
         s = F.split(
@@ -899,19 +973,31 @@ def _unigram_viterbi_pieces(
     return staged.select("w10", "c", walk["ps"].alias("pieces"))
 
 
-def unigram_trained_counts(
-    vocab,
-    n_iters: int = 2,
-    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
-    n_multi: int = 48,
-    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+def _collect_word_counts(words, thr: int) -> dict[str, int] | None:
+    """Fold guard shared by the unigram entry points: ``words`` is the
+    MATERIALIZED (w, c) checkpoint; returns its dict form when it fits
+    under the driver-train threshold, else None (stay distributed).
+    Duplicate words sum — identical to the Spark paths, which only
+    ever consume (w, c) through corpus-weighted aggregates."""
+    if thr <= 0 or words.count() > thr:
+        return None
+    wc: dict[str, int] = {}
+    for r in words.collect():
+        wc[r.w] = wc.get(r.w, 0) + r.c
+    return wc
+
+
+def _unigram_counts_from_words(
+    words,
+    n_iters: int,
+    max_piece_len: int,
+    n_multi: int,
+    max_word_len: int,
 ):
-    """The EM training loop shared by :func:`unigram_train` (vocab
-    output) and :func:`unigram_encode_stats` (corpus encoding):
-    returns the final (piece, c) counts frame, localCheckpointed."""
-    words = vocab.select("w", "c").localCheckpoint()
+    """Distributed EM loop body of :func:`unigram_trained_counts` over
+    an already-materialized (w, c) checkpoint."""
     counts = unigram_seed_counts(
-        vocab, max_piece_len, n_multi, max_word_len
+        words, max_piece_len, n_multi, max_word_len
     ).localCheckpoint()
     bank = counts.select("piece")
     for _ in range(n_iters):
@@ -942,6 +1028,36 @@ def unigram_trained_counts(
     return counts
 
 
+def unigram_trained_counts(
+    vocab,
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+):
+    """The EM training loop shared by :func:`unigram_train` (vocab
+    output) and :func:`unigram_encode_stats` (corpus encoding):
+    returns the final (piece, c) counts frame. Scale-adaptive (guide
+    §2/§5): the corpus-side vocabulary aggregate is always
+    distributed; below the conf'd driver-train threshold the
+    vocab-sized EM loop folds onto the driver via the test-pinned
+    Python twin (:func:`py_unigram_trained_counts`), else the
+    distributed generated-expression loop runs unchanged."""
+    spark = vocab.sparkSession
+    words = vocab.select("w", "c").localCheckpoint()
+    wc = _collect_word_counts(words, _driver_train_max_vocab(spark))
+    if wc is not None:
+        cnts = py_unigram_trained_counts(
+            wc, n_iters, max_piece_len, n_multi, max_word_len
+        )
+        return spark.createDataFrame(
+            sorted(cnts.items()), "piece string, c long"
+        )
+    return _unigram_counts_from_words(
+        words, n_iters, max_piece_len, n_multi, max_word_len
+    )
+
+
 def unigram_word_stats(
     vocab,
     n_iters: int = 2,
@@ -955,12 +1071,24 @@ def unigram_word_stats(
     sum_s the BIGINT sum of the 4dp-quantized piece log-probs. This
     is the |vocab|-row lookup table a 100 TB encode pass broadcasts —
     documents then join it instead of re-running the DP per
-    occurrence."""
-    counts = unigram_trained_counts(
-        vocab, n_iters, max_piece_len, n_multi, max_word_len
+    occurrence. Scale-adaptive like :func:`unigram_trained_counts`:
+    under the driver-train threshold the whole train+segment pass
+    folds to the test-pinned Python twin."""
+    spark = vocab.sparkSession
+    words = vocab.select("w", "c").localCheckpoint()
+    wc = _collect_word_counts(words, _driver_train_max_vocab(spark))
+    if wc is not None:
+        stats = py_unigram_word_stats(
+            wc, n_iters, max_piece_len, n_multi, max_word_len
+        )
+        return spark.createDataFrame(
+            [(w, n, s) for w, (n, s) in sorted(stats.items())],
+            "w10 string, n_pieces long, sum_s long",
+        )
+    counts = _unigram_counts_from_words(
+        words, n_iters, max_piece_len, n_multi, max_word_len
     )
     scores = _unigram_scores(counts).select("piece", "s")
-    words = vocab.select("w", "c")
     segs = _unigram_viterbi_pieces(
         words, scores, max_piece_len, max_word_len
     )
@@ -1001,23 +1129,69 @@ def unigram_train(
     ).orderBy(F.desc("count"), "piece")
 
 
-def py_unigram_train(
+def _py_quantize_scores(cnts: dict[str, int]) -> dict[str, int]:
+    """(piece, c) -> 4dp-quantized BIGINT log-probs, the once-per-
+    round quantization shared by every Python unigram twin."""
+    import math
+
+    t = sum(cnts.values())
+    return {
+        p: math.floor(10000.0 * math.log(c / t) + 0.5)
+        for p, c in cnts.items()
+    }
+
+
+def _py_trunc_word_counts(
+    word_counts: dict[str, int], max_word_len: int
+) -> dict[str, int]:
+    """Truncate + re-sum word counts to ``max_word_len`` chars;
+    zero-length words are dropped, matching the Spark path's explicit
+    length >= 1 filter in _unigram_viterbi_pieces."""
+    wc = {w[:max_word_len]: 0 for w in word_counts if w}
+    for w, c in word_counts.items():
+        if w:
+            wc[w[:max_word_len]] += c
+    return wc
+
+
+def _py_viterbi_pieces(
+    w: str, s: dict[str, int], max_piece_len: int
+) -> list[str]:
+    """Viterbi segmentation of one (truncated) word under quantized
+    scores, pieces in BACKTRACK order (last piece first) — the exact
+    DP and smallest-backpointer tie-break of the Spark generated-
+    expression form."""
+    n = len(w)
+    best: list[int | None] = [0] + [None] * n
+    bp = [0] * (n + 1)
+    for j in range(1, n + 1):
+        cand = []
+        for k in range(max(0, j - max_piece_len), j):
+            sc = s.get(w[k:j])
+            e = sc if sc is not None else -(1 << 40)
+            cand.append((best[k] + e, k))
+        bj = max(t[0] for t in cand)
+        best[j] = bj
+        bp[j] = min(k for t, k in cand if t == bj)
+    pieces, cur = [], n
+    while cur > 0:
+        pieces.append(w[bp[cur] : cur])
+        cur = bp[cur]
+    return pieces
+
+
+def py_unigram_trained_counts(
     word_counts: dict[str, int],
     n_iters: int = 2,
     max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
     n_multi: int = 48,
     max_word_len: int = UNIGRAM_MAX_WORD_LEN,
-) -> dict[str, tuple[int, float]]:
-    """From-the-definition Python ground truth for
-    :func:`unigram_train` (test twin): {piece: (count, logp)}."""
-    import math
-
-    # zero-length words are dropped, matching the Spark path's
-    # explicit length >= 1 filter in _unigram_viterbi_pieces
-    wc = {w[:max_word_len]: 0 for w in word_counts if w}
-    for w, c in word_counts.items():
-        if w:
-            wc[w[:max_word_len]] += c
+) -> dict[str, int]:
+    """Driver-side seed + EM loop of :func:`unigram_trained_counts`:
+    {piece: final count}. The counts half of
+    :func:`py_unigram_train`, exposed so the adaptive fold can return
+    the counts frame alone."""
+    wc = _py_trunc_word_counts(word_counts, max_word_len)
     seed: dict[str, int] = {}
     for w, c in wc.items():
         for i in range(len(w)):
@@ -1031,38 +1205,30 @@ def py_unigram_train(
     counts = dict(singles)
     counts.update(dict(multis))
     bank = set(counts)
-
-    def quantize(cnts):
-        t = sum(cnts.values())
-        return {
-            p: math.floor(10000.0 * math.log(c / t) + 0.5)
-            for p, c in cnts.items()
-        }
-
     for _ in range(n_iters):
-        s = quantize(counts)
+        s = _py_quantize_scores(counts)
         used: dict[str, int] = {}
         for w, c in wc.items():
-            n = len(w)
-            best = [0] + [None] * n
-            bp = [0] * (n + 1)
-            for j in range(1, n + 1):
-                cand = []
-                for k in range(max(0, j - max_piece_len), j):
-                    sc = s.get(w[k:j])
-                    e = sc if sc is not None else -(1 << 40)
-                    cand.append((best[k] + e, k))
-                bj = max(t[0] for t in cand)
-                best[j] = bj
-                bp[j] = min(k for t, k in cand if t == bj)
-            cur = n
-            while cur > 0:
-                piece = w[bp[cur] : cur]
+            for piece in _py_viterbi_pieces(w, s, max_piece_len):
                 used[piece] = used.get(piece, 0) + c
-                cur = bp[cur]
         counts = {p: used.get(p, 0) + 1 for p in bank}
-    s = quantize(counts)
-    return {p: (counts[p], s[p] / 10000.0) for p in bank}
+    return counts
+
+
+def py_unigram_train(
+    word_counts: dict[str, int],
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+) -> dict[str, tuple[int, float]]:
+    """From-the-definition Python ground truth for
+    :func:`unigram_train` (test twin): {piece: (count, logp)}."""
+    counts = py_unigram_trained_counts(
+        word_counts, n_iters, max_piece_len, n_multi, max_word_len
+    )
+    s = _py_quantize_scores(counts)
+    return {p: (counts[p], s[p] / 10000.0) for p in counts}
 
 
 def py_unigram_word_stats(
@@ -1076,43 +1242,35 @@ def py_unigram_word_stats(
     :func:`unigram_word_stats` (test twin): {w10: (n_pieces, sum_s)}
     with sum_s the BIGINT sum of final-round quantized log-probs
     along each word's Viterbi segmentation."""
-    import math
-
-    # zero-length words are dropped, matching the Spark path's
-    # explicit length >= 1 filter in _unigram_viterbi_pieces
-    wc = {w[:max_word_len]: 0 for w in word_counts if w}
-    for w, c in word_counts.items():
-        if w:
-            wc[w[:max_word_len]] += c
-    trained = py_unigram_train(
+    pieces = py_unigram_word_pieces(
         word_counts, n_iters, max_piece_len, n_multi, max_word_len
     )
-    counts = {p: c for p, (c, _) in trained.items()}
-    t = sum(counts.values())
-    s = {
-        p: math.floor(10000.0 * math.log(c / t) + 0.5)
-        for p, c in counts.items()
+    counts = py_unigram_trained_counts(
+        word_counts, n_iters, max_piece_len, n_multi, max_word_len
+    )
+    s = _py_quantize_scores(counts)
+    return {
+        w: (len(ps), sum(s[p] for p in ps)) for w, ps in pieces.items()
     }
-    out = {}
-    for w in wc:
-        n = len(w)
-        best = [0] + [None] * n
-        bp = [0] * (n + 1)
-        for j in range(1, n + 1):
-            cand = []
-            for k in range(max(0, j - max_piece_len), j):
-                sc = s.get(w[k:j])
-                e = sc if sc is not None else -(1 << 40)
-                cand.append((best[k] + e, k))
-            bj = max(tt[0] for tt in cand)
-            best[j] = bj
-            bp[j] = min(k for tt, k in cand if tt == bj)
-        pieces, cur = [], n
-        while cur > 0:
-            pieces.append(w[bp[cur] : cur])
-            cur = bp[cur]
-        out[w] = (len(pieces), sum(s[p] for p in pieces))
-    return out
+
+
+def py_unigram_word_pieces(
+    word_counts: dict[str, int],
+    n_iters: int = 2,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_multi: int = 48,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+) -> dict[str, list[str]]:
+    """From-the-definition ground truth for
+    :func:`unigram_word_pieces` (and the adaptive fold's driver
+    path): {w10: pieces} with pieces in BACKTRACK order (last piece
+    first), matching the Spark walk exactly."""
+    wc = _py_trunc_word_counts(word_counts, max_word_len)
+    counts = py_unigram_trained_counts(
+        word_counts, n_iters, max_piece_len, n_multi, max_word_len
+    )
+    s = _py_quantize_scores(counts)
+    return {w: _py_viterbi_pieces(w, s, max_piece_len) for w in wc}
 
 
 def unigram_word_pieces(
@@ -1127,13 +1285,26 @@ def unigram_word_pieces(
     first), so reassembly — the decode(encode(w)) identity — is
     ``array_join(reverse(pieces), '') == w10``. Same train-once /
     segment-the-vocab-once shape as :func:`unigram_word_stats`; a
-    100 TB round-trip audit broadcasts this |vocab|-row table."""
-    counts = unigram_trained_counts(
-        vocab, n_iters, max_piece_len, n_multi, max_word_len
+    100 TB round-trip audit broadcasts this |vocab|-row table.
+    Scale-adaptive like :func:`unigram_trained_counts`: under the
+    driver-train threshold the whole train+segment pass folds to the
+    Python twin (:func:`py_unigram_word_pieces`)."""
+    spark = vocab.sparkSession
+    words = vocab.select("w", "c").localCheckpoint()
+    wc = _collect_word_counts(words, _driver_train_max_vocab(spark))
+    if wc is not None:
+        pieces = py_unigram_word_pieces(
+            wc, n_iters, max_piece_len, n_multi, max_word_len
+        )
+        return spark.createDataFrame(
+            sorted(pieces.items()), "w10 string, pieces array<string>"
+        )
+    counts = _unigram_counts_from_words(
+        words, n_iters, max_piece_len, n_multi, max_word_len
     )
     scores = _unigram_scores(counts).select("piece", "s")
     return _unigram_viterbi_pieces(
-        vocab.select("w", "c"), scores, max_piece_len, max_word_len
+        words, scores, max_piece_len, max_word_len
     ).select("w10", "pieces")
 
 

@@ -11,6 +11,22 @@ from aws_de_final_project_spark.functions import text as TX
 import pytest
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _force_distributed_tokenizer(spark):
+    """Pin the DISTRIBUTED tokenizer-training path: the r13 adaptive
+    fold routes sub-threshold vocabularies through the Python twins,
+    which would make the twin-agreement tests below tautological.
+    Setting the threshold to 0 keeps them pinning the Spark loop."""
+    spark.conf.set("spark.graft.tokenizer.driverTrainMaxVocab", "0")
+    try:
+        yield
+    finally:
+        spark.conf.unset("spark.graft.tokenizer.driverTrainMaxVocab")
+
+
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
 
@@ -554,11 +570,18 @@ def test_bpe_train_merges_match_python_reference(spark):
 
     want = py_bpe(vocab, 12)
     df = spark.createDataFrame(list(vocab.items()), ["w", "c"])
-    got = [
-        (r.step, r.lhs, r.rhs, r.freq)
-        for r in bpe_train_merges(df, 12).orderBy("step").collect()
-    ]
+    with _force_distributed_tokenizer(spark):
+        got = [
+            (r.step, r.lhs, r.rhs, r.freq)
+            for r in bpe_train_merges(df, 12).orderBy("step").collect()
+        ]
     assert got == want, (got, want)
+    # the adaptive driver fold must produce the identical merge table
+    from aws_de_final_project_spark.functions.text import (
+        py_bpe_train_merges,
+    )
+
+    assert py_bpe_train_merges(vocab, 12) == want
 
 
 def test_bpe_encode_matches_python_reference(spark):
@@ -833,10 +856,11 @@ def test_unigram_train_matches_python_reference(spark):
         "zq": 1, "data": 14, "database": 4, "dates": 6,
     }
     vocab = spark.createDataFrame(list(wc.items()), ["w", "c"])
-    got = {
-        r.piece: (r["count"], r.logp)
-        for r in unigram_train(vocab).collect()
-    }
+    with _force_distributed_tokenizer(spark):
+        got = {
+            r.piece: (r["count"], r.logp)
+            for r in unigram_train(vocab).collect()
+        }
     want = py_unigram_train(wc)
     assert set(got) == set(want)
     for p, (c, lp) in want.items():
@@ -863,10 +887,11 @@ def test_unigram_word_stats_matches_python_reference(spark):
         "internationalization": 3, "data": 14, "dates": 6,
     }
     vocab = spark.createDataFrame(list(wc.items()), ["w", "c"])
-    got = {
-        r.w10: (r.n_pieces, r.sum_s)
-        for r in unigram_word_stats(vocab).collect()
-    }
+    with _force_distributed_tokenizer(spark):
+        got = {
+            r.w10: (r.n_pieces, r.sum_s)
+            for r in unigram_word_stats(vocab).collect()
+        }
     want = py_unigram_word_stats(wc)
     assert got == want, {
         k: (got.get(k), want.get(k))
@@ -890,13 +915,52 @@ def test_unigram_word_pieces_roundtrip_identity(spark):
         "internationalization": 3, "zq": 1, "data": 14, "dates": 6,
     }
     vocab = spark.createDataFrame(list(wc.items()), ["w", "c"])
-    got = {
-        r.w10: list(r.pieces)
-        for r in unigram_word_pieces(vocab).collect()
-    }
+    with _force_distributed_tokenizer(spark):
+        got = {
+            r.w10: list(r.pieces)
+            for r in unigram_word_pieces(vocab).collect()
+        }
     assert set(got) == {w[:10] for w in wc}
     for w10, pieces in got.items():
         assert "".join(reversed(pieces)) == w10, (w10, pieces)
+
+
+def test_tokenizer_adaptive_fold_matches_distributed(spark):
+    """The r13 scale-adaptive driver fold (vocab under the
+    driverTrainMaxVocab threshold trains via the Python twins) returns
+    ROW-IDENTICAL frames with IDENTICAL dtypes to the distributed
+    loop, for every tokenizer entry point — the equivalence that lets
+    the bench queries take the fold path."""
+    from aws_de_final_project_spark.functions.text import (
+        bpe_train_merges,
+        unigram_train,
+        unigram_trained_counts,
+        unigram_word_pieces,
+        unigram_word_stats,
+    )
+
+    wc = {
+        "the": 30, "then": 9, "there": 6, "cat": 12, "that": 8,
+        "hat": 5, "hatter": 2, "internationalization": 3,
+        "zq": 1, "data": 14, "database": 4, "dates": 6, "aaaa": 5,
+    }
+    vocab = spark.createDataFrame(list(wc.items()), ["w", "c"])
+
+    def rows(d):
+        return sorted(tuple(str(x) for x in r) for r in d.collect())
+
+    for fn, args in [
+        (bpe_train_merges, (vocab, 12)),
+        (unigram_train, (vocab,)),
+        (unigram_trained_counts, (vocab,)),
+        (unigram_word_stats, (vocab,)),
+        (unigram_word_pieces, (vocab,)),
+    ]:
+        folded = fn(*args)
+        with _force_distributed_tokenizer(spark):
+            dist = fn(*args)
+            assert rows(folded) == rows(dist), fn.__name__
+            assert folded.dtypes == dist.dtypes, fn.__name__
 
 
 def test_bpe_boundary_roundtrip_and_symbol_count(spark):
