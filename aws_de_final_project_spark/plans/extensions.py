@@ -2400,13 +2400,16 @@ def triangle_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_de_final_project_spark.operators import graphrank
 
     t = load_tables(spark, sf_dir, ("lineitem",))
-    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     # pairs are generated INSIDE each order's sorted part array (codegen
     # nested transform over the <=7-item basket) — one hash aggregate
     # instead of an orderkey equi-self-join; basket size bounds the
-    # per-row pair fan-out, so there is no skew surface
-    parts = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    # per-row pair fan-out, so there is no skew surface. collect_set
+    # dedups (orderkey, partkey) itself, so no pre-distinct shuffle.
+    parts = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -2804,16 +2807,23 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB nothing here materializes more than (pairs-per-basket ·
     rows) before a map-side-combined aggregate."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    # 1-row denominator frame, broadcast-crossed in lazily (the
-    # plan-build .count() alternative makes warm == cold, VERDICT r1)
-    n_orders = F.broadcast(
-        li.select("l_orderkey")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("double").alias("_no"))
+    # ONE lineitem aggregate: collect_set dedups (orderkey, partkey)
+    # itself, and the denominator + per-item supports both derive
+    # from the basket frame — the pre-distinct shuffle, the separate
+    # distinct-orderkey scan, and the separate item-support scan all
+    # collapse into this aggregate (r13: 3 corpus-width shuffles -> 1).
+    baskets = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
+        .localCheckpoint(eager=False)
     )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    # 1-row denominator frame, broadcast-crossed in lazily (the
+    # plan-build .count() alternative makes warm == cold, VERDICT r1):
+    # every order has >= 1 part row, so |baskets| == |distinct orders|
+    n_orders = F.broadcast(
+        baskets.agg(F.count(F.lit(1)).cast("double").alias("_no"))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -2831,8 +2841,13 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .where(F.col("n_ab") >= 3)
     )
-    item_n = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_i")
+    # per-item order support from the SAME basket frame (set-exploded,
+    # so each (order, part) counts once — identical to the old
+    # distinct-scan aggregate)
+    item_n = (
+        baskets.select(F.explode("_ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_i"))
     )
     na = item_n.select(F.col("l_partkey").alias("a"), F.col("n_i").alias("n_a"))
     nb = item_n.select(F.col("l_partkey").alias("b"), F.col("n_i").alias("n_b"))
