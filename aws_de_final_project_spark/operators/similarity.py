@@ -730,12 +730,18 @@ def cosine_dup_pairs(
 
     ``dim`` is required whenever signatures are built ('auto' or >0).
     """
-    a = corpus.select(
+    from aws_de_final_project_spark.operators.util import spread
+
+    # per-row-heavy compute ahead (signatures + exact-cosine verify):
+    # spread a small single-file scan across the cores (no-op at scale,
+    # where the scan already yields >= core-count partitions)
+    src = spread(corpus)
+    a = src.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
         _norm(F.col(vec_col)).alias("_na"),
     )
-    b = corpus.select(
+    b = src.select(
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
         _norm(F.col(vec_col)).alias("_nb"),
@@ -794,11 +800,25 @@ def cosine_dup_pairs(
         # a pair colliding in several tables would duplicate — dedup on
         # the bare pair key BEFORE re-attaching vectors, so the exact
         # cosine runs once per pair and the dedup shuffle stays narrow.
+        # The two join sides carry IDENTICAL signatures (same corpus,
+        # same deterministic planes): self-join ONE signature frame
+        # through identical aliases, so the two bucket-join exchanges
+        # canonicalize equal and Spark's exchange reuse computes the
+        # planes x dim x n_tables per-row bank ONCE (r13; previously
+        # signed(a) and signed(b) each evaluated the full bank).
+        sig = signed(a, "_ida", "_va")
+        sx, sy = sig.alias("_sx"), sig.alias("_sy")
         pairs = (
-            signed(a, "_ida", "_va")
-            .join(signed(b, "_idb", "_vb"), ["tbl", "sig"])
-            .filter(F.col("_ida") < F.col("_idb"))
-            .select("_ida", "_idb")
+            sx.join(
+                sy,
+                (F.col("_sx.tbl") == F.col("_sy.tbl"))
+                & (F.col("_sx.sig") == F.col("_sy.sig"))
+                & (F.col("_sx._ida") < F.col("_sy._ida")),
+            )
+            .select(
+                F.col("_sx._ida").alias("_ida"),
+                F.col("_sy._ida").alias("_idb"),
+            )
             .dropDuplicates(["_ida", "_idb"])
         )
         # the id-pair shuffle is tiny in BYTES, so AQE coalesces it to
