@@ -358,11 +358,17 @@ def host_pagerank(
     below the page count), so ``iter_impl='auto'`` usually collapses
     to the driver iteration after one distinct-union over the
     aggregated edges — ~2 cluster stages on top of the graph build."""
+    # the edge aggregate feeds BOTH node derivation (union-distinct +
+    # count + possible driver collect) and the rank iteration; without
+    # a checkpoint the caller's data-sized graph build (here the full
+    # HTML link extraction) re-runs per consumer — measured 3 serial
+    # re-extractions per pagerank_host_graph run before this (r13).
+    # Lazy: materializes at the first action.
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

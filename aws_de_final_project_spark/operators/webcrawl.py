@@ -1078,8 +1078,13 @@ def host_link_graph(
     the quality signal; self-links dominate raw counts and carry
     none).
     """
+    from aws_de_final_project_spark.operators.util import spread
+
     src = registered_domain(url_host(canonicalize_url(F.col(url_col))))
-    links = df.select(
+    # link extraction + two canonicalization passes are per-row-heavy
+    # regex work: spread a small single-file scan across the cores
+    # (no-op at scale, where the scan already parallelizes)
+    links = spread(df).select(
         src.alias("src_domain"),
         F.explode(extract_links(html_col)).alias("href"),
     ).filter(F.col("href").rlike(ABS_HTTP_RE))
