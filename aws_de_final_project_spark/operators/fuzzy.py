@@ -69,15 +69,28 @@ def fuzzy_pairs(
             ),
         )
     )
-    sigs = names.select(
+    from aws_de_final_project_spark.operators.util import spread
+
+    # variant generation is per-row-heavy (len+1 substring builds per
+    # name): spread a small single-file scan across the cores (no-op
+    # at scale), and self-join ONE variant frame through identical
+    # aliases so the two blocking-join exchanges canonicalize equal
+    # and exchange reuse computes the variants once (r13; previously
+    # each join side re-evaluated the whole explode).
+    sigs = spread(names).select(
         F.col(id_col).alias("_id"), F.explode(var).alias("_v")
     ).select("_id", F.xxhash64("_v").alias("_h"))
-    a = sigs.select(F.col("_id").alias("id_a"), "_h")
-    b = sigs.select(F.col("_id").alias("id_b"), "_h")
+    sx, sy = sigs.alias("_sx"), sigs.alias("_sy")
     pairs = (
-        a.join(b, "_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        sx.join(
+            sy,
+            (F.col("_sx._h") == F.col("_sy._h"))
+            & (F.col("_sx._id") < F.col("_sy._id")),
+        )
+        .select(
+            F.col("_sx._id").alias("id_a"),
+            F.col("_sy._id").alias("id_b"),
+        )
         .distinct()
     )
     na = names.select(
