@@ -26,6 +26,7 @@ from aws_de_final_project_spark.operators import (
     similarity,
     spatial,
 )
+from aws_de_final_project_spark.operators.util import spread
 from aws_de_final_project_spark.sources.registry import embedding_dim, load_tables
 
 
@@ -1055,7 +1056,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3dp round absorbs nothing — op order is the same — but keeps the
     contract explicit)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"]
+    d = spread(t["documents"])  # 1-file scan = 1 task: parallelize the per-row token work
     return (
         d.select(
             "doc_id",
@@ -1083,7 +1084,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     small side ships to every executor and the fact side never
     shuffles on token."""
     t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"]
+    d = spread(t["documents"])  # 1-file scan = 1 task: parallelize the per-row token work
     toks = d.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -1219,7 +1220,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-side join is left to AQE: broadcast at demo scale, shuffle
     join keyed on the bigram at corpus scale."""
     t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"]
+    d = spread(t["documents"])  # 1-file scan = 1 task: parallelize the per-row token work
     ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     docs = d.select("doc_id", ts.alias("_ts")).filter(F.size("_ts") >= 2)
     pair = F.transform(
@@ -1287,7 +1288,7 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     three signal frames join back on doc_id. All counts are integers;
     the final divisions are 4dp floor-rounded."""
     t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"]
+    d = spread(t["documents"])  # 1-file scan = 1 task: parallelize the per-row token work
     ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     docs = d.select(
         "doc_id",
@@ -1417,7 +1418,7 @@ def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it verbatim. Self-scoring means every doc bigram exists in c12
     (c12 >= 1), so no OOV branch is needed."""
     t = load_tables(spark, sf_dir, ("documents",))
-    d = t["documents"]
+    d = spread(t["documents"])  # 1-file scan = 1 task: parallelize the per-row token work
     ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     docs = d.select("doc_id", ts.alias("_ts")).filter(F.size("_ts") >= 2)
     pair = F.transform(
@@ -2656,7 +2657,8 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically."""
     t = load_tables(spark, sf_dir, ("documents",))
     toks = (
-        t["documents"]
+        # 1-file scan = 1 task: parallelize tokenization + bucket hashing
+        spread(t["documents"])
         .select(
             F.explode(F.split(TX.normalized_text("text"), " ")).alias("token")
         )
@@ -2928,8 +2930,14 @@ def chunk_text_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("text").substr(p.s + 1, p.e - p.s)).alias("fp"),
         ),
     )
+    from aws_de_final_project_spark.operators.util import spread
+
     return (
-        t["documents"]
+        # the whole operator is scan-side codegen with NO shuffle, so a
+        # single-file scan would otherwise run the per-char rolling-
+        # hash boundary scan on ONE task (measured 3.8 s serial at
+        # sf0.1); spread is a no-op at scale
+        spread(t["documents"].select("doc_id", "text"))
         .select("doc_id", "text", bounds.alias("_b"))
         .select(
             "doc_id",
@@ -4885,7 +4893,9 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_de_final_project_spark.operators import dsir
 
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"]
+    # 1-file scan = 1 task: parallelize the per-row bucket hashing
+    # (both derived corpora share the ONE spread exchange via reuse)
+    docs = spread(t["documents"])
     target = docs.filter(F.col("doc_id") % 13 == 0)
     raw = docs.filter(F.col("doc_id") % 13 != 0)
     out = dsir.dsir_importance(target, raw, "text", "doc_id")

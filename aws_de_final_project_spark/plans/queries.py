@@ -1385,9 +1385,12 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-normalized min/max per column — the single Expand-aggregate
     shape, no per-column jobs."""
     from aws_de_final_project_spark.operators.dq import profile_table
+    from aws_de_final_project_spark.operators.util import spread
 
     t = load_tables(spark, sf_dir, ("orders",))
-    return profile_table(t["orders"]).orderBy("column_name")
+    # 1-file scan = 1 task: the Expand-aggregate multiplies every row
+    # by the column count before aggregating — parallelize it
+    return profile_table(spread(t["orders"])).orderBy("column_name")
 
 
 def chi2_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
