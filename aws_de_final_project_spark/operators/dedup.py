@@ -1215,6 +1215,13 @@ def prefix_filter_jaccard_pairs(
     # on the ROUNDED string Jaccard. Lowering t only lengthens
     # prefixes and loosens the size filter — strictly more candidates.
     cand = _prefix_filter_candidates(hsets, max(threshold - 1e-4, 1e-9))
+    # candidate id pairs are tiny in BYTES, so AQE coalesces them to a
+    # couple of partitions — but each row then pays a hashed-set
+    # intersect after the (broadcast-sized) re-attach. Re-spread
+    # explicitly: per-row compute, not byte count, is the budget.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     h_b = hsets.select(
         F.col("_id").alias("_id_b"), F.col("_words").alias("_words_b")
     )
@@ -1247,6 +1254,14 @@ def prefix_filter_jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("_words"), F.col("_words_b")))
     union = F.size(F.col("_words")) + F.size(F.col("_words_b")) - inter
+    # the survivor id-pair frame is tiny in BYTES, so AQE coalesces it
+    # to a couple of partitions — but each row then pays a full
+    # string-set intersect after the (broadcast-sized) set re-attach.
+    # Re-spread explicitly: per-row compute, not byte count, is the
+    # budget (measured 2.3 s wall on 2 tasks at sf0.1 before this).
+    survivors = survivors.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     return (
         survivors.join(sets, "_id")
         .join(b_sets, "_id_b")
@@ -1423,6 +1438,13 @@ def containment_pairs(
     """
     hs = _containment_hashed_sets(df, text_col, id_col, ngram)
     cand = _containment_candidates(hs, threshold_pct)
+    # candidate id pairs are tiny in BYTES, so AQE coalesces them to a
+    # couple of partitions — but each row then pays a hashed-set
+    # intersect after the re-attach. Re-spread explicitly: per-row
+    # compute, not byte count, is the budget.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     ha = hs.select(
         F.col("_id").alias("doc_a"),
         F.col("_n").alias("n_a"),
