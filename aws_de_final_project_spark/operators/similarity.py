@@ -1157,12 +1157,18 @@ def semantic_dup_pairs(
     cents = centroids if centroids is not None else _centroids(dim, n_clusters)
     assign_impl = _resolve_impl(assign_impl, dim, "assign_impl")
 
-    a = corpus.select(
+    from aws_de_final_project_spark.operators.util import spread
+
+    # per-row-heavy compute ahead (cell assignment + exact-cosine
+    # verify): spread a small single-file scan across the cores
+    # (no-op at scale)
+    src = spread(corpus)
+    a = src.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
         _norm(F.col(vec_col)).alias("_na"),
     )
-    b = corpus.select(
+    b = src.select(
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
         _norm(F.col(vec_col)).alias("_nb"),
@@ -1170,22 +1176,28 @@ def semantic_dup_pairs(
     if assign_impl == "arrow":
         # wide-dim path: cells from the BLAS kernel, ids only
         tagged = cell_assign_arrow(
-            corpus, id_col, vec_col, cents, n_assign=n_assign
-        ).select(id_col, "cell")
-        tagged_a = tagged.select(F.col(id_col).alias("_ida"), "cell")
-        tagged_b = tagged.select(F.col(id_col).alias("_idb"), "cell")
+            src, id_col, vec_col, cents, n_assign=n_assign
+        ).select(F.col(id_col).alias("_ida"), "cell")
     else:
         cells = F.explode(F.expr(_top_cells_sql(vec_col, cents, n_assign)))
-        tagged_a = corpus.select(
+        tagged = src.select(
             F.col(id_col).alias("_ida"), cells.alias("cell")
         )
-        tagged_b = corpus.select(
-            F.col(id_col).alias("_idb"), cells.alias("cell")
-        )
+    # both candidate-join sides carry the IDENTICAL cell assignment:
+    # self-join ONE tagged frame through identical aliases so the two
+    # exchanges canonicalize equal and exchange reuse computes the
+    # centroid bank once (r13; previously each side re-evaluated it).
+    tx, ty = tagged.alias("_tx"), tagged.alias("_ty")
     pairs = (
-        tagged_a.join(tagged_b, "cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
+        tx.join(
+            ty,
+            (F.col("_tx.cell") == F.col("_ty.cell"))
+            & (F.col("_tx._ida") < F.col("_ty._ida")),
+        )
+        .select(
+            F.col("_tx._ida").alias("_ida"),
+            F.col("_ty._ida").alias("_idb"),
+        )
         .dropDuplicates(["_ida", "_idb"])
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
