@@ -112,15 +112,20 @@ def covariance_entries(
     dim: int,
     impl: str = "auto",
     n: int | None = None,
+    means: DataFrame | None = None,
 ) -> DataFrame:
     """Covariance matrix as a (i, j, v) relation:
     v = sxx / n - mean_i * mean_j (population covariance). Pass ``n``
     when the caller already counted the frame (pca_project does) to
-    avoid a second count job."""
+    avoid a second count job, and ``means`` (an (i, m) frame) when the
+    caller shares a materialized means aggregate — without it each of
+    the covariance's two mean joins plus the caller's centering pass
+    re-runs the full element explode (r13)."""
     e = _elements(df, vec_col, id_col)
     if n is None:
         n = df.count()  # one count job; scalar folded into the plan
-    means = e.groupBy("i").agg((F.sum("x") / F.lit(n)).alias("m"))
+    if means is None:
+        means = e.groupBy("i").agg((F.sum("x") / F.lit(n)).alias("m"))
     g = gram_entries(df, vec_col, id_col, dim, impl)
     ma = means
     mb = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
@@ -285,15 +290,25 @@ def pca_project(
         iter_impl = "driver" if dim * dim <= 1 << 22 else "relational"
     spark = df.sparkSession
     n = df.count()
+    # ONE means aggregate (dim rows — broadcast-sized) shared by the
+    # covariance build and the centering pass below: lazily
+    # materialized so the element explode runs once for it, not once
+    # per consumer (r13; measured two redundant full element passes).
+    e = _elements(df, vec_col, id_col)
+    means = (
+        e.groupBy("i")
+        .agg((F.sum("x") / F.lit(n)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
     # dim^2 rows are cluster-tiny; collapsing them to a handful of
     # partitions before the iteration turns each matvec's shuffle
     # into a near-no-op. ~1M cells per partition keeps even dim=4096
     # (16M cells) at a sane width.
     n_cov_parts = max(1, (dim * dim) // 1_000_000)
     cov = _cut(
-        covariance_entries(df, vec_col, id_col, dim, impl, n=n).coalesce(
-            n_cov_parts
-        ),
+        covariance_entries(
+            df, vec_col, id_col, dim, impl, n=n, means=means
+        ).coalesce(n_cov_parts),
         checkpoint_dir,
     )
     if iter_impl == "driver":
@@ -316,8 +331,6 @@ def pca_project(
             if len(comps) < n_components:
                 cov = _cut(deflate(cov, comp), checkpoint_dir)
 
-    e = _elements(df, vec_col, id_col)
-    means = e.groupBy("i").agg((F.sum("x") / F.lit(n)).alias("m"))
     cent = e.join(F.broadcast(means), "i").select(
         "_id", "i", (F.col("x") - F.col("m")).alias("xc")
     )
