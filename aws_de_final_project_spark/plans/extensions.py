@@ -798,7 +798,16 @@ def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, block_col="lang"
     )
-    return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
+    # impl='auto': the LSH pair list is aggregation-sized (a few edges
+    # per near-dup cluster), so the bounded driver union-find runs and
+    # the ~log-diameter pointer-doubling rounds (each a scheduled
+    # join+agg+checkpoint) collapse to one collect; past the 2M-pair
+    # cap it falls back to the distributed iteration (r13; same
+    # dispatch as the entity-resolution entry, equivalence pinned in
+    # tests/test_dedup.py)
+    return dedup.dedup_components(
+        docs, pairs, "doc_id", impl="auto"
+    ).orderBy("doc_id")
 
 
 def dedup_component_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,7 +822,16 @@ def dedup_component_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
-    return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
+    # impl='auto': the LSH pair list is aggregation-sized (a few edges
+    # per near-dup cluster), so the bounded driver union-find runs and
+    # the ~log-diameter pointer-doubling rounds (each a scheduled
+    # join+agg+checkpoint) collapse to one collect; past the 2M-pair
+    # cap it falls back to the distributed iteration (r13; same
+    # dispatch as the entity-resolution entry, equivalence pinned in
+    # tests/test_dedup.py)
+    return dedup.dedup_components(
+        docs, pairs, "doc_id", impl="auto"
+    ).orderBy("doc_id")
 
 
 def dedup_component_groups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,7 +849,16 @@ def dedup_component_groups_portable(spark: SparkSession, sf_dir: str) -> DataFra
     pairs = dedup.minhash_lsh_pairs_portable(
         docs, "text", "doc_id", threshold=0.5
     )
-    return dedup.dedup_components(docs, pairs, "doc_id").orderBy("doc_id")
+    # impl='auto': the LSH pair list is aggregation-sized (a few edges
+    # per near-dup cluster), so the bounded driver union-find runs and
+    # the ~log-diameter pointer-doubling rounds (each a scheduled
+    # join+agg+checkpoint) collapse to one collect; past the 2M-pair
+    # cap it falls back to the distributed iteration (r13; same
+    # dispatch as the entity-resolution entry, equivalence pinned in
+    # tests/test_dedup.py)
+    return dedup.dedup_components(
+        docs, pairs, "doc_id", impl="auto"
+    ).orderBy("doc_id")
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2216,7 +2243,7 @@ def dedup_corpus_quality_keepers(
     pairs = dedup.ngram_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, block_col="lang"
     )
-    comp = dedup.dedup_components(docs, pairs, "doc_id")
+    comp = dedup.dedup_components(docs, pairs, "doc_id", impl="auto")
     scored = docs.select("doc_id", quality_score("text").alias("_q"))
     j = comp.join(scored, "doc_id")
     w = Window.partitionBy("component").orderBy(
