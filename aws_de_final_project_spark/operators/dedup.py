@@ -292,14 +292,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    other = banded.select(
-        F.col("_id").alias("_id_b"), F.col("band"), F.col("bucket")
-    )
+    # both bucket-join sides carry the IDENTICAL banded signatures:
+    # self-join ONE frame through identical aliases so the two
+    # exchanges canonicalize equal and exchange reuse computes the
+    # shingle+signature pipeline once (r13; previously each side
+    # re-evaluated the k min-hash aggregate).
+    bx, by = banded.alias("_bx"), banded.alias("_by")
     candidates = (
-        banded.join(other, ["band", "bucket"])
-        .filter(F.col("_id") < F.col("_id_b"))
-        .select("_id", "_id_b")
+        bx.join(
+            by,
+            (F.col("_bx.band") == F.col("_by.band"))
+            & (F.col("_bx.bucket") == F.col("_by.bucket"))
+            & (F.col("_bx._id") < F.col("_by._id")),
+        )
+        .select(
+            F.col("_bx._id").alias("_id"),
+            F.col("_by._id").alias("_id_b"),
+        )
         .distinct()
+    )
+    # candidate id pairs are tiny in BYTES, so AQE coalesces them to a
+    # couple of partitions — but each row then pays a set intersect
+    # after the re-attach. Re-spread explicitly: per-row compute, not
+    # byte count, is the budget.
+    candidates = candidates.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     words = _hashed_shingle_sets(df, text_col, id_col, ngram)
     wa = words
@@ -494,18 +511,25 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("_id", "simhash", "cc.chunk", "cc.key")
-    other = banded.select(
-        F.col("_id").alias("_id_b"),
-        F.col("simhash").alias("simhash_b"),
-        "chunk",
-        "key",
-    )
+    # self-join ONE banded frame through identical aliases: exchange
+    # reuse computes the simhash pipeline once instead of once per
+    # chunk-join side (r13).
+    bx, by = banded.alias("_bx"), banded.alias("_by")
     xor = F.col("simhash").bitwiseXOR(F.col("simhash_b"))
     hamming = F.bit_count(xor)
     return (
-        banded.join(other, ["chunk", "key"])
-        .filter(F.col("_id") < F.col("_id_b"))
-        .select("_id", "_id_b", "simhash", "simhash_b")
+        bx.join(
+            by,
+            (F.col("_bx.chunk") == F.col("_by.chunk"))
+            & (F.col("_bx.key") == F.col("_by.key"))
+            & (F.col("_bx._id") < F.col("_by._id")),
+        )
+        .select(
+            F.col("_bx._id").alias("_id"),
+            F.col("_by._id").alias("_id_b"),
+            F.col("_bx.simhash").alias("simhash"),
+            F.col("_by.simhash").alias("simhash_b"),
+        )
         .distinct()
         .select(
             F.col("_id").alias("doc_a"),
@@ -821,14 +845,27 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
-    other = banded.select(
-        F.col("_id").alias("_id_b"), "band", "bh"
-    )
+    # self-join ONE banded frame through identical aliases: exchange
+    # reuse computes the md5 minhash pipeline once instead of once per
+    # bucket-join side (r13), and the candidate pairs re-spread before
+    # the per-row set-intersect verify (AQE coalesces the tiny id-pair
+    # bytes to a couple of partitions otherwise).
+    bx, by = banded.alias("_bx"), banded.alias("_by")
     cand = (
-        banded.join(other, ["band", "bh"])
-        .filter(F.col("_id") < F.col("_id_b"))
-        .select("_id", "_id_b")
+        bx.join(
+            by,
+            (F.col("_bx.band") == F.col("_by.band"))
+            & (F.col("_bx.bh") == F.col("_by.bh"))
+            & (F.col("_bx._id") < F.col("_by._id")),
+        )
+        .select(
+            F.col("_bx._id").alias("_id"),
+            F.col("_by._id").alias("_id_b"),
+        )
         .distinct()
+    )
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     a = sets
     b = sets.select(
