@@ -1445,7 +1445,11 @@ def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it verbatim. Self-scoring means every doc bigram exists in c12
     (c12 >= 1), so no OOV branch is needed."""
     t = load_tables(spark, sf_dir, ("documents",))
-    d = spread(t["documents"])  # 1-file scan = 1 task: parallelize the per-row token work
+    # NOT spread: the bigram explode shuffles right after the scan, so
+    # a pre-spread exchange only adds a round-robin pass ahead of the
+    # c12 exchange (interleaved A/B: spread 4.08/3.07 s vs unspread
+    # 2.52/2.20 s warm — a measured regression, reverted r13)
+    d = t["documents"]
     ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     docs = d.select("doc_id", ts.alias("_ts")).filter(F.size("_ts") >= 2)
     pair = F.transform(
