@@ -265,10 +265,19 @@ def triangle_counts(
     du = deg.select(F.col("_n").alias("_u"), F.col("_deg").alias("_du"))
     dv = deg.select(F.col("_n").alias("_v"), F.col("_deg").alias("_dv"))
     # orient: from smaller (deg, id) to larger — a total order, so
-    # the orientation is acyclic and deterministic
+    # the orientation is acyclic and deterministic. The degree side is
+    # hinted as the hash-join BUILD side: both inputs derive from the
+    # checkpointed edge RDD whose size Catalyst cannot estimate, and
+    # left to itself the planner was measured broadcasting the 64 MiB
+    # edge+degree side while streaming the 1 MiB degree table (and the
+    # single-partition stream then left every downstream consumer of
+    # the checkpoint serialized on one task). A shuffled-hash build of
+    # the per-node degree slice stays per-partition-sized at any graph
+    # scale, where a forced broadcast of the O(n) degree table would
+    # not.
     oriented = (
-        e.join(du, "_u")
-        .join(dv, "_v")
+        e.join(du.hint("shuffle_hash"), "_u")
+        .join(dv.hint("shuffle_hash"), "_v")
         .select(
             F.when(
                 (F.col("_du") < F.col("_dv"))
@@ -282,8 +291,21 @@ def triangle_counts(
         )
         .select(F.col("_e.s").alias("_s"), F.col("_e.t").alias("_t"))
     )
-    # both the adjacency build and the edge side read this frame
-    oriented = _cut(oriented, checkpoint_dir)
+    # both the adjacency build and the edge side read this frame.
+    # Re-spread to the core count before the cut: the oriented rows
+    # are narrow (two ids), so AQE coalesces the join output to 1-2
+    # partitions and the checkpoint inherits that width — every
+    # consumer's first pass (the collect_list adjacency aggregate in
+    # particular) then ran as a single serial task. Per-row compute,
+    # not byte count, is the budget (the item-8/11 re-spread
+    # rationale); at 100 TB the edge list is narrow enough that
+    # core-count partitions stay shuffle-sized.
+    oriented = _cut(
+        oriented.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism
+        ),
+        checkpoint_dir,
+    )
     # Adjacency-intersection enumeration (compact-forward): build each
     # node's sorted out-neighbor array once, attach it to both ends of
     # every oriented edge, and intersect in codegen. A triangle
@@ -297,6 +319,16 @@ def triangle_counts(
     adj = oriented.groupBy("_s").agg(
         F.sort_array(F.collect_list("_t")).alias("_nbrs")
     )
+    # the adjacency aggregate feeds BOTH intersect-join sides; the two
+    # hash(_s) exchanges do not canonicalize equal under AQE here, so
+    # without a cut the collect_list aggregate runs once per side
+    # (measured ~30 s + ~12 s executor CPU per warm run at sf0.1).
+    # Lazy: materializes at the first action, keeps plan construction
+    # job-free (the r13 image-phash posture).
+    if checkpoint_dir is None:
+        adj = adj.localCheckpoint(eager=False)
+    else:
+        adj = _cut(adj, checkpoint_dir)
     # The adjacency frame is O(n + m) — it carries EVERY oriented edge
     # inside its arrays — and must NEVER be a broadcast build side:
     # Catalyst's static estimate of the checkpointed frame
@@ -309,21 +341,26 @@ def triangle_counts(
     # the hash join co-partitioned on node id wins at EVERY tier —
     # same shuffle the aggregate already paid, build stays
     # per-partition-sized at any graph scale.
-    au = adj.select(F.col("_s").alias("_ju"), F.col("_nbrs").alias("_nu")).hint(
-        "shuffle_hash"
-    )
-    av = adj.select(F.col("_s").alias("_jv"), F.col("_nbrs").alias("_nv")).hint(
-        "shuffle_hash"
-    )
+    # Both join sides carry the IDENTICAL adjacency aggregate: attach
+    # it through DataFrame aliases of ONE frame (not renamed column
+    # projections) so the two hash(adj._s) exchanges canonicalize
+    # equal and exchange reuse computes the collect_list aggregate
+    # once — previously each side re-ran the aggregate over the full
+    # oriented edge set (the minhash/simhash self-join pattern).
+    ax = adj.alias("_au").hint("shuffle_hash")
+    ay = adj.alias("_av").hint("shuffle_hash")
     tris = (
-        oriented.join(au, F.col("_s") == F.col("_ju"))
+        oriented.alias("_oe")
+        .join(ax, F.col("_oe._s") == F.col("_au._s"))
         # inner join: an edge whose head has no out-edges closes nothing
-        .join(av, F.col("_t") == F.col("_jv"))
+        .join(ay, F.col("_oe._t") == F.col("_av._s"))
         .select(
-            "_s",
-            "_t",
+            F.col("_oe._s").alias("_s"),
+            F.col("_oe._t").alias("_t"),
             F.explode(
-                F.array_intersect(F.col("_nu"), F.col("_nv"))
+                F.array_intersect(
+                    F.col("_au._nbrs"), F.col("_av._nbrs")
+                )
             ).alias("_w"),
         )
     )
