@@ -587,16 +587,23 @@ def connected_components(
     # front: the relational path's equi-joins drop them implicitly,
     # and an uncaught None here would raise an opaque TypeError
     # inside the union-find min/max
-    capped = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("a"),
-            F.col(id_b).cast("long").alias("b"),
-        )
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .limit(driver_max_pairs + 1)
-    )
-    rows = capped.collect()
-    if len(rows) > driver_max_pairs:
+    cleaned = pairs.select(
+        F.col(id_a).cast("long").alias("a"),
+        F.col(id_b).cast("long").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    # Bound check via checkpoint + count, NOT .limit(cap+1).collect():
+    # CollectLimit's incremental escalation (1 -> 4 -> 16 -> ... of
+    # spark.sql.limit.scaleUpFactor) re-ran the expensive candidate
+    # pipeline's final stage once per escalation round when the pair
+    # list is smaller than the cap — the common case — costing ~1.65x
+    # the pipeline plus a driver round-trip per round (measured on the
+    # entity-resolution entry, r13). The lazy checkpoint materializes
+    # the pipeline exactly once at the count; the collect then reads
+    # the stored blocks, and the count keeps the driver pull bounded
+    # before any row moves (the same legitimacy contract as before).
+    cleaned = cleaned.localCheckpoint(eager=False)
+    n_pairs = cleaned.count()
+    if n_pairs > driver_max_pairs:
         if impl == "auto":
             labels, _ = connected_components_iters(
                 pairs, id_a, id_b, max_iter, checkpoint_dir=checkpoint_dir
@@ -606,6 +613,7 @@ def connected_components(
             f"pair list exceeds driver_max_pairs={driver_max_pairs}; "
             f"use impl='relational'"
         )
+    rows = cleaned.collect()
     parent: dict = {}
 
     def find(x):
