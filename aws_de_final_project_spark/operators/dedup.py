@@ -56,6 +56,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 from aws_de_final_project_spark.operators.util import cut as _cut
+from aws_de_final_project_spark.operators.util import release as _release
 from aws_de_final_project_spark.operators.util import spread as _spread
 
 
@@ -597,23 +598,33 @@ def connected_components(
     # pipeline's final stage once per escalation round when the pair
     # list is smaller than the cap — the common case — costing ~1.65x
     # the pipeline plus a driver round-trip per round (measured on the
-    # entity-resolution entry, r13). The lazy checkpoint materializes
-    # the pipeline exactly once at the count; the collect then reads
-    # the stored blocks, and the count keeps the driver pull bounded
-    # before any row moves (the same legitimacy contract as before).
-    cleaned = cleaned.localCheckpoint(eager=False)
+    # entity-resolution entry, r13). The cut (util.cut: reliable
+    # checkpoint() when checkpoint_dir is given, localCheckpoint
+    # otherwise) materializes the pipeline exactly once at the count;
+    # the collect then reads the stored blocks, and the count keeps
+    # the driver pull bounded before any row moves (the same
+    # legitimacy contract as before).
+    cleaned = _cut(cleaned, checkpoint_dir)
     n_pairs = cleaned.count()
     if n_pairs > driver_max_pairs:
         if impl == "auto":
+            # feed the MATERIALIZED pair list into the relational
+            # fallback — recomputing the candidate pipeline from the
+            # original frame would waste the full run the count just
+            # paid (r13 ADVICE/VERDICT item 2); the iteration's first
+            # eager cut consumes the blocks, then they are released.
             labels, _ = connected_components_iters(
-                pairs, id_a, id_b, max_iter, checkpoint_dir=checkpoint_dir
+                cleaned, "a", "b", max_iter, checkpoint_dir=checkpoint_dir
             )
+            _release(cleaned)
             return labels
+        _release(cleaned)
         raise ValueError(
             f"pair list exceeds driver_max_pairs={driver_max_pairs}; "
             f"use impl='relational'"
         )
     rows = cleaned.collect()
+    _release(cleaned)
     parent: dict = {}
 
     def find(x):

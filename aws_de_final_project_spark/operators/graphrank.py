@@ -298,14 +298,20 @@ def triangle_counts(
     # consumer's first pass (the collect_list adjacency aggregate in
     # particular) then ran as a single serial task. Per-row compute,
     # not byte count, is the budget (the item-8/11 re-spread
-    # rationale); at 100 TB the edge list is narrow enough that
-    # core-count partitions stay shuffle-sized.
-    oriented = _cut(
-        oriented.repartition(
-            edges.sparkSession.sparkContext.defaultParallelism
-        ),
-        checkpoint_dir,
-    )
+    # rationale). GUARDED like util.spread (r13 VERDICT item 3): the
+    # coalesce-to-1 only happens when the source scan itself is a
+    # handful of files; when the caller's edge derivation reads >=
+    # core-count input files the shuffles upstream already ran wide
+    # and an unconditional round-robin repartition would re-shuffle
+    # the (at 100 TB, corpus-sized) edge set for nothing.
+    target = edges.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(edges.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
+        oriented = oriented.repartition(target)
+    oriented = _cut(oriented, checkpoint_dir)
     # Adjacency-intersection enumeration (compact-forward): build each
     # node's sorted out-neighbor array once, attach it to both ends of
     # every oriented edge, and intersect in codegen. A triangle
@@ -341,12 +347,11 @@ def triangle_counts(
     # the hash join co-partitioned on node id wins at EVERY tier —
     # same shuffle the aggregate already paid, build stays
     # per-partition-sized at any graph scale.
-    # Both join sides carry the IDENTICAL adjacency aggregate: attach
-    # it through DataFrame aliases of ONE frame (not renamed column
-    # projections) so the two hash(adj._s) exchanges canonicalize
-    # equal and exchange reuse computes the collect_list aggregate
-    # once — previously each side re-ran the aggregate over the full
-    # oriented edge set (the minhash/simhash self-join pattern).
+    # Both join sides scan the ONE checkpointed adjacency frame above
+    # (the cut is what makes the collect_list aggregate run once —
+    # r13 ADVICE: with the LogicalRDD in place, alias-based exchange
+    # reuse is moot); the aliases here only disambiguate the two _s
+    # column references in the join conditions below.
     ax = adj.alias("_au").hint("shuffle_hash")
     ay = adj.alias("_av").hint("shuffle_hash")
     tris = (

@@ -37,6 +37,25 @@ def cut(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     return df.checkpoint()
 
 
+def release(df: DataFrame) -> None:
+    """Best-effort, immediate unpersist of a ``localCheckpoint``-ed
+    frame's storage blocks (no-op for reliable checkpoints — their
+    files are governed by ``cleanCheckpoints``, see :func:`cut`).
+
+    The ContextCleaner reclaims checkpoint blocks anyway once the
+    DataFrame is garbage-collected, but that is Python-GC + weak-ref
+    timing; an operator that materialized a bounded intermediate and
+    has fully consumed it (e.g. the union-find driver collect) should
+    hand the memory back before the caller's next job, not "soon".
+    Non-blocking, and silent on any plan that is not a LogicalRDD —
+    releasing is an optimization, never a correctness step.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Ensure per-row-heavy compute (shingling, seeded hashing, vector
     math — interpreted higher-order functions) is spread across the
