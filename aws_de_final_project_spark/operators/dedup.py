@@ -216,6 +216,16 @@ def minhash_signature(
     shuffle volume is docs x k x 8B regardless of corpus size.
     """
     words = _hashed_shingle_sets(df, text_col, id_col, ngram)
+    return _minhash_signature_from_words(words, num_hashes)
+
+
+def _minhash_signature_from_words(
+    words: DataFrame, num_hashes: int
+) -> DataFrame:
+    """Signature aggregate over a prebuilt hashed-shingle frame, so a
+    caller that also needs the shingle sets (the LSH verify) can share
+    ONE materialized frame instead of re-deriving the shingles per
+    consumer."""
     # explode_outer, NOT explode: plain explode makes the optimizer
     # infer a size(_words)>0 filter and push it below the repartition,
     # re-running the whole shingle pipeline on the un-spread input
@@ -273,7 +283,15 @@ def minhash_lsh_pairs(
             "silently dropped from the banding"
         )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, ngram)
+    # ONE hashed-shingle pass feeds the signature aggregate AND both
+    # exact-Jaccard verify sides: a lazy cut materializes the ~230 B/doc
+    # hashed sets at the first action instead of re-running the
+    # normalize+shingle+hash pipeline once per consumer (3x before —
+    # the r14 measured defect; at 100 TB the frame is the lightweight
+    # decision proxy of guide §8, orders of magnitude under the corpus).
+    words = _hashed_shingle_sets(df, text_col, id_col, ngram)
+    words = words.localCheckpoint(eager=False)
+    sigs = _minhash_signature_from_words(words, num_hashes)
     banded = sigs.select(
         "_id",
         F.explode(
@@ -294,10 +312,14 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
     # both bucket-join sides carry the IDENTICAL banded signatures:
-    # self-join ONE frame through identical aliases so the two
-    # exchanges canonicalize equal and exchange reuse computes the
-    # shingle+signature pipeline once (r13; previously each side
-    # re-evaluated the k min-hash aggregate).
+    # a lazy cut materializes the k-min-hash aggregate once and both
+    # join sides scan the stored blocks (~bands rows x ~40 B per doc —
+    # scale-trivial). r13 relied on alias self-join exchange reuse,
+    # which only fires when BOTH sides shuffle; at broadcast-sized
+    # inputs the planner broadcast one side and re-evaluated the whole
+    # signature pipeline for it (the r14 measured defect: the 64-hash
+    # aggregate ran twice, ~14 s CPU per evaluation at sf0.1).
+    banded = banded.localCheckpoint(eager=False)
     bx, by = banded.alias("_bx"), banded.alias("_by")
     candidates = (
         bx.join(
@@ -319,7 +341,6 @@ def minhash_lsh_pairs(
     candidates = candidates.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    words = _hashed_shingle_sets(df, text_col, id_col, ngram)
     wa = words
     wb = words.select(
         F.col("_id").alias("_id_b"), F.col("_words").alias("_words_b")
@@ -512,9 +533,12 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("_id", "simhash", "cc.chunk", "cc.key")
-    # self-join ONE banded frame through identical aliases: exchange
-    # reuse computes the simhash pipeline once instead of once per
-    # chunk-join side (r13).
+    # a lazy cut materializes the simhash pipeline once and both
+    # chunk-join sides scan the stored blocks (chunks rows x ~40 B per
+    # doc). The r13 alias self-join only deduplicated the pipeline
+    # when both sides shuffled; at broadcast-sized inputs one side was
+    # re-evaluated (the r14 measured defect on the minhash twin).
+    banded = banded.localCheckpoint(eager=False)
     bx, by = banded.alias("_bx"), banded.alias("_by")
     xor = F.col("simhash").bitwiseXOR(F.col("simhash_b"))
     hamming = F.bit_count(xor)
@@ -826,7 +850,15 @@ def minhash_lsh_pairs_portable(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     rows_per_band = num_hashes // bands
+    # ONE shingle pass feeds the md5 signature aggregate AND both
+    # exact-Jaccard verify sides (3 evaluations of the normalize+
+    # shingle pipeline before). String sets are heavier to store than
+    # the fast path's hashed sets (~2.4 KB/doc), but this variant is
+    # the engine-portable correctness twin — the md5 family NEEDS the
+    # string shingles on both the signature and verify sides, and one
+    # stored pass beats three regex+HOF corpus passes.
     sets = _shingle_sets(df, text_col, id_col, ngram)
+    sets = sets.localCheckpoint(eager=False)
     exploded = sets.select("_id", F.explode_outer("_words").alias("_sh"))
     agg = exploded.groupBy("_id").agg(
         *[
@@ -864,11 +896,15 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
-    # self-join ONE banded frame through identical aliases: exchange
-    # reuse computes the md5 minhash pipeline once instead of once per
-    # bucket-join side (r13), and the candidate pairs re-spread before
-    # the per-row set-intersect verify (AQE coalesces the tiny id-pair
-    # bytes to a couple of partitions otherwise).
+    # a lazy cut materializes the md5 minhash pipeline once and both
+    # bucket-join sides scan the stored blocks (bands rows x ~50 B per
+    # doc). The r13 alias self-join only deduplicated the pipeline
+    # when both sides shuffled; at broadcast-sized inputs one side was
+    # re-evaluated — 16 md5 digests per shingle, twice (the r14
+    # measured defect). Candidate pairs re-spread before the per-row
+    # set-intersect verify (AQE coalesces the tiny id-pair bytes to a
+    # couple of partitions otherwise).
+    banded = banded.localCheckpoint(eager=False)
     bx, by = banded.alias("_bx"), banded.alias("_by")
     cand = (
         bx.join(
