@@ -797,42 +797,20 @@ def cosine_dup_pairs(
                 F.col(idc), F.explode(sigs).alias("_ts")
             ).select(F.col(idc), "_ts.tbl", "_ts.sig")
 
-        # a pair colliding in several tables would duplicate — dedup on
-        # the bare pair key BEFORE re-attaching vectors, so the exact
-        # cosine runs once per pair and the dedup shuffle stays narrow.
-        # The two join sides carry IDENTICAL signatures (same corpus,
-        # same deterministic planes): self-join ONE signature frame
-        # through identical aliases, so the two bucket-join exchanges
-        # canonicalize equal and Spark's exchange reuse computes the
-        # planes x dim x n_tables per-row bank ONCE (r13; previously
-        # signed(a) and signed(b) each evaluated the full bank).
+        # Verify per BUCKET, not per attached pair: one (id, vec) join
+        # onto the signature frame, then a chunked BLAS Gram product
+        # inside each (tbl, sig) bucket scores every within-bucket
+        # pair — the candidate set the bucket self-join used to
+        # enumerate — and cross-table duplicates dedup AFTER scoring
+        # on the tiny survivor frame. This replaces the r13 shape
+        # (bucket self-join -> 813k-pair dedup -> two vector-attach
+        # joins -> per-pair Arrow verify shipping ~0.9 GB at sf0.1)
+        # with one n x n_tables vector shuffle (~17 MB): see
+        # _verify_buckets_cosine_gram.
         sig = signed(a, "_ida", "_va")
-        sx, sy = sig.alias("_sx"), sig.alias("_sy")
-        pairs = (
-            sx.join(
-                sy,
-                (F.col("_sx.tbl") == F.col("_sy.tbl"))
-                & (F.col("_sx.sig") == F.col("_sy.sig"))
-                & (F.col("_sx._ida") < F.col("_sy._ida")),
-            )
-            .select(
-                F.col("_sx._ida").alias("_ida"),
-                F.col("_sy._ida").alias("_idb"),
-            )
-            .dropDuplicates(["_ida", "_idb"])
-        )
-        # the id-pair shuffle is tiny in BYTES, so AQE coalesces it to
-        # a few partitions — but each row then costs an interpreted
-        # 2x dim-element dot product after the vector join. Re-spread
-        # explicitly: per-row compute, not byte count, is the budget.
-        pairs = pairs.repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism
-        )
-        joined = pairs.join(a, "_ida").join(b, "_idb")
-        # dense candidate sets (short signatures) make the per-pair
-        # interpreted HOF dot the bottleneck — score batches in numpy
-        return _verify_pairs_cosine_vectorized(
-            joined.select("_ida", "_idb", "_va", "_vb"), threshold
+        bucketed = sig.join(a.select("_ida", "_va"), "_ida")
+        return _verify_buckets_cosine_gram(
+            bucketed, ["tbl", "sig"], threshold
         )
     joined = a.crossJoin(b).filter(F.col("_ida") < F.col("_idb"))
     return (
@@ -1183,28 +1161,84 @@ def semantic_dup_pairs(
         tagged = src.select(
             F.col(id_col).alias("_ida"), cells.alias("cell")
         )
-    # both candidate-join sides carry the IDENTICAL cell assignment:
-    # self-join ONE tagged frame through identical aliases so the two
-    # exchanges canonicalize equal and exchange reuse computes the
-    # centroid bank once (r13; previously each side re-evaluated it).
-    tx, ty = tagged.alias("_tx"), tagged.alias("_ty")
-    pairs = (
-        tx.join(
-            ty,
-            (F.col("_tx.cell") == F.col("_ty.cell"))
-            & (F.col("_tx._ida") < F.col("_ty._ida")),
+    # Verify per CELL, not per attached pair: one (id, vec) join onto
+    # the cell assignment, then a chunked BLAS Gram product inside
+    # each cell scores every within-cell pair (the candidate set the
+    # cell self-join used to enumerate); multi-probe duplicates dedup
+    # AFTER scoring on the tiny survivor frame. Replaces the r13
+    # shape (cell self-join -> pair dedup -> two vector-attach joins
+    # -> per-pair Arrow verify): see _verify_buckets_cosine_gram.
+    bucketed = tagged.join(a.select("_ida", "_va"), "_ida")
+    return _verify_buckets_cosine_gram(bucketed, ["cell"], threshold)
+
+
+def _verify_buckets_cosine_gram(
+    bucketed: DataFrame, bucket_cols: list[str], threshold: float
+) -> DataFrame:
+    """Exact-cosine verify computed PER CANDIDATE BUCKET instead of
+    per attached pair: ``bucketed`` is (bucket_cols..., _ida, _va);
+    every within-bucket pair (id_a < id_b) is scored by one chunked
+    BLAS Gram product and pairs colliding in several buckets are
+    deduplicated AFTER scoring (identical floats -> identical 4dp
+    values; max() keeps the dedup deterministic regardless).
+
+    Why (guide §8 — move heavy bytes once): the pair-attach shape
+    shipped BOTH vectors per candidate pair through the Arrow
+    boundary. At sf0.1's auto-blocked corpus that is ~813k pairs x
+    ~1 KB ≈ 0.9 GB serialized per run, ~400x duplication of each
+    vector (measured r14: the two verify stages cost ~55 s CPU/run,
+    dominated by transfer + the 813k-row attach joins and pre-verify
+    dedup). Here each vector crosses once per bucket it belongs to
+    (n x n_tables rows total ≈ 17 MB), the attach joins disappear,
+    and the pre-verify pair dedup shrinks to a survivors-only
+    aggregate. Same 4dp-rounded output: floor-form rounding absorbs
+    BLAS-vs-elementwise sum-order noise (the ann_cosine_topk_vec
+    precedent, pinned by the oracle parity of the blocked entries).
+
+    Skew bound: a bucket's rows land on ONE task (B x dim matrix in
+    memory; the cos slab is chunked to 1024 rows so it never
+    materializes B^2 doubles). The auto-plane/auto-cell sizing exists
+    precisely to keep expected B constant as the corpus grows.
+    """
+    import pandas as pd  # noqa: F401 (Arrow batch interface)
+
+    def gram(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
         )
-        .select(
-            F.col("_tx._ida").alias("_ida"),
-            F.col("_ty._ida").alias("_idb"),
-        )
-        .dropDuplicates(["_ida", "_idb"])
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_ida"].to_numpy()
+        X = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+        nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+        outs = []
+        chunk = 1024
+        for i0 in range(0, n, chunk):
+            A = X[i0:i0 + chunk]
+            cos = (A @ X.T) / (nrm[i0:i0 + chunk, None] * nrm[None, :])
+            cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
+            ia, jb = np.nonzero(cos >= threshold)
+            if not ia.size:
+                continue
+            vals = cos[ia, jb]
+            gi, gj = ids[ia + i0], ids[jb]
+            keep = gi < gj
+            if keep.any():
+                outs.append(pd.DataFrame(
+                    {"id_a": gi[keep], "id_b": gj[keep], "cos": vals[keep]}
+                ))
+        return pd.concat(outs) if outs else empty
+
+    scored = bucketed.groupBy(*bucket_cols).applyInPandas(
+        gram, "id_a long, id_b long, cos double"
     )
-    joined = pairs.join(a, "_ida").join(b, "_idb")
-    return _verify_pairs_cosine_vectorized(
-        joined.select("_ida", "_idb", "_va", "_vb"), threshold
-    )
+    return scored.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
 def _verify_pairs_cosine_vectorized(
