@@ -242,20 +242,30 @@ def triangle_counts(
 
     Returns ``(node, n_triangles)`` for nodes in >= 1 triangle.
     """
-    # The canonical edge set feeds THREE consumers (degree count,
-    # orientation join, closure semi-join) and the caller's edge
-    # derivation is often itself a join (e.g. the per-order
-    # co-purchase self-join) — without a checkpoint Spark re-derives
-    # it once per consumer (measured 4x wall-clock on the lineitem
-    # graph at sf0.1).
-    e = _cut(
+    # The canonical edge set feeds multiple consumers (degree count,
+    # orientation join) and the caller's edge derivation is often
+    # itself a join (e.g. the per-order co-purchase self-join) —
+    # without a checkpoint Spark re-derives it once per consumer
+    # (measured 4x wall-clock on the lineitem graph at sf0.1). LAZY
+    # when local (r14): the eager cut was a serial driver barrier —
+    # each of the three cuts (e, oriented, adj) ran as its own
+    # scheduled execution with a driver round trip between; a lazy
+    # localCheckpoint materializes inside the first consumer's job
+    # and later consumers read the persisted blocks, same work, no
+    # barrier. A reliable checkpoint_dir cut stays eager (checkpoint()
+    # semantics).
+    def _lazy_cut(df):
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=False)
+        return _cut(df, checkpoint_dir)
+
+    e = _lazy_cut(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_u"),
             F.greatest(F.col(src), F.col(dst)).alias("_v"),
         )
         .where(F.col("_u") < F.col("_v"))
-        .distinct(),
-        checkpoint_dir,
+        .distinct()
     )
     deg = (
         e.select(F.explode(F.array("_u", "_v")).alias("_n"))
@@ -311,7 +321,7 @@ def triangle_counts(
         n_files = 0
     if n_files < target:
         oriented = oriented.repartition(target)
-    oriented = _cut(oriented, checkpoint_dir)
+    oriented = _lazy_cut(oriented)
     # Adjacency-intersection enumeration (compact-forward): build each
     # node's sorted out-neighbor array once, attach it to both ends of
     # every oriented edge, and intersect in codegen. A triangle
@@ -331,10 +341,7 @@ def triangle_counts(
     # (measured ~30 s + ~12 s executor CPU per warm run at sf0.1).
     # Lazy: materializes at the first action, keeps plan construction
     # job-free (the r13 image-phash posture).
-    if checkpoint_dir is None:
-        adj = adj.localCheckpoint(eager=False)
-    else:
-        adj = _cut(adj, checkpoint_dir)
+    adj = _lazy_cut(adj)
     # The adjacency frame is O(n + m) — it carries EVERY oriented edge
     # inside its arrays — and must NEVER be a broadcast build side:
     # Catalyst's static estimate of the checkpointed frame
