@@ -41,10 +41,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aws_de_final_project_spark.functions.numeric import round_half_up as rnd
-from aws_de_final_project_spark.operators.classifier import (
-    _py_bucket,
-    hashed_bucket,
-)
+from aws_de_final_project_spark.functions.numeric import sql_round_half_up
+from aws_de_final_project_spark.operators.classifier import _py_bucket
 from aws_de_final_project_spark.operators.webcrawl import WS_RE
 
 LANGID_BUCKETS = 1024
@@ -397,27 +395,6 @@ def _int_lit_array_sql(values) -> str:
     return "array(" + ",".join(str(int(v)) for v in values) + ")"
 
 
-def _grams_col(t: Column) -> Column:
-    """Characters + bigrams + trigrams of a (already normalized) text
-    column, via array HOFs — scan-side, shared shape with the DuckDB
-    twin. Guards keep sequence() off the descending-range footgun on
-    short strings."""
-    empty = F.expr("CAST(array() AS array<string>)")
-    n = F.length(t)
-    chars = F.transform(
-        F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(1))
-    )
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1), lambda i: t.substr(i, F.lit(2))
-    )).otherwise(empty)
-    trigrams = F.when(n >= 3, F.transform(
-        F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
-    )).otherwise(empty)
-    return F.when(n >= 1, F.concat(chars, bigrams, trigrams)).otherwise(
-        empty
-    )
-
-
 def lang_id_scores(
     df: DataFrame,
     text_col: str,
@@ -453,65 +430,79 @@ def lang_id_scores(
     # per-gram fold ~dozens of times and ran 30x slower at sf0.1).
     # Catalyst's CollapseProject keeps the stages apart because each
     # aliased expression is non-cheap and referenced multiple times.
+    # Every stage is built as ONE parsed SQL string (F.expr): the DSL
+    # form cost 6,237 py4j round trips ≈ 2.2 s of socket latency PER
+    # QUERY CONSTRUCTION (r14 cProfile; the _lit_array lesson applied
+    # to the HOF pipeline itself). Expression semantics are identical
+    # — the SQL text parses to the same Catalyst tree the DSL built.
     t = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " ")
     )
-    grams = _grams_col(t)
-    bks = F.transform(
-        grams, lambda g: hashed_bucket(g, n_buckets).cast("int")
+    staged0 = df.select(F.col(id_col), t.alias("_t"))
+    empty = "CAST(array() AS array<string>)"
+    grams_sql = (
+        "CASE WHEN length(_t) >= 1 THEN concat("
+        "transform(sequence(1, length(_t)), i -> substr(_t, i, 1)), "
+        "CASE WHEN length(_t) >= 2 THEN transform(sequence(1, "
+        f"length(_t) - 1), i -> substr(_t, i, 2)) ELSE {empty} END, "
+        "CASE WHEN length(_t) >= 3 THEN transform(sequence(1, "
+        f"length(_t) - 2), i -> substr(_t, i, 3)) ELSE {empty} END"
+        f") ELSE {empty} END"
     )
-    staged = df.select(
+    bks_sql = (
+        f"transform({grams_sql}, g -> CAST(CAST(conv(substring(md5(g)"
+        f", 1, 15), 16, 10) AS BIGINT) % {int(n_buckets)} AS INT))"
+    )
+    staged = staged0.select(
         F.col(id_col),
-        t.isNull().alias("_isnull"),
-        bks.alias("_bks"),
+        F.expr("_t IS NULL").alias("_isnull"),
+        F.expr(bks_sql).alias("_bks"),
     )
-    ng = F.size("_bks")
     logit_cols = []
     for lang in LANGID_LANGS:
         w_int, bias = m[lang]
-        bank = F.expr(_int_lit_array_sql(w_int))
-        acc = F.aggregate(
-            F.transform(
-                F.col("_bks"),
-                lambda k: F.element_at(bank, k + 1).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
+        acc_sql = (
+            f"aggregate(transform(_bks, k -> CAST(element_at("
+            f"{_int_lit_array_sql(w_int)}, k + 1) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
         )
-        pooled = F.when(ng == 0, F.lit(float(bias))).otherwise(
-            F.lit(float(bias))
-            + (acc.cast("double") / F.lit(10000.0)) / ng.cast("double")
+        pooled_sql = (
+            f"CASE WHEN size(_bks) = 0 THEN CAST({float(bias)!r} AS "
+            f"DOUBLE) ELSE CAST({float(bias)!r} AS DOUBLE) + "
+            f"(CAST({acc_sql} AS DOUBLE) / 10000.0) / "
+            "CAST(size(_bks) AS DOUBLE) END"
         )
-        logit_cols.append(rnd(pooled, 4).alias(f"_l_{lang}"))
+        logit_cols.append(
+            F.expr(sql_round_half_up(pooled_sql, 4)).alias(f"_l_{lang}")
+        )
     scored = staged.select(
-        id_col, "_isnull", ng.alias("_ng"), *logit_cols
+        id_col, "_isnull", F.size("_bks").alias("_ng"), *logit_cols
     )
-    top = F.greatest(*[F.col(f"_l_{lang}") for lang in LANGID_LANGS])
-    ranked = scored.select(
-        id_col, "_isnull", "_ng", *[f"_l_{la}" for la in LANGID_LANGS],
-        top.alias("_top"),
+    top_sql = "greatest(" + ", ".join(
+        f"_l_{lang}" for lang in LANGID_LANGS
+    ) + ")"
+    ranked = scored.selectExpr(
+        id_col, "_isnull", "_ng",
+        *[f"_l_{la}" for la in LANGID_LANGS],
+        f"{top_sql} AS _top",
     )
-    pred = F.lit(None).cast("string")
-    for lang in reversed(LANGID_LANGS):  # earlier langs win ties
-        pred = F.when(
-            F.col(f"_l_{lang}") == F.col("_top"), F.lit(lang)
-        ).otherwise(pred)
+    # first matching CASE arm wins -> earlier langs win ties (the
+    # same order the reversed when-chain produced)
+    pred_sql = "CASE " + " ".join(
+        f"WHEN _l_{lang} = _top THEN '{lang}'" for lang in LANGID_LANGS
+    ) + " ELSE CAST(NULL AS STRING) END"
     # NULL text -> NULL outputs on BOTH impls (the normalized column
     # is NULL; without the guard the empty-array fallback would score
     # the bare biases — the same silent-flip class the r9 advice
     # flagged on the quality classifier)
-    isnull = F.col("_isnull")
-    return ranked.select(
-        F.col(id_col),
-        F.when(isnull, F.lit(None).cast("long"))
-        .otherwise(F.col("_ng").cast("long"))
-        .alias("n_grams"),
-        F.when(isnull, F.lit(None).cast("string"))
-        .otherwise(pred)
-        .alias("lang_pred"),
-        F.when(isnull, F.lit(None).cast("double"))
-        .otherwise(F.col("_top"))
-        .alias("lang_score"),
+    return ranked.selectExpr(
+        id_col,
+        "CASE WHEN _isnull THEN CAST(NULL AS BIGINT) "
+        "ELSE CAST(_ng AS BIGINT) END AS n_grams",
+        f"CASE WHEN _isnull THEN CAST(NULL AS STRING) "
+        f"ELSE {pred_sql} END AS lang_pred",
+        "CASE WHEN _isnull THEN CAST(NULL AS DOUBLE) "
+        "ELSE _top END AS lang_score",
     )
 
 

@@ -98,6 +98,32 @@ def url_host(canon: Column) -> Column:
     return F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
 
 
+def url_host_direct(url: Column | str) -> Column:
+    """Host of a RAW url — value-identical to
+    ``url_host(canonicalize_url(u))`` at a third of the regex passes.
+
+    Consumers that only key on the host/registered domain (link
+    graphs, host quality, per-host caps — the per-href hot paths)
+    were paying the full 8-regex canonicalization to then discard
+    everything but the host (r14 measured: ~40 s CPU per
+    pagerank_host_graph run, dominated by href canonicalization).
+    Only three of canonicalize_url's rules can reach the host:
+    fragment strip (a ``#`` inside the authority would otherwise be
+    captured — url_host's char class excludes ``/:?`` but not ``#``),
+    authority lowercasing, and leading ``www.`` label removal; ports
+    and everything path/query-side are already cut by the host char
+    class. Equality is pinned exhaustively against the composed form
+    in tests/test_webcrawl.py (quote styles, ports, fragments,
+    IPv6-ish brackets, schemeless, empty-host)."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(
+        F.regexp_extract(
+            u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1
+        )
+    )
+    return F.regexp_replace(host, r"^(www\.)+", "")
+
+
 # Vendored high-traffic subset of the Mozilla public-suffix list
 # (publicsuffix.org — public data): the two-label suffixes under which
 # registration happens one level deeper, so ``bbc.co.uk`` is the
@@ -441,7 +467,7 @@ def host_quality_stats(
     public-suffix subset), so ``a.co.uk`` and ``b.co.uk`` aggregate
     separately; suffixes outside the subset degrade to last-two-labels
     grouping (coarser, never wrong keys)."""
-    dom = registered_domain(url_host(canonicalize_url(url_col)))
+    dom = registered_domain(url_host_direct(url_col))
     return (
         df.select(
             dom.alias("domain"),
@@ -499,7 +525,7 @@ def filter_by_host_stats(
                 f"filter_by_host_stats reserves the output column "
                 f"{taken!r}; rename it on the input first"
             )
-    dom = registered_domain(url_host(canonicalize_url(url_col)))
+    dom = registered_domain(url_host_direct(url_col))
     with_dom = df.withColumn("_domain", dom)
     blocked = (
         with_dom.groupBy("_domain")
@@ -1080,7 +1106,7 @@ def host_link_graph(
     """
     from aws_de_final_project_spark.operators.util import spread
 
-    src = registered_domain(url_host(canonicalize_url(F.col(url_col))))
+    src = registered_domain(url_host_direct(F.col(url_col)))
     # link extraction + two canonicalization passes are per-row-heavy
     # regex work: spread a small single-file scan across the cores
     # (no-op at scale, where the scan already parallelizes)
@@ -1088,7 +1114,7 @@ def host_link_graph(
         src.alias("src_domain"),
         F.explode(extract_links(html_col)).alias("href"),
     ).filter(F.col("href").rlike(ABS_HTTP_RE))
-    dst = registered_domain(url_host(canonicalize_url(F.col("href"))))
+    dst = registered_domain(url_host_direct(F.col("href")))
     edges = links.select("src_domain", dst.alias("dst_domain"))
     if drop_self:
         edges = edges.filter(F.col("src_domain") != F.col("dst_domain"))
@@ -1305,9 +1331,7 @@ def cap_docs_per_host(
 
     narrow = df.select(
         F.col(id_col),
-        registered_domain(
-            url_host(canonicalize_url(F.col(url_col)))
-        ).alias("domain"),
+        registered_domain(url_host_direct(F.col(url_col))).alias("domain"),
     )
     w = Window.partitionBy("domain").orderBy(F.col(id_col))
     return (
@@ -1336,12 +1360,12 @@ def anchor_term_stats(
     """
     from aws_de_final_project_spark.functions.text import normalized_text
 
-    src = registered_domain(url_host(canonicalize_url(F.col(url_col))))
+    src = registered_domain(url_host_direct(F.col(url_col)))
     anchors = df.select(
         src.alias("src_domain"),
         F.explode(extract_anchors(html_col)).alias("a"),
     ).filter(F.col("a.href").rlike(ABS_HTTP_RE))
-    dst = registered_domain(url_host(canonicalize_url(F.col("a.href"))))
+    dst = registered_domain(url_host_direct(F.col("a.href")))
     terms = (
         anchors.select(
             "src_domain",

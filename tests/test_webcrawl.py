@@ -1408,3 +1408,52 @@ class TestImageCaptionPairs:
             "http://a.com/i.jpg": (3, "the longest caption", 1),
             "http://b.com/j.jpg": (1, "only", 9),
         }
+
+
+def test_url_host_direct_equals_canonicalize_chain(spark):
+    """url_host_direct must be VALUE-IDENTICAL to
+    url_host(canonicalize_url(u)) — the r14 host-graph hot-path
+    shortcut is only sound if no input can tell them apart. Cases
+    cover every canonicalization rule that could touch the host:
+    fragment placement (before the scheme, inside the authority,
+    after the path), default and non-default ports on both schemes,
+    stacked/mixed-case www labels, uppercase scheme+host, IPv6-ish
+    bracket hosts, schemeless strings, empty host, userinfo-looking
+    strings, tracking params, and plain garbage."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "http://Example.COM/p/1",
+        "HTTPS://WWW.Site3.co.uk:443/x?utm_source=z&b=1",
+        "http://www.www.Host.io/a/b/",
+        "http://host.com:80/x",
+        "https://host.com:80/x",
+        "http://host.com:8080/x#frag",
+        "http://ho#st.com/x",
+        "#http://x.com",
+        "http://x.com#f",
+        "http://[::1]:80/x",
+        "http:///nohost",
+        "http://www.",
+        "//scheme.less/x",
+        "relative/path",
+        "mailto:u@example.com",
+        "ftp+x.y-z://WwW.Www.Host.io/",
+        "http://user:pw@host.com/x",
+        "http://host.com?q=1",
+        "http://host.com?",
+        "http://host.com/x?a=2&utm_campaign=z",
+        "",
+        "    ",
+        "javascript:void(0)",
+        "http://UPPER.www.Lower.org/p",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = df.select(
+        WC.url_host_direct(F.col("u")).alias("direct"),
+        WC.url_host(WC.canonicalize_url(F.col("u"))).alias("chain"),
+    ).collect()
+    for case, r in zip(cases, got):
+        assert r.direct == r.chain, (
+            f"{case!r}: direct={r.direct!r} chain={r.chain!r}"
+        )
